@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall times.
+
+Protocol mirrors the reference's (BASELINE.md): run each query
+repetitions+1 times, discard the first (warm-up/JIT), report the mean
+of the rest (assignment2/part1/main.py:48-53 discard-first protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cs744_big_data_system_spark.session import get_spark
+from cs744_big_data_system_spark.workloads import all_workloads
+
+#: Headline queries: the flagship + one per operator family, weighted
+#: toward the shuffle/join/agg-heavy ones that dominate at scale.
+HEADLINE = [
+    "flagship_q3",
+    "global_sort",
+    "agg_sums_q1",
+    "join_inner",
+    "join_left_outer",
+    "window_ranks",
+    "sessionize",
+    "window_tumbling",
+    "dedup_exact",
+    "dedup_minhash_sig",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+    "text_quality",
+    "label_mean_embedding",
+    "pagerank_events",
+]
+
+
+def time_query(fn, spark, sf_dir, reps: int = 2) -> float:
+    times = []
+    for i in range(reps + 1):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # materialize the whole result, discard rows
+        times.append(time.perf_counter() - t0)
+        del n
+    return sum(times[1:]) / len(times[1:])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    reg = all_workloads()
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = reg[name]
+        per_query[name] = round(time_query(fn, spark, sf_dir), 4)
+
+    total = round(sum(per_query.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_mean_sec_per_query_sum",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""PageRank with the reference's exact semantics, re-expressed as
+DataFrame ops (reference: assignment1/part3/task1/task1.py — RDD
+groupByKey/join/flatMap/reduceByKey with Python lambdas).
+
+Semantics preserved for parity (SURVEY.md §2.3):
+  * init rank 1.0 for every node WITH outgoing edges (task1.py:37 —
+    ranks derive from the adjacency keys);
+  * update: rank = 0.15 + 0.85 · Σ incoming contributions (task1.py:52);
+  * the inner join drops nodes that appear only as destinations, and
+    dangling mass is discarded, not redistributed (task1.py:44-47,51);
+  * node ids stay strings (task1.py:29-30).
+
+Spark-first differences from the reference (the idiomatic wins,
+SURVEY.md §3.2):
+  * no adjacency-array materialization: keep the edge table + an
+    out-degree table. contributions = edges ⋈ ranks ⋈ degree — at
+    100 TB, shipping an `array<string>` of neighbors through every
+    shuffle is strictly worse than keeping edges columnar;
+  * everything stays JVM-side (no Python worker per lambda);
+  * the iterative driver loop localCheckpoints every
+    ``checkpoint_every`` iterations to truncate the growing plan
+    (Catalyst re-analysis cost is superlinear in iterations otherwise);
+  * edges/degree are cached once and reused by all supersteps —
+    the task3.py:37 lesson, applied by default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    num_partitions: int | None = None,
+    cache_links: bool = True,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """edges(src: string, dst: string) → (node: string, rank: double).
+
+    ``num_partitions`` mirrors the reference's partition-sweep knob
+    (task2.py:36); None lets AQE pick.
+    """
+    edges = edges.select("src", "dst")
+    if num_partitions:
+        edges = edges.repartition(num_partitions, "src")
+
+    # Duplicate edges contribute multiply in the reference (flatMap over
+    # the full neighbor multiset) — keep multiset semantics.
+    degree = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    links = edges.join(degree, "src")  # (src, dst, out_degree)
+    if cache_links:
+        links = links.persist()
+
+    ranks = degree.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
+
+    for i in range(iterations):
+        contribs = (
+            links.join(ranks, links.src == ranks.node, "inner")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+            )
+        )
+        new_ranks = (
+            contribs.groupBy("node")
+            .agg((F.lit(1.0 - damping) + F.lit(damping) * F.sum("contrib")).alias("rank"))
+        )
+        # Reference parity: ranks only exist for nodes in the adjacency
+        # (inner join keyed on source). Destination-only nodes gain a
+        # rank entry in the reference's reduceByKey output too — they
+        # receive contributions — so new_ranks matches task1.py:52.
+        ranks = new_ranks
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
+
+    # Note: links stays persisted — the returned DataFrame is lazy and
+    # its plan references links once per superstep; unpersisting here
+    # would make the caller's first action recompute the edge scan 10×.
+    return ranks

@@ -1,0 +1,281 @@
+"""Deduplication family over the ``documents`` table.
+
+Five public techniques, each expressed Spark-first (native Column ops,
+shuffle-conscious), sized for a 100 TB corpus:
+
+  exact        — hash-groupBy on a canonical text digest. One shuffle on
+                 a well-distributed 128-bit key; no skew by construction.
+  minhash-LSH  — shingle → k minhashes → b bands → band-bucket self-join.
+                 The self-join happens only inside (band, signature)
+                 buckets, so the shuffle key is the band hash — the
+                 classic way to avoid the O(n²) pair explosion.
+  simhash      — 60-bit weighted-bit fingerprint; near-dups share most
+                 bits. Deterministic md5-based hashing so the DuckDB
+                 oracle can reproduce it bit-for-bit.
+  n-gram Jaccard — exact set-similarity via a shingle equi-join inside
+                 blocking groups (lang), counting common shingles.
+  embedding cosine — near-dup pairs by cosine ≥ τ inside label blocks
+                 (see operators/similarity.py for the k-NN variant).
+
+Reference anchor: the reference has no dedup (SURVEY.md §2.9); its
+closest primitives are groupByKey/reduceByKey
+(assignment1/part3/task1/task1.py:34,52), which are the same
+hash-shuffle building blocks used here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cs744_big_data_system_spark.functions.text import normalized_text, tokens, word_ngrams
+
+# 60-bit space: 15 hex digits always fits a signed int64 (no overflow on
+# either engine); md5 (not xxhash64) because the oracle must reproduce it.
+_HEX_DIGITS = 15
+
+
+def md5_int60(col) -> "F.Column":
+    """Deterministic 60-bit integer hash of a string column, identical in
+    Spark (`conv(substr(md5(x),1,15),16,10)`) and DuckDB
+    (`('0x'||substr(md5(x),1,15))::BIGINT`)."""
+    return F.conv(F.substring(F.md5(col), 1, _HEX_DIGITS), 16, 10).cast("long")
+
+
+def exact_dedup_groups(documents: DataFrame) -> DataFrame:
+    """One row per distinct canonical text: digest, kept doc_id (min),
+    duplicate count. Single hash-shuffle on the digest."""
+    return (
+        documents.select(
+            F.md5(normalized_text("text")).alias("text_hash"),
+            F.col("doc_id"),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Documents with exact duplicates removed; keeps the min doc_id per
+    canonical text (deterministic, unlike dropDuplicates)."""
+    keep = exact_dedup_groups(documents).select(F.col("keep_doc_id").alias("doc_id"))
+    return documents.join(F.broadcast(keep), "doc_id", "left_semi")
+
+
+def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) with set semantics — distinct word n-grams per
+    doc. explode is native; distinct is one shuffle keyed by
+    (doc_id, shingle), which is high-cardinality and skew-free."""
+    return (
+        documents.select("doc_id", F.explode(word_ngrams("text", n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    block_col: str | None = "lang",
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via shingle equi-join.
+
+    jaccard(A,B) = |A∩B| / (|A|+|B|−|A∩B|), computed relationally:
+    self-join the distinct-shingle table on shingle (+ optional blocking
+    column to bound fan-out at scale), count common shingles per pair,
+    join per-doc shingle counts, filter by threshold.
+
+    At 100 TB the blocking column is what keeps the shingle join from
+    exploding on stop-shingles; pair counting is a groupBy on
+    (doc_a, doc_b) with map-side partial aggregation.
+    """
+    doc_cols = ["doc_id"] + ([block_col] if block_col else [])
+    sh = (
+        documents.select(*doc_cols, F.explode(word_ngrams("text", n)).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    left = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        *( [F.col(block_col)] if block_col else [] ),
+        "shingle",
+    )
+    right = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        *( [F.col(block_col).alias(f"{block_col}_b")] if block_col else [] ),
+        "shingle",
+    )
+    join_cond = [left.shingle == right.shingle, left.doc_a < right.doc_b]
+    if block_col:
+        join_cond.append(F.col(block_col) == F.col(f"{block_col}_b"))
+    common = (
+        left.join(right, join_cond)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(documents: DataFrame, n: int = 3, num_hashes: int = 32) -> DataFrame:
+    """(doc_id, sig: array<long>) — k minhashes per doc.
+
+    Each hash family member is md5(seed || shingle) folded to 60 bits;
+    the signature entry is the min over the doc's shingle set. Computed
+    as one explode + groupBy(doc_id) with ``min`` aggregates — a single
+    shuffle keyed by doc_id, partials combined map-side, independent of
+    k. No MLlib dependency, no Python in the loop, fully deterministic.
+    """
+    sh = shingles(documents, n)
+    aggs = [
+        F.min(md5_int60(F.concat(F.lit(f"mh{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH, then exact-ish
+    verification by signature agreement.
+
+    b bands × r rows (r = num_hashes/b): docs agreeing on ALL r hashes
+    of any band collide. The self-join key is (band_idx, band_hash) —
+    at 100 TB that is the only shuffle that matters and its
+    cardinality is ~num_docs × b with near-uniform distribution.
+
+    Returns (doc_a, doc_b, est_jaccard) where est_jaccard = fraction of
+    agreeing minhashes, filtered at ``threshold``.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(documents, n, num_hashes).persist()
+
+    band_entries = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_idx", "band.band_hash")
+
+    a = band_entries.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),
+        "band_idx", "band_hash",
+    )
+    b_ = band_entries.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"),
+        "band_idx", "band_hash",
+    )
+    cand = (
+        a.join(b_, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    est = agree.cast("double") / F.lit(num_hashes)
+    return (
+        cand.select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) — classic Charikar simhash over whitespace
+    tokens, ``bits`` wide (default 16 keeps the bit-explode cheap; the
+    oracle reproduces it exactly since the token hash is md5-based).
+
+    Plan shape: explode tokens (1→N), explode bit positions (1→bits),
+    single groupBy(doc_id, bit) sum, then a pivot-free reassembly via
+    conditional sum — two narrow shuffles, both keyed by doc_id.
+    """
+    tok = documents.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tok = tok.withColumn("th", md5_int60(F.col("tok")))
+    bit = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        F.col("th"),
+    ).withColumn(
+        "delta",
+        F.when(F.expr("shiftright(th, CAST(bit AS INT)) & 1") == 1, 1).otherwise(-1),
+    )
+    bitsum = bit.groupBy("doc_id", "bit").agg(F.sum("delta").alias("s"))
+    return (
+        bitsum.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).otherwise(0)
+            ).alias("simhash")
+        )
+    )
+
+
+def embedding_cosine_neardup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Near-duplicate vector pairs: cosine ≥ threshold inside blocking
+    groups (label). Blocked self-join keeps the pair space linear-ish;
+    the full-corpus variant is operators/similarity.py's LSH path."""
+    from cs744_big_data_system_spark.functions.vectors import cosine_similarity
+
+    cols_a = [F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")]
+    cols_b = [F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")]
+    if block_col:
+        cols_a.append(F.col(block_col))
+        cols_b.append(F.col(block_col).alias(f"{block_col}_b"))
+    a = embeddings.select(*cols_a)
+    b = embeddings.select(*cols_b)
+    cond = [F.col("vec_a") < F.col("vec_b")]
+    if block_col:
+        cond.append(F.col(block_col) == F.col(f"{block_col}_b"))
+    pairs = a.join(b, cond)
+    cos = cosine_similarity("emb_a", "emb_b")
+    out_cols = ["vec_a", "vec_b"] + ([block_col] if block_col else [])
+    return (
+        pairs.select(*out_cols, F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,115 @@
+"""Similarity search over an ``array<float>`` embedding column.
+
+Two paths (both pure DataFrame ops, no Python UDF in the scoring loop):
+
+  brute-force top-k — exact: query set × corpus, cosine via
+      zip_with/aggregate, per-query top-k via window row_number. The
+      query side is broadcast (it is small by definition); the corpus
+      is never shuffled. This is the correctness baseline.
+
+  random-hyperplane LSH — scale path: sign-pattern bucket per vector
+      from h fixed pseudo-random hyperplanes; candidates = bucket
+      collisions (multi-probe by hamming-adjacent buckets optional);
+      exact cosine re-rank of candidates only. Hyperplane coefficients
+      are derived deterministically from md5, so results are
+      reproducible run-to-run and the planes never leave the JVM.
+
+At 100 TB the brute-force path is O(|Q|·|corpus|) — fine for small Q
+(it is a broadcast-nested-loop with vectorized scoring); the LSH path
+bounds the candidate set so the re-rank join is the only shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cs744_big_data_system_spark.functions.vectors import cosine_similarity
+from cs744_big_data_system_spark.operators.dedup import md5_int60
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cosine, rnk). Ranking is on the
+    ROUNDED cosine with neighbor_id tiebreak so the result is exactly
+    reproducible (and oracle-comparable) despite float associativity.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_emb"))
+    pairs = F.broadcast(q).crossJoin(c)
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity("q_emb", "c_emb"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> "F.Column":
+    """Deterministic pseudo-random hyperplane as an array<double> literal
+    expression: coefficient j = (md5_int60(f"plane:{i}:{j}") % 2001 - 1000)/1000
+    ∈ [-1, 1]. Constant-folded by Catalyst — zero per-row cost."""
+    coeffs = [
+        (md5_int60(F.lit(f"plane:{plane_idx}:{j}")) % 2001 - 1000) / 1000.0
+        for j in range(dim)
+    ]
+    return F.array(*coeffs)
+
+
+def lsh_bucket(vec_col, dim: int, num_planes: int = 8) -> "F.Column":
+    """Sign-pattern bucket id (0..2^num_planes-1) for a vector column."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    v = v.cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for i in range(num_planes):
+        plane = _hyperplane(dim, i)
+        d = F.aggregate(F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+        bucket = bucket + F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+    return bucket
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, then
+    exact cosine re-rank. One equi-join on bucket instead of a cross
+    join — the 100 TB path. Recall is tested against the brute-force
+    baseline in tests/test_similarity.py."""
+    bq = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_emb"),
+        lsh_bucket(vec_col, dim, num_planes).alias("bucket"),
+    )
+    bc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_emb"),
+        lsh_bucket(vec_col, dim, num_planes).alias("bucket"),
+    )
+    cand = bq.join(bc, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity("q_emb", "c_emb"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

@@ -1,0 +1,100 @@
+"""Text analysis over ``documents``: language-ID, quality scoring,
+token counting, document fingerprinting.
+
+All four are single-pass column expressions (one codegen stage per doc,
+no shuffle at all) — the shape you want when the corpus is 100 TB: the
+scan is the cost, everything else rides along.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cs744_big_data_system_spark.functions.text import (
+    STOPWORDS,
+    normalized_text,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+from cs744_big_data_system_spark.operators.dedup import md5_int60
+
+#: "BPE-ish" token pattern: word pieces or single non-space symbols.
+BPE_ISH_PATTERN = r"\w+|[^\w\s]"
+
+#: Deterministic language order for argmax tie-breaks.
+LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def lang_scores(text_col) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the n-gram-free heuristic:
+    count tokens that are members of each language's stopword list)."""
+    toks = tokens(text_col)
+    out = {}
+    for lang in LANGS:
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return out
+
+
+def lang_id(text_col) -> Column:
+    """Predicted language = argmax stopword score; ties resolve in
+    LANGS alphabetical order; all-zero scores → 'und' (undetermined).
+    Pure CASE/greatest expression so the DuckDB oracle can mirror it."""
+    scores = lang_scores(text_col)
+    best = F.greatest(*[scores[lang] for lang in LANGS])
+    expr = F.lit("und")
+    for lang in reversed(LANGS):
+        expr = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_features(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_chars_obs, mean_token_len, punct_ratio,
+    stopword_ratio_en, quality_ok) — the standard cheap pre-filter
+    features for a training-data pipeline."""
+    n_tok = token_count("text")
+    mean_len = F.when(
+        n_tok > 0,
+        F.aggregate(tokens("text"), F.lit(0), lambda a, t: a + F.length(t)).cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
+    pr = punct_ratio("text")
+    swr = stopword_ratio("text", "en")
+    ok = (n_tok >= 5) & (n_tok <= 100000) & (pr < 0.3)
+    return documents.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length("text").alias("n_chars_obs"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(swr, 6).alias("stopword_ratio_en"),
+        ok.alias("quality_ok"),
+    )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Whitespace and BPE-ish regex token counts per document."""
+    return documents.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)).alias("bpe_ish_tokens"),
+    )
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Two fingerprints per doc:
+      content_fp  — md5 hex of the canonical text (exact-dup key);
+      rolling_fp  — min over a 4-token rolling window of 60-bit window
+                    hashes (winnowing-style; robust to local edits).
+    Both reproducible in SQL, so oracle-checkable."""
+    from cs744_big_data_system_spark.functions.text import word_ngrams
+
+    win_hashes = F.transform(word_ngrams("text", 4), md5_int60)
+    rolling = F.when(F.size(win_hashes) > 0, F.array_min(win_hashes))
+    return documents.select(
+        "doc_id",
+        F.md5(normalized_text("text")).alias("content_fp"),
+        rolling.alias("rolling_fp"),
+    )

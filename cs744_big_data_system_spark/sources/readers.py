@@ -1,0 +1,140 @@
+"""Sources: parquet table loader, CSV/text/JSON scans, edge-list parsing.
+
+Covers SURVEY.md §2.1 S1-S4, S7:
+  S1 CSV scan w/ header + schema inference  (reference assignment1/part2/task.py:22)
+  S2 text-line scan incl. directory globs    (assignment1/part3/task1/task1.py:26)
+  S3 filesystem connector (any Hadoop FS URI: file://, hdfs://, s3a://)
+  S4 binary dataset source (see operators/multimodal.py)
+  S7 parametrized I/O paths (every function takes explicit paths)
+
+The engine standardizes on Parquet (columnar at rest, vectorized scan,
+predicate/column pushdown); CSV and text remain supported sources for
+parity with the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Driver-fixture tables (TESTDATA.md) — one parquet file per table.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Vectorized Parquet scan of one fixture table.
+
+    Filters/projections composed on the returned DataFrame reach the
+    scan (PushedFilters / ReadSchema in .explain) — never pre-collect.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark has no native
+    type for — read it as nanosecond longs (legacy.parquet.nanosAsLong,
+    runtime-settable so any driver-created session works) and truncate
+    to microseconds, bit-identical to DuckDB's ns→µs cast
+    (SURVEY.md §7 risk 4).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
+
+
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """ns-long epoch column → µs timestamp (no-op if already timestamp)."""
+    if dict(df.dtypes).get(ts_col) == "bigint":
+        df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All fixture tables as a dict; each is a lazy scan, so loading all
+    ten costs nothing until an action runs."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    infer_schema: bool = True,
+    schema=None,
+) -> DataFrame:
+    """CSV scan, reference parity (assignment1/part2/task.py:22).
+
+    ``inferSchema=True`` costs an extra eager pass over the file — at
+    100 TB always pass an explicit ``schema`` instead (one job saved).
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", str(infer_schema).lower())
+    return reader.csv(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Text-line scan; ``path`` may be a file, directory, or glob
+    (reference reads whole HDFS dirs — assignment1/part3/task1/task1.sh:7)."""
+    return spark.read.text(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines scan; explicit schema avoids the inference pass."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_edge_list(
+    spark: SparkSession,
+    path: str,
+    sep: str = "\t",
+    comment_prefix: str = "#",
+) -> DataFrame:
+    """SNAP-style edge list → DataFrame(src: string, dst: string).
+
+    Reference parsing semantics (assignment1/part3/task1/task1.py:26-31):
+    comment lines dropped, line split on tab, node ids kept as raw
+    strings (never cast to int). Expressed as native Column ops, so the
+    whole parse runs JVM-side in one codegen stage — the reference did
+    this with three Python lambdas, paying the Python-worker boundary
+    per task.
+    """
+    lines = read_text(spark, path)
+    parts = F.split(F.col("value"), sep)
+    return (
+        lines.filter(~F.col("value").startswith(comment_prefix))
+        .filter(F.length(F.trim(F.col("value"))) > 0)
+        .select(
+            parts.getItem(0).alias("src"),
+            parts.getItem(1).alias("dst"),
+        )
+    )
+
+
+def edges_from_events(events: DataFrame) -> DataFrame:
+    """Derive a graph from the events fixture: consecutive events of the
+    same user form a (prev_type -> type) edge. Gives PageRank a
+    deterministic fixture-native input (FIXTURES.md §B notes edges are
+    derivable from events)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+    )

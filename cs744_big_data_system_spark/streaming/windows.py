@@ -1,0 +1,138 @@
+"""Structured Streaming over the ``events`` table: watermarked
+tumbling / sliding / session windows and stream dedup (SURVEY.md §2.9
+"Streaming" — absent from the reference, required by the contract).
+
+Every transformation here works on BOTH a batch DataFrame and a
+readStream DataFrame (Structured Streaming's unified model); tests
+replay the events parquet through a file/availableNow stream and assert
+watermark late-data semantics deterministically.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_window_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Count + sum(value) per (event_type, tumbling window). With a
+    watermark, state for windows older than max(ts) − watermark is
+    dropped — bounded state at any scale."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(ts_col, window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window event counts; each event lands in window/slide
+    overlapping windows."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(ts_col, window, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user session windows with a ``gap`` inactivity timeout —
+    Spark's native session_window (dynamic, state merged as events
+    arrive). Batch equivalent with identical semantics:
+    operators/relational.py::sessionize (gaps-and-islands)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window(ts_col, gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("win.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, keys: list[str], watermark: str = "1 hour", ts_col: str = "ts") -> DataFrame:
+    """Drop duplicate events by key within the watermark horizon —
+    bounded-state streaming dedup (dropDuplicates keeps state per key
+    only until the watermark passes)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return src.dropDuplicates(keys)
+
+
+def replay_to_batch(
+    spark: SparkSession,
+    parquet_path: str,
+    transform,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Run a streaming transformation over a parquet file replayed as a
+    stream (availableNow trigger → memory sink) and return the final
+    result as a batch DataFrame.
+
+    This exercises the REAL streaming engine (state store, watermarks,
+    micro-batches) deterministically — the driver-facing proof that the
+    streaming path works, hash-comparable to a batch oracle when the
+    watermark is loose enough to admit every row.
+    """
+    import os
+
+    from cs744_big_data_system_spark.sources.readers import normalize_event_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(parquet_path).schema
+    # The file stream source wants a directory; point it at the parent
+    # with a glob filter so a single-file fixture replays cleanly.
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(parquet_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(parquet_path))
+        stream_path = os.path.dirname(parquet_path)
+    else:
+        stream_path = parquet_path
+    stream = normalize_event_ts(reader.parquet(stream_path))
+    out = transform(stream)
+    name = "replay_" + uuid.uuid4().hex[:12]
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,324 @@
+"""LLM-data-pipeline workloads: dedup family, similarity search, text
+analysis — the training-data operators the 100 TB pipeline needs
+(BASELINE.json north star; SURVEY.md §2.9 last bullet).
+
+The dedup/similarity hashes are md5-derived (operators/dedup.md5_int60)
+specifically so the DuckDB oracle reproduces them bit-for-bit — the
+whole MinHash machinery is oracle-checked, not just smoke-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cs744_big_data_system_spark.operators.dedup import (
+    embedding_cosine_neardup,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from cs744_big_data_system_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+from cs744_big_data_system_spark.operators.text_analysis import (
+    fingerprints,
+    lang_id,
+    quality_features,
+    token_counts,
+)
+from cs744_big_data_system_spark.sources.readers import load_table
+
+#: DuckDB fragment: whitespace tokens of ``text`` (mirror of functions/text.tokens).
+_SQL_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+#: DuckDB fragment: word 3-gram shingles from a token list named ``tk``.
+_SQL_NGRAM3 = (
+    "CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),"
+    " i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) ELSE [] END"
+)
+#: DuckDB mirror of operators/dedup.md5_int60.
+def _sql_md5_int60(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# --- Exact dedup: hash-groupBy on canonical digest ---
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# --- Exact n-gram Jaccard similar pairs (blocked by lang) ---
+def q_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.05, block_col="lang"
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_SQL_TOKS} AS tk FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, lang, unnest({_SQL_NGRAM3}) AS shingle FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.05
+"""
+
+
+# --- MinHash signature (first 4 hash-family members), oracle-checked ---
+def q_minhash_sig(spark, sf_dir):
+    sig = minhash_signatures(load_table(spark, sf_dir, "documents"), n=3, num_hashes=4)
+    return sig.select(
+        "doc_id",
+        *[F.element_at("sig", i + 1).alias(f"h{i}") for i in range(4)],
+    )
+
+
+SQL_MINHASH_SIG = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest({_SQL_NGRAM3}) AS shingle FROM toks
+)
+SELECT doc_id,
+       min({_sql_md5_int60("'mh0:' || shingle")}) AS h0,
+       min({_sql_md5_int60("'mh1:' || shingle")}) AS h1,
+       min({_sql_md5_int60("'mh2:' || shingle")}) AS h2,
+       min({_sql_md5_int60("'mh3:' || shingle")}) AS h3
+FROM sh GROUP BY doc_id
+"""
+
+
+# --- MinHash-LSH candidate pairs (banded) — approximate, rows-only ---
+def q_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, num_hashes=32, bands=8, threshold=0.4
+    )
+
+
+# --- SimHash fingerprint (16-bit), oracle-checked bit-for-bit ---
+def q_simhash(spark, sf_dir):
+    return simhash(load_table(spark, sf_dir, "documents"), bits=16)
+
+
+SQL_SIMHASH = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS.replace('text', 'text')}) AS tok FROM documents
+), th AS (
+  SELECT doc_id, {_sql_md5_int60("tok")} AS h FROM tok
+), bits AS (
+  SELECT doc_id, unnest(range(0, 16)) AS bit, h FROM th
+), bitsum AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> CAST(bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM bits GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+FROM bitsum GROUP BY doc_id
+"""
+
+
+# --- Embedding cosine near-dup pairs (blocked by label) ---
+def q_embedding_neardup(spark, sf_dir):
+    return embedding_cosine_neardup(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, block_col="label"
+    )
+
+
+_SQL_COS = (
+    "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * a.embedding[i])))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * b.embedding[i]))))"
+)
+
+SQL_EMBEDDING_NEARDUP = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       round({_SQL_COS}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_SQL_COS}, 6) >= 0.4
+"""
+
+
+# --- Brute-force cosine top-k (exact ANN baseline) ---
+def q_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk_bruteforce(queries, emb, k=5)
+
+
+SQL_COSINE_TOPK = f"""
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round({_SQL_COS}, 6) AS cosine,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_SQL_COS}, 6) DESC, b.vec_id ASC) AS rnk
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 20
+) WHERE rnk <= 5
+"""
+
+
+# --- LSH-bucketed approximate top-k (scale path) — rows-only ---
+def q_cosine_topk_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk_lsh(queries, emb, dim=64, k=5, num_planes=8)
+
+
+# --- Language-ID heuristic ---
+def q_lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+
+
+_SQL_LANG_SCORE = {
+    "de": "len(list_filter(tk, t -> list_contains(['der','die','und','das','ein'], lower(t))))",
+    "en": "len(list_filter(tk, t -> list_contains(['the','and','of','to','a'], lower(t))))",
+    "es": "len(list_filter(tk, t -> list_contains(['el','la','de','que','los'], lower(t))))",
+    "fr": "len(list_filter(tk, t -> list_contains(['le','la','et','les','des'], lower(t))))",
+    "zh": "len(list_filter(tk, t -> list_contains(['的','是','了','在','我'], lower(t))))",
+}
+
+SQL_LANG_ID = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_SQL_LANG_SCORE['de']} AS s_de,
+         {_SQL_LANG_SCORE['en']} AS s_en,
+         {_SQL_LANG_SCORE['es']} AS s_es,
+         {_SQL_LANG_SCORE['fr']} AS s_fr,
+         {_SQL_LANG_SCORE['zh']} AS s_zh
+  FROM (SELECT doc_id, lang, {_SQL_TOKS} AS tk FROM documents)
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+            ELSE 'zh' END AS lang_pred
+FROM scored
+"""
+
+
+# --- Quality scoring ---
+def q_quality(spark, sf_dir):
+    return quality_features(load_table(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY = f"""
+WITH tk AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars_obs,
+       round(CASE WHEN len(toks) > 0
+             THEN list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks)
+             ELSE 0.0 END, 6) AS mean_token_len,
+       round(CASE WHEN length(text) > 0
+             THEN (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g'))) * 1.0 / length(text)
+             ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN len(toks) > 0
+             THEN len(list_filter(toks, t -> list_contains(['the','and','of','to','a'], lower(t)))) * 1.0 / len(toks)
+             ELSE 0.0 END, 6) AS stopword_ratio_en,
+       (len(toks) >= 5 AND len(toks) <= 100000 AND
+        (CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g'))) * 1.0 / length(text)
+              ELSE 0.0 END) < 0.3) AS quality_ok
+FROM tk
+"""
+
+
+# --- Token counting (whitespace + BPE-ish regex) ---
+def q_token_counts(spark, sf_dir):
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       CAST(len({_SQL_TOKS}) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT) AS bpe_ish_tokens
+FROM documents
+"""
+
+
+# --- Document fingerprinting (content md5 + winnowing-style rolling) ---
+def q_fingerprints(spark, sf_dir):
+    return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINTS = f"""
+WITH tk AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS tk FROM documents
+), grams AS (
+  SELECT doc_id, text,
+         CASE WHEN len(tk) >= 4 THEN list_transform(range(1, len(tk) - 2),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])
+         ELSE [] END AS g4
+  FROM tk
+)
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_fp,
+       CASE WHEN len(g4) > 0
+            THEN list_min(list_transform(g4, g -> {_sql_md5_int60('g')}))
+            END AS rolling_fp
+FROM grams
+"""
+
+
+# --- Element-wise mean embedding per label (gradient-mean analogue, A3/D4) ---
+def q_label_mean_embedding(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+    )
+    return (
+        ex.groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("mean_x"))
+        .select("label", (F.col("pos") + 1).cast("long").alias("pos"), "mean_x")
+    )
+
+
+SQL_LABEL_MEAN_EMBEDDING = """
+SELECT label, CAST(pos AS BIGINT) AS pos,
+       round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS mean_x
+FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(pos)
+GROUP BY label, pos
+"""
+
+
+WORKLOADS = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "dedup_minhash_sig": (q_minhash_sig, SQL_MINHASH_SIG),
+    "dedup_minhash_lsh": (q_minhash_lsh, None),  # approximate by design
+    "dedup_simhash": (q_simhash, SQL_SIMHASH),
+    "dedup_embedding_cosine": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "sim_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "sim_cosine_topk_lsh": (q_cosine_topk_lsh, None),  # approximate by design
+    "text_lang_id": (q_lang_id, SQL_LANG_ID),
+    "text_quality": (q_quality, SQL_QUALITY),
+    "text_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "text_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
+    "label_mean_embedding": (q_label_mean_embedding, SQL_LABEL_MEAN_EMBEDDING),
+}

@@ -1,0 +1,108 @@
+"""Local simulation of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and, where an ``oracle_sql()``
+entry exists, the oracle on DuckDB over the same parquet tables; then
+compares row count, column-name set, and an order-insensitive value
+comparison (columns sorted by name, rows sorted by stringified values).
+
+Usage: python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from cs744_big_data_system_spark.session import get_spark
+from cs744_big_data_system_spark.sources.readers import TABLES
+
+
+def canon(df_pandas):
+    """Canonical form: columns sorted by name, every value stringified
+    (floats repr'd), rows sorted — order-insensitive like the driver."""
+    import math
+
+    cols = sorted(df_pandas.columns)
+    rows = []
+    for tup in df_pandas[cols].itertuples(index=False, name=None):
+        vals = []
+        for v in tup:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                vals.append("∅")
+            elif isinstance(v, float):
+                vals.append(repr(round(v, 9)))
+            elif isinstance(v, bool):
+                vals.append(str(bool(v)))
+            else:
+                vals.append(str(v))
+        rows.append("\x1f".join(vals))
+    rows.sort()
+    return cols, rows
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("selfcheck")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    results = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            results[name] = ("SPARK-ERROR", traceback.format_exc(limit=6))
+            print(f"[FAIL-spark] {name}\n{results[name][1]}")
+            continue
+        el = time.time() - t0
+        if name not in oracles:
+            results[name] = ("ROWS-ONLY", f"{len(sdf)} rows, {el:.1f}s")
+            print(f"[rows-only] {name}: {len(sdf)} rows ({el:.1f}s)")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception:
+            results[name] = ("ORACLE-ERROR", traceback.format_exc(limit=4))
+            print(f"[FAIL-oracle] {name}\n{results[name][1]}")
+            continue
+        scols, srows = canon(sdf)
+        ocols, orows = canon(odf)
+        if scols != ocols:
+            results[name] = ("SCHEMA-MISMATCH", f"spark={scols} oracle={ocols}")
+        elif len(srows) != len(orows):
+            results[name] = ("COUNT-MISMATCH", f"spark={len(srows)} oracle={len(orows)}")
+        elif srows != orows:
+            diffs = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
+            results[name] = ("VALUE-MISMATCH", f"{sum(a != b for a, b in zip(srows, orows))} rows differ; first: {diffs}")
+        else:
+            results[name] = ("OK", f"{len(srows)} rows, {el:.1f}s")
+        tag = results[name][0]
+        print(f"[{tag}] {name}: {results[name][1][:300]}")
+
+    n_ok = sum(1 for s, _ in results.values() if s == "OK")
+    n_ro = sum(1 for s, _ in results.values() if s == "ROWS-ONLY")
+    n_bad = len(results) - n_ok - n_ro
+    print(f"\n=== {n_ok} OK, {n_ro} rows-only, {n_bad} FAILING of {len(results)} ===")
+    spark.stop()
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()

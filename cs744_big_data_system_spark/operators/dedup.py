@@ -65,12 +65,19 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     return documents.join(F.broadcast(keep), "doc_id", "left_semi")
 
 
+def _canon_ngrams(n: int):
+    """Word n-grams over the CANONICAL text (lowercased, whitespace
+    collapsed) — near-dup detection must be insensitive to trivial
+    byte differences, matching exact_dedup's canonicalization."""
+    return word_ngrams(normalized_text("text"), n)
+
+
 def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) with set semantics — distinct word n-grams per
-    doc. explode is native; distinct is one shuffle keyed by
-    (doc_id, shingle), which is high-cardinality and skew-free."""
+    """(doc_id, shingle) with set semantics — distinct canonical word
+    n-grams per doc. explode is native; distinct is one shuffle keyed
+    by (doc_id, shingle), which is high-cardinality and skew-free."""
     return (
-        documents.select("doc_id", F.explode(word_ngrams("text", n)).alias("shingle"))
+        documents.select("doc_id", F.explode(_canon_ngrams(n)).alias("shingle"))
         .distinct()
     )
 
@@ -94,7 +101,7 @@ def ngram_jaccard_pairs(
     """
     doc_cols = ["doc_id"] + ([block_col] if block_col else [])
     sh = (
-        documents.select(*doc_cols, F.explode(word_ngrams("text", n)).alias("shingle"))
+        documents.select(*doc_cols, F.explode(_canon_ngrams(n)).alias("shingle"))
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -231,7 +238,7 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     single groupBy(doc_id, bit) sum, then a pivot-free reassembly via
     conditional sum — two narrow shuffles, both keyed by doc_id.
     """
-    tok = documents.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tok = documents.select("doc_id", F.explode(tokens(normalized_text("text"))).alias("tok"))
     tok = tok.withColumn("th", md5_int60(F.col("tok")))
     bit = tok.select(
         "doc_id",

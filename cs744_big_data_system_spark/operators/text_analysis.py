@@ -91,7 +91,7 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     Both reproducible in SQL, so oracle-checkable."""
     from cs744_big_data_system_spark.functions.text import word_ngrams
 
-    win_hashes = F.transform(word_ngrams("text", 4), md5_int60)
+    win_hashes = F.transform(word_ngrams(normalized_text("text"), 4), md5_int60)
     rolling = F.when(F.size(win_hashes) > 0, F.array_min(win_hashes))
     return documents.select(
         "doc_id",

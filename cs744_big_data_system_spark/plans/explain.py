@@ -41,8 +41,16 @@ def read_schema_columns(df: DataFrame) -> list[str]:
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
-    """Number of WholeStageCodegen spans in the physical plan."""
+    """Number of distinct WholeStageCodegen spans in the physical plan.
+
+    Spark's formatted explain annotates codegen'd operators with
+    ``[codegen id : N]`` (simple mode uses ``*(N)``); count distinct ids.
+    """
     plan = formatted_plan(df)
-    ids = {line.split("(")[-1].split(")")[0]
-           for line in plan.splitlines() if "WholeStageCodegen" in line}
+    ids = set()
+    for line in plan.splitlines():
+        if "codegen id :" in line:
+            ids.add(line.split("codegen id :")[1].split("]")[0].strip())
+        elif "WholeStageCodegen" in line:
+            ids.add(line.split("(")[-1].split(")")[0])
     return len(ids)

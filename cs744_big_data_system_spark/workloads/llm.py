@@ -33,6 +33,12 @@ from cs744_big_data_system_spark.sources.readers import load_table
 
 #: DuckDB fragment: whitespace tokens of ``text`` (mirror of functions/text.tokens).
 _SQL_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+#: DuckDB fragment: tokens of the CANONICAL text (dedup family —
+#: mirror of operators/dedup._canon_ngrams input).
+_SQL_CANON_TOKS = (
+    "list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),"
+    " t -> t <> '')"
+)
 #: DuckDB fragment: word 3-gram shingles from a token list named ``tk``.
 _SQL_NGRAM3 = (
     "CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),"
@@ -65,7 +71,7 @@ def q_ngram_jaccard(spark, sf_dir):
 
 SQL_NGRAM_JACCARD = f"""
 WITH toks AS (
-  SELECT doc_id, lang, {_SQL_TOKS} AS tk FROM documents
+  SELECT doc_id, lang, {_SQL_CANON_TOKS} AS tk FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, lang, unnest({_SQL_NGRAM3}) AS shingle FROM toks
 ), sizes AS (
@@ -95,7 +101,7 @@ def q_minhash_sig(spark, sf_dir):
 
 SQL_MINHASH_SIG = f"""
 WITH toks AS (
-  SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+  SELECT doc_id, {_SQL_CANON_TOKS} AS tk FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, unnest({_SQL_NGRAM3}) AS shingle FROM toks
 )
@@ -122,7 +128,7 @@ def q_simhash(spark, sf_dir):
 
 SQL_SIMHASH = f"""
 WITH tok AS (
-  SELECT doc_id, unnest({_SQL_TOKS.replace('text', 'text')}) AS tok FROM documents
+  SELECT doc_id, unnest({_SQL_CANON_TOKS}) AS tok FROM documents
 ), th AS (
   SELECT doc_id, {_sql_md5_int60("tok")} AS h FROM tok
 ), bits AS (
@@ -269,7 +275,7 @@ def q_fingerprints(spark, sf_dir):
 
 SQL_FINGERPRINTS = f"""
 WITH tk AS (
-  SELECT doc_id, text, {_SQL_TOKS} AS tk FROM documents
+  SELECT doc_id, text, {_SQL_CANON_TOKS} AS tk FROM documents
 ), grams AS (
   SELECT doc_id, text,
          CASE WHEN len(tk) >= 4 THEN list_transform(range(1, len(tk) - 2),

@@ -1,0 +1,100 @@
+"""Dedup family on planted duplicates (SURVEY.md §5.2: approximate ops
+are tested via planted near-duplicates with known similarity)."""
+
+from __future__ import annotations
+
+import pytest
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "on the warm mat near the old oak door in the quiet house"
+)
+NEAR = BASE.replace("quiet house", "noisy barn")  # small suffix edit
+UNRELATED = "completely different words about spark engines and columnar parquet scans at massive scale"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE, "en", "s0", len(BASE)),
+        (1, BASE.upper(), "en", "s1", len(BASE)),          # exact dup modulo case
+        (2, "  " + BASE.replace(" ", "  ") + " ", "en", "s2", len(BASE)),  # whitespace variant
+        (3, NEAR, "en", "s3", len(NEAR)),                  # near dup
+        (4, UNRELATED, "en", "s4", len(UNRELATED)),
+        (5, "", "en", "s5", 0),                            # empty text
+        (6, "short", "en", "s6", 5),                       # < shingle size
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def test_exact_dedup_canonicalization(spark, docs):
+    from cs744_big_data_system_spark.operators.dedup import exact_dedup, exact_dedup_groups
+
+    groups = {r.keep_doc_id: r.n_copies for r in exact_dedup_groups(docs).collect()}
+    assert groups[0] == 3  # 0, 1 (case), 2 (whitespace) collapse
+    kept = sorted(r.doc_id for r in exact_dedup(docs).collect())
+    assert kept == [0, 3, 4, 5, 6]
+
+
+def test_ngram_jaccard_finds_planted_pair(spark, docs):
+    from cs744_big_data_system_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.3, block_col=None).collect()
+    }
+    assert (0, 3) in pairs  # BASE vs NEAR share most shingles
+    assert pairs[(0, 3)] > 0.7
+    assert (0, 4) not in pairs  # unrelated
+
+
+def test_minhash_lsh_finds_planted_pair(spark, docs):
+    from cs744_big_data_system_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in
+             minhash_lsh_pairs(docs, n=3, num_hashes=32, bands=8, threshold=0.4).collect()}
+    # exact dups agree on every minhash
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 2)] == 1.0
+    assert (0, 3) in pairs and pairs[(0, 3)] > 0.5
+    assert (0, 4) not in pairs
+
+
+def test_simhash_near_dup_hamming(spark, docs):
+    from cs744_big_data_system_spark.operators.dedup import simhash
+
+    h = {r.doc_id: r.simhash for r in simhash(docs, bits=16).collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(h[0], h[3]) <= 4       # near-dup: few bits differ
+    assert ham(h[0], h[4]) >= ham(h[0], h[3])  # unrelated at least as far
+    assert h[0] == h[1] == h[2]       # canonical-token-identical docs
+
+
+def test_embedding_cosine_neardup(spark):
+    from cs744_big_data_system_spark.operators.dedup import embedding_cosine_neardup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0, 0.0], 0),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0], 0),    # orthogonal
+        (3, [1.0, 0.0, 0.0, 0.0], 1),    # same as 0 but other block
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    pairs = {(r.vec_a, r.vec_b) for r in
+             embedding_cosine_neardup(df, threshold=0.95, block_col="label").collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
+    assert (0, 3) not in pairs  # blocked away
+
+
+def test_empty_and_short_docs_survive(spark, docs):
+    from cs744_big_data_system_spark.operators.dedup import minhash_signatures, simhash
+
+    # docs 5 (empty) and 6 (< n tokens) have no shingles → no signature
+    # row, but must not crash anything.
+    sigs = {r.doc_id for r in minhash_signatures(docs, n=3, num_hashes=4).collect()}
+    assert 5 not in sigs and 6 not in sigs and 0 in sigs
+    sh = {r.doc_id for r in simhash(docs, bits=8).collect()}
+    assert 5 not in sh and 6 in sh  # simhash is token-level: 'short' has one token

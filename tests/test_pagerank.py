@@ -1,0 +1,94 @@
+"""PageRank parity with the reference semantics
+(assignment1/part3/task1/task1.py) on golden graphs.
+
+The expected values come from an independent pure-Python re-execution
+of the reference's algorithm (groupByKey → join → flatMap contribs →
+reduceByKey → 0.15 + 0.85·sum), including its semantic quirks:
+inner-join drops destination-only nodes from contribution, dangling
+mass is discarded, duplicate edges contribute multiply.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def reference_pagerank(edges: list[tuple[str, str]], iters: int = 10, damping: float = 0.85):
+    """Plain-Python mirror of task1.py:26-52 (multiset adjacency)."""
+    adj: dict[str, list[str]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    ranks = {n: 1.0 for n in adj}
+    for _ in range(iters):
+        contribs: dict[str, float] = {}
+        for node, neighbors in adj.items():
+            if node not in ranks:
+                continue  # inner join: no rank row yet → contributes nothing
+            if len(neighbors) == 0:
+                continue
+            share = ranks[node] / len(neighbors)
+            for nb in neighbors:
+                contribs[nb] = contribs.get(nb, 0.0) + share
+        ranks = {n: (1 - damping) + damping * c for n, c in contribs.items()}
+    return ranks
+
+
+GOLDEN_EDGES = [
+    ("a", "b"),
+    ("a", "c"),
+    ("b", "c"),
+    ("c", "a"),
+    ("c", "d"),  # d is destination-only (no out-edges) → dangling sink
+    ("e", "a"),  # e has out-edges but never receives → rank row vanishes
+    ("a", "b"),  # duplicate edge: contributes twice (multiset semantics)
+]
+
+
+def run_engine(spark, edges, **kw):
+    from cs744_big_data_system_spark.graph.pagerank import pagerank
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+
+def test_golden_graph_parity(spark):
+    expected = reference_pagerank(GOLDEN_EDGES, iters=10)
+    got = run_engine(spark, GOLDEN_EDGES, iterations=10)
+    assert set(got) == set(expected)
+    for node, r in expected.items():
+        assert got[node] == pytest.approx(r, rel=1e-9), node
+
+
+def test_destination_only_node_receives_rank(spark):
+    got = run_engine(spark, GOLDEN_EDGES, iterations=3)
+    # d has no out-edges: it must appear (it receives contributions)
+    # but never contributes — its mass is discarded (task1.py:44-47).
+    assert "d" in got
+    # e contributes in iter 1 but receives nothing → drops out of ranks.
+    assert "e" not in got
+
+
+def test_duplicate_edges_multiset(spark):
+    # a→b twice out of 3 out-edges: b gets 2/3 of a's rank in iter 1.
+    expected = reference_pagerank(GOLDEN_EDGES, iters=1)
+    got = run_engine(spark, GOLDEN_EDGES, iterations=1)
+    assert got["b"] == pytest.approx(expected["b"], rel=1e-9)
+
+
+def test_partition_knob_and_no_cache_same_result(spark):
+    base = run_engine(spark, GOLDEN_EDGES, iterations=5)
+    swept = run_engine(spark, GOLDEN_EDGES, iterations=5, num_partitions=7, cache_links=False)
+    assert base == pytest.approx(swept)
+
+
+def test_edge_list_parsing(spark, tmp_path):
+    """Reference parse semantics (task1.py:26-31): comments skipped,
+    tab split, ids stay strings."""
+    from cs744_big_data_system_spark.sources.readers import read_edge_list
+
+    p = tmp_path / "edges.txt"
+    p.write_text("# comment line\n001\t002\n002\t001\n\n# trailing\n001\t003\n")
+    df = read_edge_list(spark, str(p))
+    rows = sorted((r.src, r.dst) for r in df.collect())
+    assert rows == [("001", "002"), ("001", "003"), ("002", "001")]
+    assert dict(df.dtypes) == {"src": "string", "dst": "string"}

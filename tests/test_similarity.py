@@ -1,0 +1,104 @@
+"""Similarity search: brute-force exactness vs numpy, LSH recall."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    rng = random.Random(42)
+    # 3 well-separated clusters in 8-d so LSH bucketing is meaningful.
+    centers = [[5.0] * 8, [-5.0] * 8, [5.0, -5.0] * 4]
+    rows = []
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append((i, [x + rng.gauss(0, 0.5) for x in c], i % 3))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark, vectors):
+    return spark.createDataFrame(vectors, ["vec_id", "embedding", "label"])
+
+
+def brute_force_topk(vectors, k=3):
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    out = {}
+    for qid, q, _ in vectors[:10]:
+        scored = sorted(
+            ((round(cos(q, v), 6), vid) for vid, v, _ in vectors if vid != qid),
+            key=lambda t: (-t[0], t[1]),
+        )
+        out[qid] = [vid for _, vid in scored[:k]]
+    return out
+
+
+def test_bruteforce_matches_numpy_reference(spark, emb_df, vectors):
+    from pyspark.sql import functions as F
+
+    from cs744_big_data_system_spark.operators.similarity import cosine_topk_bruteforce
+
+    got_df = cosine_topk_bruteforce(emb_df.filter(F.col("vec_id") < 10), emb_df, k=3)
+    got: dict[int, list[int]] = {}
+    for r in got_df.orderBy("query_id", "rnk").collect():
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert got == brute_force_topk(vectors, k=3)
+
+
+def test_lsh_recall_on_clusters(spark, emb_df, vectors):
+    from pyspark.sql import functions as F
+
+    from cs744_big_data_system_spark.operators.similarity import cosine_topk_lsh
+
+    exact = brute_force_topk(vectors, k=3)
+    got_df = cosine_topk_lsh(emb_df.filter(F.col("vec_id") < 10), emb_df, dim=8, k=3, num_planes=4)
+    got: dict[int, list[int]] = {}
+    for r in got_df.orderBy("query_id", "rnk").collect():
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    hits = sum(len(set(got.get(q, [])) & set(exact[q])) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.8  # clustered data: same-cluster buckets collide
+
+
+def test_lsh_bucket_deterministic(spark, emb_df):
+    from cs744_big_data_system_spark.operators.similarity import lsh_bucket
+
+    a = [r.b for r in emb_df.select(lsh_bucket("embedding", 8, 6).alias("b")).collect()]
+    b = [r.b for r in emb_df.select(lsh_bucket("embedding", 8, 6).alias("b")).collect()]
+    assert a == b
+    assert all(0 <= x < 64 for x in a)
+
+
+def test_vector_functions(spark):
+    from pyspark.sql import functions as F
+
+    from cs744_big_data_system_spark.functions.vectors import (
+        cosine_similarity,
+        dot,
+        l2_norm,
+        vec_argmax,
+    )
+
+    df = spark.createDataFrame([([3.0, 4.0], [1.0, 0.0])], ["a", "b"])
+    row = df.select(
+        dot("a", "b").alias("d"),
+        l2_norm("a").alias("n"),
+        cosine_similarity("a", "b").alias("c"),
+        vec_argmax("a").alias("am"),
+    ).collect()[0]
+    assert row.d == pytest.approx(3.0)
+    assert row.n == pytest.approx(5.0)
+    assert row.c == pytest.approx(0.6)
+    assert row.am == 2
+    # zero vector → NULL cosine, not a crash
+    z = spark.createDataFrame([([0.0, 0.0], [1.0, 0.0])], ["a", "b"])
+    assert z.select(cosine_similarity("a", "b").alias("c")).collect()[0].c is None

@@ -1,0 +1,119 @@
+"""Sources/sinks round-trips (S1-S6), ml supersteps (D1-D5 analogue),
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_csv_roundtrip_with_header_and_inference(spark, tmp_path):
+    """S1/S5 parity (assignment1/part2/task.py:22,26): header + inferred
+    schema survive a write/read cycle; global sort order preserved."""
+    from cs744_big_data_system_spark.sources.readers import read_csv
+    from cs744_big_data_system_spark.sources.writers import write_csv
+
+    rows = [("US", "2024-01-02 00:00:00", 2), ("DE", "2024-01-01 00:00:00", 1),
+            ("US", "2024-01-01 00:00:00", 3)]
+    df = spark.createDataFrame(rows, ["cca2", "timestamp", "v"]).withColumn(
+        "timestamp", F.col("timestamp").cast("timestamp")
+    )
+    out = str(tmp_path / "export_sorted")
+    write_csv(df.orderBy(F.col("cca2").asc(), F.col("timestamp").asc()), out)
+    back = read_csv(spark, out)
+    assert dict(back.dtypes)["timestamp"] == "timestamp"
+    got = [(r.cca2, r.v) for r in back.orderBy("cca2", "timestamp").collect()]
+    assert got == [("DE", 1), ("US", 3), ("US", 2)]
+
+
+def test_text_sink_tabs(spark, tmp_path):
+    from cs744_big_data_system_spark.sources.readers import read_text
+    from cs744_big_data_system_spark.sources.writers import write_text
+
+    df = spark.createDataFrame([("n1", 0.5), ("n2", 1.5)], ["node", "rank"])
+    out = str(tmp_path / "ranks_txt")
+    write_text(df, out)
+    lines = sorted(r.value for r in read_text(spark, out).collect())
+    assert lines == ["n1\t0.5", "n2\t1.5"]
+
+
+def test_events_ts_is_microsecond_timestamp(spark):
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.filter(F.col("ts").isNull()).count() == 0
+
+
+def test_shard_disjoint_and_deterministic(spark):
+    from cs744_big_data_system_spark.ml.superstep import shard
+
+    df = spark.range(1000)
+    a = shard(df, 4, seed=14).groupBy("shard_id").count().collect()
+    b = shard(df, 4, seed=14).groupBy("shard_id").count().collect()
+    assert sorted((r.shard_id, r["count"]) for r in a) == sorted((r.shard_id, r["count"]) for r in b)
+    assert sum(r["count"] for r in a) == 1000
+    assert {r.shard_id for r in a} == {0, 1, 2, 3}
+
+
+def test_superstep_tree_aggregate_equals_local(spark):
+    """Distributed partial+merge == single-node reduce (the part1 vs
+    part2b equivalence, in miniature)."""
+    from cs744_big_data_system_spark.ml.superstep import synchronized_superstep
+
+    df = spark.range(256).select((F.col("id") % 10).alias("g"), F.col("id").cast("double").alias("x"))
+
+    def local_sum(it):
+        s, n = 0.0, 0
+        for row in it:
+            s += row.x
+            n += 1
+        return (s, n)
+
+    def merge(a, b):
+        return (a[0] + b[0], a[1] + b[1])
+
+    s, n = synchronized_superstep(df, local_sum, merge, (0.0, 0))
+    assert n == 256
+    assert s == pytest.approx(sum(range(256)))
+
+
+def test_distributed_vector_mean(spark):
+    from cs744_big_data_system_spark.ml.superstep import distributed_vector_mean
+
+    rows = [(0, [1.0, 2.0]), (0, [3.0, 4.0]), (1, [10.0, 20.0])]
+    df = spark.createDataFrame(rows, ["label", "embedding"])
+    got = {r.label: r.mean_vec for r in distributed_vector_mean(df, group_col="label").collect()}
+    assert got[0] == pytest.approx([2.0, 3.0])
+    assert got[1] == pytest.approx([10.0, 20.0])
+
+
+def test_multimodal_features_and_frame_sampling(spark):
+    from cs744_big_data_system_spark.operators.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synthetic_assets,
+    )
+
+    assets = synthetic_assets(spark, 30)
+    feats = extract_features(assets).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r.feature) == 8 and r.n_bytes == 16  # md5 = 16 bytes
+        assert all(0.0 <= x <= 1.0 for x in r.feature)
+    frames = frame_sample_plan(assets, every_ms=500)
+    # deterministic count: each video of duration d samples ceil(d/500) stamps
+    vids = {r.asset_id: r.duration_ms for r in assets.filter("modality='video'").collect()}
+    per = frames.groupBy("asset_id").count().collect()
+    for r in per:
+        d = vids[r.asset_id]
+        assert r["count"] == max((d - 1) // 500 + 1, 1)
+
+
+def test_decode_stub_rejects_unknown_modality():
+    from cs744_big_data_system_spark.operators.multimodal import _decode_stub
+
+    with pytest.raises(NotImplementedError):
+        _decode_stub(b"xx", "hologram")

@@ -1,0 +1,145 @@
+"""Structured Streaming semantics: replay equivalence to batch and
+watermark late-data discard (SURVEY.md §2.9 streaming bullets),
+exercised through the real engine (file source → state store →
+memory sink), not a batch simulation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from tests.conftest import SF_SMALL
+
+SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("event_type", StringType(), True),
+    ]
+)
+
+
+def _write(spark, path, rows):
+    """Write ONE parquet file (not a Spark output directory) — the file
+    stream source lists plain files and does not recurse into the
+    dirs that ``df.write.parquet`` creates."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(zip(*rows))
+    tbl = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(cols[1], pa.timestamp("us")),
+            "event_type": pa.array(cols[2], pa.string()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def test_replay_tumbling_equals_batch(spark):
+    """availableNow replay of the events fixture == batch computation."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.streaming.windows import (
+        replay_to_batch,
+        tumbling_window_counts,
+    )
+
+    streamed = replay_to_batch(
+        spark,
+        f"{SF_SMALL}/events.parquet",
+        lambda s: tumbling_window_counts(s, "10 minutes", watermark="365 days"),
+        output_mode="complete",
+    )
+    batch = tumbling_window_counts(load_table(spark, SF_SMALL, "events"), "10 minutes")
+    skey = sorted(map(tuple, streamed.collect()))
+    bkey = sorted(map(tuple, batch.collect()))
+    assert skey == bkey
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Real late-data discard: run 1 advances the watermark past a
+    window; the late row arriving in run 2 (same checkpoint — the
+    watermark persists in the state store) must NOT change it."""
+    import tempfile
+    import uuid
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "wm_ckpt")
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+
+    def run():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .parquet(str(d))
+            .withWatermark("ts", "5 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").cast("string").alias("ws"), "n")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: two rows in [10:00,10:10) + one at 10:21 → watermark 10:16.
+    _write(spark, str(d / "f1.parquet"), [(1, t(0), "a"), (2, t(5), "a"), (3, t(21), "a")])
+    run()
+    # run 2 (same checkpoint — watermark persisted): row 4 (10:02) is
+    # LATE, behind the 10:16 watermark, and must be dropped before the
+    # closed [10:00,10:10) window is finalized and emitted.
+    _write(spark, str(d / "f2.parquet"), [(4, t(2), "a"), (5, t(40), "a")])
+    run()
+    got = {r.ws: r.n for r in spark.read.parquet(out).collect()}
+    # the closed [10:00,10:10) window keeps count 2 — row 4 was dropped.
+    assert got.get("2024-01-01 10:00:00") == 2
+
+
+def test_stream_dedup_bounded_state(spark):
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.streaming.windows import replay_to_batch, stream_dedup
+
+    out = replay_to_batch(
+        spark,
+        f"{SF_SMALL}/events.parquet",
+        lambda s: stream_dedup(s, ["user_id", "event_type"], watermark="365 days"),
+        output_mode="append",
+    )
+    batch = load_table(spark, SF_SMALL, "events").dropDuplicates(["user_id", "event_type"])
+    assert out.count() == batch.count()
+
+
+def test_session_window_batch_matches_gaps_and_islands(spark):
+    """Spark's native session_window (batch mode) must produce the same
+    session boundaries as the gaps-and-islands sessionize operator."""
+    from cs744_big_data_system_spark.operators.relational import sessionize
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.streaming.windows import session_window_counts
+
+    ev = load_table(spark, SF_SMALL, "events")
+    native = session_window_counts(ev, gap="30 minutes")
+    gi = (
+        sessionize(ev, gap_minutes=30)
+        .groupBy("user_id", "session_id")
+        .agg(F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+    n_key = sorted((r.user_id, r.session_start, r.n_events) for r in native.collect())
+    g_key = sorted((r.user_id, r.session_start, r.n_events) for r in gi.collect())
+    assert n_key == g_key

@@ -1,0 +1,88 @@
+"""Text functions + analysis operators: edge cases (empty text,
+punctuation, unicode stopwords) and semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def one(spark, text, expr):
+    df = spark.createDataFrame([(text,)], ["text"])
+    return df.select(expr.alias("v")).collect()[0].v
+
+
+def test_tokens_and_ngrams(spark):
+    from cs744_big_data_system_spark.functions.text import token_count, tokens, word_ngrams
+
+    assert one(spark, "a b  c", tokens("text")) == ["a", "b", "c"]
+    assert one(spark, "", tokens("text")) == []
+    assert one(spark, "   ", tokens("text")) == []
+    assert one(spark, "a b  c", token_count("text")) == 3
+    assert one(spark, "a b c d", word_ngrams("text", 3)) == ["a b c", "b c d"]
+    assert one(spark, "a b", word_ngrams("text", 3)) == []
+
+
+def test_normalized_text_and_ratios(spark):
+    from cs744_big_data_system_spark.functions.text import (
+        normalized_text,
+        punct_ratio,
+        stopword_ratio,
+    )
+
+    assert one(spark, "  The   QUICK  fox ", normalized_text("text")) == "the quick fox"
+    assert one(spark, "ab!?", punct_ratio("text")) == pytest.approx(0.5)
+    assert one(spark, "", punct_ratio("text")) == 0.0
+    assert one(spark, "the cat and dog", stopword_ratio("text", "en")) == pytest.approx(0.5)
+
+
+def test_lang_id_heuristic(spark):
+    from cs744_big_data_system_spark.operators.text_analysis import lang_id
+
+    assert one(spark, "the cat and the dog", lang_id("text")) == "en"
+    assert one(spark, "der hund und die katze", lang_id("text")) == "de"
+    assert one(spark, "le chat et les chiens", lang_id("text")) == "fr"
+    assert one(spark, "xyz qrs tuv", lang_id("text")) == "und"
+    # tie (la is es+fr): deterministic resolution order de<en<es<fr<zh
+    assert one(spark, "la", lang_id("text")) == "es"
+
+
+def test_quality_features(spark):
+    from cs744_big_data_system_spark.operators.text_analysis import quality_features
+
+    rows = [
+        (0, "the quick brown fox jumps", "en", "s", 25),
+        (1, "!!! ??? ... ###", "en", "s", 15),  # pure punctuation
+        (2, "", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    got = {r.doc_id: r for r in quality_features(df).collect()}
+    assert got[0].quality_ok is True and got[0].n_tokens == 5
+    assert got[1].quality_ok is False and got[1].punct_ratio > 0.5
+    assert got[2].n_tokens == 0 and got[2].mean_token_len == 0.0
+
+
+def test_fingerprints_stability(spark):
+    from cs744_big_data_system_spark.operators.text_analysis import fingerprints
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "s", 1),
+        (1, "ALPHA  beta gamma delta epsilon zeta", "en", "s", 1),  # canonical-equal
+        (2, "tiny", "en", "s", 1),  # < 4 tokens → no rolling fp
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    got = {r.doc_id: r for r in fingerprints(df).collect()}
+    assert got[0].content_fp == got[1].content_fp
+    assert got[0].rolling_fp == got[1].rolling_fp
+    assert got[2].rolling_fp is None
+
+
+def test_token_counts_bpe_ish(spark):
+    from cs744_big_data_system_spark.operators.text_analysis import token_counts
+
+    df = spark.createDataFrame([(0, "don't stop, believing!", "en", "s", 1)],
+                               ["doc_id", "text", "lang", "source", "n_chars"])
+    r = token_counts(df).collect()[0]
+    assert r.ws_tokens == 3
+    # don | ' | t | stop | , | believing | ! → 7
+    assert r.bpe_ish_tokens == 7

@@ -60,12 +60,26 @@ def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
     return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
 
 
-def word_ngrams(col: Column | str, n: int = 3, sep: str = " ") -> Column:
-    """Word-level n-gram shingles → array<string>; empty array when the
-    document has fewer than ``n`` tokens. Pure array ops (sequence +
-    slice + concat_ws), no UDF."""
-    toks = tokens(col)
+def ngrams_from_tokens(tok_col: Column | str, n: int = 3, sep: str = " ") -> Column:
+    """Word n-grams from an ALREADY-MATERIALIZED token-array column →
+    array<string>; empty array when fewer than ``n`` tokens.
+
+    The token array must be a plain column (materialized by a prior
+    select), NOT an inline split expression: Catalyst inlines expression
+    references, so an inline tokenizer would re-run the regex split for
+    every n-gram element — measured 10× slower at sf0.1. Pure array ops
+    (sequence + slice + concat_ws), no UDF."""
+    toks = _c(tok_col)
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     return F.when(F.size(toks) >= n,
                   F.transform(starts, lambda i: F.concat_ws(sep, F.slice(toks, i, n)))
                   ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(col: Column | str, n: int = 3, sep: str = " ") -> Column:
+    """Word-level n-gram shingles of a TEXT column → array<string>.
+
+    Convenience form for one-shot use on small inputs; hot paths should
+    materialize ``tokens(...)`` in a select and call
+    :func:`ngrams_from_tokens` (see its docstring for why)."""
+    return ngrams_from_tokens(tokens(col), n, sep)

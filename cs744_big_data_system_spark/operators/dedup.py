@@ -28,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cs744_big_data_system_spark.functions.text import normalized_text, tokens, word_ngrams
+from cs744_big_data_system_spark.functions.text import (
+    ngrams_from_tokens,
+    normalized_text,
+    tokens,
+)
 
 # 60-bit space: 15 hex digits always fits a signed int64 (no overflow on
 # either engine); md5 (not xxhash64) because the oracle must reproduce it.
@@ -65,11 +69,14 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     return documents.join(F.broadcast(keep), "doc_id", "left_semi")
 
 
-def _canon_ngrams(n: int):
-    """Word n-grams over the CANONICAL text (lowercased, whitespace
-    collapsed) — near-dup detection must be insensitive to trivial
-    byte differences, matching exact_dedup's canonicalization."""
-    return word_ngrams(normalized_text("text"), n)
+def _with_canon_tokens(documents: DataFrame, *keep_cols: str) -> DataFrame:
+    """Materialize the canonical token array (lowercased, whitespace
+    collapsed — matching exact_dedup's canonicalization) as a real
+    column. Near-dup detection must be insensitive to trivial byte
+    differences; materializing (vs inlining the split expression) is
+    what keeps the downstream n-gram transform from re-running the
+    regex per element — measured 10× at sf0.1."""
+    return documents.select(*keep_cols, tokens(normalized_text("text")).alias("_tk"))
 
 
 def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
@@ -77,7 +84,8 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     n-grams per doc. explode is native; distinct is one shuffle keyed
     by (doc_id, shingle), which is high-cardinality and skew-free."""
     return (
-        documents.select("doc_id", F.explode(_canon_ngrams(n)).alias("shingle"))
+        _with_canon_tokens(documents, "doc_id")
+        .select("doc_id", F.explode(ngrams_from_tokens("_tk", n)).alias("shingle"))
         .distinct()
     )
 
@@ -101,7 +109,8 @@ def ngram_jaccard_pairs(
     """
     doc_cols = ["doc_id"] + ([block_col] if block_col else [])
     sh = (
-        documents.select(*doc_cols, F.explode(_canon_ngrams(n)).alias("shingle"))
+        _with_canon_tokens(documents, *doc_cols)
+        .select(*doc_cols, F.explode(ngrams_from_tokens("_tk", n)).alias("shingle"))
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -138,20 +147,41 @@ def ngram_jaccard_pairs(
     )
 
 
+#: Mersenne prime 2^31−1: the universal-hash modulus. (a·x + b) mod p
+#: with x,a,b < p keeps every product under 2^62 — no int64 overflow in
+#: Spark AND no INT128 widening surprises in the DuckDB oracle.
+MINHASH_PRIME = 2147483647
+
+
+def minhash_params(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for hash-family member i, derived from md5
+    so both engines can embed the same literals."""
+    import hashlib
+
+    a = int(hashlib.md5(f"mh-a{i}".encode()).hexdigest()[:8], 16) % (MINHASH_PRIME - 1) + 1
+    b = int(hashlib.md5(f"mh-b{i}".encode()).hexdigest()[:8], 16) % MINHASH_PRIME
+    return a, b
+
+
 def minhash_signatures(documents: DataFrame, n: int = 3, num_hashes: int = 32) -> DataFrame:
     """(doc_id, sig: array<long>) — k minhashes per doc.
 
-    Each hash family member is md5(seed || shingle) folded to 60 bits;
-    the signature entry is the min over the doc's shingle set. Computed
-    as one explode + groupBy(doc_id) with ``min`` aggregates — a single
-    shuffle keyed by doc_id, partials combined map-side, independent of
-    k. No MLlib dependency, no Python in the loop, fully deterministic.
+    The shingle is hashed ONCE (md5 folded to 60 bits, reduced mod p);
+    family member i is the universal hash (aᵢ·x + bᵢ) mod p — k
+    multiply-adds per shingle instead of k md5 evaluations, which is
+    what makes k=32+ affordable at corpus scale. Signature = min per
+    member over the doc's shingle set: one explode + groupBy(doc_id)
+    with ``min`` aggregates — a single shuffle keyed by doc_id,
+    partials combined map-side, independent of k. No MLlib dependency,
+    no Python in the loop, fully deterministic.
     """
-    sh = shingles(documents, n)
-    aggs = [
-        F.min(md5_int60(F.concat(F.lit(f"mh{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    sh = shingles(documents, n).select(
+        "doc_id", (md5_int60(F.col("shingle")) % MINHASH_PRIME).alias("x")
+    )
+    aggs = []
+    for i in range(num_hashes):
+        a, b = minhash_params(i)
+        aggs.append(F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_PRIME).alias(f"h{i}"))
     sig = sh.groupBy("doc_id").agg(*aggs)
     return sig.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
@@ -238,7 +268,9 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     single groupBy(doc_id, bit) sum, then a pivot-free reassembly via
     conditional sum — two narrow shuffles, both keyed by doc_id.
     """
-    tok = documents.select("doc_id", F.explode(tokens(normalized_text("text"))).alias("tok"))
+    tok = _with_canon_tokens(documents, "doc_id").select(
+        "doc_id", F.explode("_tk").alias("tok")
+    )
     tok = tok.withColumn("th", md5_int60(F.col("tok")))
     bit = tok.select(
         "doc_id",
@@ -256,6 +288,59 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
                 F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).otherwise(0)
             ).alias("simhash")
         )
+    )
+
+
+def simhash_hamming_pairs(
+    documents: DataFrame,
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs whose simhashes differ in ≤ ``max_hamming`` bits,
+    via pigeonhole banding: split the ``bits``-wide signature into
+    (max_hamming + 1) bands — any pair within the hamming budget must
+    agree EXACTLY on at least one band, so candidates are found with an
+    equi-join on (band_idx, band_value) instead of an O(n²) cross join.
+    Exact hamming (bit_count of xor) verifies candidates.
+
+    At 100 TB the band join is the only shuffle and its key is
+    near-uniform (band values of a hash); the verify step is a narrow
+    projection. This is the simhash twin of minhash_lsh_pairs.
+    """
+    bands = max_hamming + 1
+    assert bits % bands == 0, "bits must divide into max_hamming+1 bands"
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sig = simhash(documents, bits)
+    entries = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    (F.shiftright("simhash", i * band_bits).bitwiseAND(F.lit(mask))).alias("band_val"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a = entries.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band_idx", "band_val"
+    )
+    b = entries.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band_idx", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 

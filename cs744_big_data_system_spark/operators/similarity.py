@@ -82,6 +82,85 @@ def lsh_bucket(vec_col, dim: int, num_planes: int = 8) -> "F.Column":
     return bucket
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (IVF
+    coarse quantization). Centroids are broadcast (they are small by
+    definition); assignment is a broadcast-nested-loop + per-vector
+    argmax window — the corpus itself never shuffles until the final
+    per-cluster re-rank. Ranking uses the ROUNDED cosine with
+    centroid-id tiebreak so assignment is exactly reproducible.
+    """
+    v = vectors.select(F.col(id_col), F.col(vec_col).alias("_v_emb"))
+    c = centroids.select(
+        F.col(centroid_id_col), F.col(vec_col).alias("_c_emb")
+    )
+    scored = v.join(F.broadcast(c)).select(
+        id_col,
+        centroid_id_col,
+        F.round(cosine_similarity("_v_emb", "_c_emb"), 6).alias("_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col(centroid_id_col).asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, centroid_id_col)
+    )
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    num_centroids: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into
+    ``num_centroids`` inverted lists by nearest centroid, probe only the
+    query's own list (nprobe=1), exact cosine re-rank inside it.
+
+    Centroids are taken deterministically as the first ``num_centroids``
+    corpus vectors by id — a training-free coarse quantizer that keeps
+    the whole operator oracle-reproducible (a k-means refinement would
+    drop in here without changing the plan shape). At scale the corpus
+    can be written bucketed by cluster id, making the probe a
+    partition-pruned scan instead of a shuffle.
+    """
+    centroids = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(num_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+    )
+    corpus_asn = ivf_assign(corpus, centroids, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    query_asn = ivf_assign(queries, centroids, id_col, vec_col).withColumnRenamed(
+        id_col, "query_id"
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_emb")).join(
+        corpus_asn, "neighbor_id"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")).join(
+        query_asn, "query_id"
+    )
+    cand = F.broadcast(q).join(c, "centroid_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity("q_emb", "c_emb"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,

@@ -89,12 +89,20 @@ def fingerprints(documents: DataFrame) -> DataFrame:
       rolling_fp  — min over a 4-token rolling window of 60-bit window
                     hashes (winnowing-style; robust to local edits).
     Both reproducible in SQL, so oracle-checkable."""
-    from cs744_big_data_system_spark.functions.text import word_ngrams
+    from cs744_big_data_system_spark.functions.text import ngrams_from_tokens, tokens
 
-    win_hashes = F.transform(word_ngrams(normalized_text("text"), 4), md5_int60)
-    rolling = F.when(F.size(win_hashes) > 0, F.array_min(win_hashes))
-    return documents.select(
+    # Materialize canonical text + tokens first — an inlined tokenizer
+    # would re-run the regex split per n-gram element (see
+    # functions/text.ngrams_from_tokens).
+    canon = documents.select(
         "doc_id",
-        F.md5(normalized_text("text")).alias("content_fp"),
+        normalized_text("text").alias("_ct"),
+        tokens(normalized_text("text")).alias("_tk"),
+    )
+    win_hashes = F.transform(ngrams_from_tokens("_tk", 4), md5_int60)
+    rolling = F.when(F.size(win_hashes) > 0, F.array_min(win_hashes))
+    return canon.select(
+        "doc_id",
+        F.md5("_ct").alias("content_fp"),
         rolling.alias("rolling_fp"),
     )

@@ -20,12 +20,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cs744_big_data_system_spark.workloads import llm, relational, streaming_graph
+from cs744_big_data_system_spark.workloads import llm, relational, relational_ext, streaming_graph
 
 
 def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     reg: dict = {}
     reg.update(relational.WORKLOADS)
+    reg.update(relational_ext.WORKLOADS)
     reg.update(llm.WORKLOADS)
     reg.update(streaming_graph.WORKLOADS)
     return reg

@@ -99,18 +99,27 @@ def q_minhash_sig(spark, sf_dir):
     )
 
 
+def _sql_minhash_member(i: int) -> str:
+    from cs744_big_data_system_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
+    a, b = minhash_params(i)
+    return f"min(({a} * x + {b}) % {MINHASH_PRIME}) AS h{i}"
+
+
 SQL_MINHASH_SIG = f"""
 WITH toks AS (
   SELECT doc_id, {_SQL_CANON_TOKS} AS tk FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, unnest({_SQL_NGRAM3}) AS shingle FROM toks
+), hashed AS (
+  SELECT doc_id, {_sql_md5_int60("shingle")} % 2147483647 AS x FROM sh
 )
 SELECT doc_id,
-       min({_sql_md5_int60("'mh0:' || shingle")}) AS h0,
-       min({_sql_md5_int60("'mh1:' || shingle")}) AS h1,
-       min({_sql_md5_int60("'mh2:' || shingle")}) AS h2,
-       min({_sql_md5_int60("'mh3:' || shingle")}) AS h3
-FROM sh GROUP BY doc_id
+       {_sql_minhash_member(0)},
+       {_sql_minhash_member(1)},
+       {_sql_minhash_member(2)},
+       {_sql_minhash_member(3)}
+FROM hashed GROUP BY doc_id
 """
 
 
@@ -141,6 +150,24 @@ WITH tok AS (
 SELECT doc_id,
        CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
 FROM bitsum GROUP BY doc_id
+"""
+
+
+# --- SimHash hamming-banded near-dup pairs, oracle-checked exactly ---
+def q_simhash_pairs(spark, sf_dir):
+    from cs744_big_data_system_spark.operators.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(
+        load_table(spark, sf_dir, "documents"), bits=16, max_hamming=3
+    )
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH sig AS ({SQL_SIMHASH})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
@@ -180,6 +207,46 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
                             ORDER BY round({_SQL_COS}, 6) DESC, b.vec_id ASC) AS rnk
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
   WHERE a.vec_id < 20
+) WHERE rnk <= 5
+"""
+
+
+# --- IVF-style approximate top-k (deterministic, oracle-checked) ---
+def q_cosine_topk_ivf(spark, sf_dir):
+    from cs744_big_data_system_spark.operators.similarity import cosine_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk_ivf(queries, emb, num_centroids=8, k=5)
+
+
+# DuckDB mirror of the nprobe=1 IVF: centroids = first 8 vec_ids;
+# assign every vector (argmin by rounded cosine, centroid-id tiebreak);
+# probe the query's own list; top-5 re-rank inside it.
+_SQL_COS_VC = _SQL_COS.replace("b.embedding", "c.embedding").replace("a.embedding", "v.embedding")
+_SQL_COS_QN = _SQL_COS.replace("a.embedding", "q.embedding").replace("b.embedding", "n.embedding")
+
+SQL_COSINE_TOPK_IVF = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round({_SQL_COS_VC}, 6) DESC, c.centroid_id ASC) AS rn
+    FROM embeddings v CROSS JOIN cent c
+  ) WHERE rn = 1
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         round({_SQL_COS_QN}, 6) AS cosine,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY round({_SQL_COS_QN}, 6) DESC, n.vec_id ASC) AS rnk
+  FROM embeddings q
+  JOIN assign qa ON qa.vec_id = q.vec_id
+  JOIN assign na ON na.centroid_id = qa.centroid_id
+  JOIN embeddings n ON n.vec_id = na.vec_id AND n.vec_id <> q.vec_id
+  WHERE q.vec_id < 20
 ) WHERE rnk <= 5
 """
 
@@ -319,8 +386,10 @@ WORKLOADS = {
     "dedup_minhash_sig": (q_minhash_sig, SQL_MINHASH_SIG),
     "dedup_minhash_lsh": (q_minhash_lsh, None),  # approximate by design
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
+    "dedup_simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "dedup_embedding_cosine": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "sim_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "sim_cosine_topk_ivf": (q_cosine_topk_ivf, SQL_COSINE_TOPK_IVF),
     "sim_cosine_topk_lsh": (q_cosine_topk_lsh, None),  # approximate by design
     "text_lang_id": (q_lang_id, SQL_LANG_ID),
     "text_quality": (q_quality, SQL_QUALITY),

@@ -1,0 +1,226 @@
+"""Relational workloads, second batch: the SURVEY.md §2.9 gap families
+not covered by workloads/relational.py — full-outer / cross joins,
+exact percentiles, math scalar family, MapType round-trip,
+first/last window frames, and pivot.
+
+Same contract as relational.py: every function takes (spark, sf_dir)
+and returns a DataFrame; WORKLOADS maps name -> (fn, oracle_sql|None);
+every computed column is aliased identically in Spark and DuckDB SQL
+(the driver hash-compares values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cs744_big_data_system_spark.sources.readers import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- §2.9 joins: FULL OUTER (reference has only inner, task1.py:51) ---
+def q_join_full_outer(spark, sf_dir):
+    """Filtered customer FULL OUTER filtered orders — unmatched rows
+    survive on BOTH sides (nulls in the other side's columns). At
+    scale this is a shuffle join on the key; neither side can be
+    broadcast for an outer-both join, so AQE picks sort-merge."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey", "c_acctbal"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "full_outer").select(
+        "c_custkey",
+        "o_orderkey",
+        F.round("c_acctbal", 4).alias("c_acctbal"),
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+    )
+
+
+SQL_JOIN_FULL_OUTER = """
+SELECT c.c_custkey, o.o_orderkey,
+       round(c.c_acctbal, 4) AS c_acctbal,
+       round(o.o_totalprice, 4) AS o_totalprice
+FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000) c
+FULL OUTER JOIN (SELECT o_orderkey, o_custkey, o_totalprice
+                 FROM orders WHERE o_totalprice > 150000) o
+  ON c.c_custkey = o.o_custkey
+"""
+
+
+# --- §2.9 joins: CROSS (cartesian of two small dims) ---
+def q_join_cross(spark, sf_dir):
+    """region × supplier cartesian product. Only ever sane when one
+    side is tiny — Spark plans BroadcastNestedLoopJoin; the broadcast
+    hint pins the 5-row side so the big side never moves."""
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return F.broadcast(region).crossJoin(supp)
+
+
+SQL_JOIN_CROSS = """
+SELECT r_regionkey, r_name, s_suppkey, s_name FROM region CROSS JOIN supplier
+"""
+
+
+# --- §2.9 approximate/exact quantiles: percentile family ---
+def q_percentile(spark, sf_dir):
+    """Exact linear-interpolation percentiles per group. Exact (not
+    approx_percentile) so the DuckDB quantile_cont oracle matches
+    bit-for-bit after rounding. At 100 TB you'd flip the same query to
+    percentile_approx (t-digest, mergeable partial aggregation); exact
+    percentile needs a full sort of each group's values."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_PERCENTILE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- §2.6 / §2.9 math scalar family (reference only has + - * /) ---
+def q_math_funcs(spark, sf_dir):
+    """Math scalars over lineitem — all JVM-native Column expressions,
+    whole-stage-codegen'd; nothing leaves the JVM."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 4).alias("sqrt_price"),
+        F.round(F.log("l_extendedprice"), 4).alias("ln_price"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        F.abs(F.col("l_quantity") - F.lit(25)).alias("qty_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor(F.col("l_tax") * 100).alias("tax_pct_floor"),
+        F.signum(F.col("l_discount") - F.lit(0.05)).alias("disc_sign"),
+    )
+
+
+SQL_MATH_FUNCS = """
+SELECT l_orderkey, l_linenumber,
+       round(sqrt(l_extendedprice), 4) AS sqrt_price,
+       round(ln(l_extendedprice), 4) AS ln_price,
+       round(pow(l_discount, 2), 6) AS disc_sq,
+       abs(l_quantity - 25) AS qty_dev,
+       CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+       CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct_floor,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
+FROM lineitem WHERE l_orderkey < 1000
+"""
+
+
+# --- §2.9 map functions: build a MapType, explode it back ---
+def q_map_funcs(spark, sf_dir):
+    """Round-trip through MapType: per-user counts aggregated into a
+    map<event_type, count> (map_from_entries over a sorted struct
+    list), then exploded back to rows. Proves map construction,
+    map_keys, and map explosion; the oracle is the plain group-by the
+    round-trip must reproduce exactly."""
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    as_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("type_counts")
+    )
+    return as_map.select(
+        "user_id",
+        F.size(F.map_keys("type_counts")).alias("n_types"),
+        F.explode("type_counts").alias("event_type", "cnt"),
+    )
+
+
+SQL_MAP_FUNCS = """
+WITH per_type AS (
+  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY user_id, event_type
+), sized AS (
+  SELECT user_id, CAST(count(*) AS INT) AS n_types FROM per_type GROUP BY user_id
+)
+SELECT p.user_id, s.n_types, p.event_type, p.cnt
+FROM per_type p JOIN sized s USING (user_id)
+"""
+
+
+# --- §2.9 window frames: first/last over unbounded frame ---
+def q_first_last(spark, sf_dir):
+    """first/last value per order's line sequence — an unbounded
+    window frame (the reference's closest analogue is the per-batch
+    timing slice, SURVEY.md §2.5). The ordering includes the output
+    column itself as tiebreak: (l_orderkey, l_linenumber) is NOT
+    unique in the fixture, and first/last are only deterministic if
+    ties cannot change the emitted value."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy(F.col("l_linenumber").asc(), F.col("l_extendedprice").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.first("l_extendedprice").over(w), 4).alias("first_price"),
+        F.round(F.last("l_extendedprice").over(w), 4).alias("last_price"),
+    )
+
+
+SQL_FIRST_LAST = """
+SELECT l_orderkey, l_linenumber,
+       round(first_value(l_extendedprice) OVER w, 4) AS first_price,
+       round(last_value(l_extendedprice) OVER w, 4) AS last_price
+FROM lineitem
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# --- §2.9 pivot (wide conditional aggregation) ---
+def q_pivot_sum(spark, sf_dir):
+    """Pivot lineitem on linestatus with explicit pivot values —
+    explicit values keep the plan a single pass (no extra distinct-
+    values job) and make the output schema static, which is what you
+    want at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("qty_f"),
+            F.col("O").alias("qty_o"),
+        )
+    )
+
+
+SQL_PIVOT_SUM = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_f,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_o
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+WORKLOADS = {
+    "join_full_outer": (q_join_full_outer, SQL_JOIN_FULL_OUTER),
+    "join_cross": (q_join_cross, SQL_JOIN_CROSS),
+    "percentile": (q_percentile, SQL_PERCENTILE),
+    "math_funcs": (q_math_funcs, SQL_MATH_FUNCS),
+    "map_funcs": (q_map_funcs, SQL_MAP_FUNCS),
+    "first_last": (q_first_last, SQL_FIRST_LAST),
+    "pivot_sum": (q_pivot_sum, SQL_PIVOT_SUM),
+}

@@ -15,9 +15,12 @@ from pyspark.sql import functions as F
 from cs744_big_data_system_spark.graph.pagerank import pagerank
 from cs744_big_data_system_spark.operators.multimodal import extract_features, synthetic_assets
 from cs744_big_data_system_spark.sources.readers import edges_from_events, load_table
+from cs744_big_data_system_spark.streaming.stateful import running_counts
 from cs744_big_data_system_spark.streaming.windows import (
     replay_to_batch,
+    session_window_counts,
     sliding_window_counts,
+    stream_dedup,
     tumbling_window_counts,
 )
 
@@ -69,6 +72,88 @@ def q_stream_tumbling_replay(spark, sf_dir):
     )
 
 
+# --- TRUE streaming replay: session windows through the streaming engine ---
+def q_stream_session_replay(spark, sf_dir):
+    """Per-user session windows (30-min gap) computed by the REAL
+    streaming session_window operator over a micro-batch replay.
+    Spark semantics: an event whose ts is >= the open window's end
+    (last_ts + gap) starts a NEW session — the oracle mirrors the >=."""
+    return replay_to_batch(
+        spark,
+        f"{sf_dir}/events.parquet",
+        lambda s: session_window_counts(s, gap="30 minutes", watermark="365 days"),
+        output_mode="complete",
+    )
+
+
+SQL_STREAM_SESSION = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+       user_id,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+# --- TRUE streaming replay: bounded-state dedup through the engine ---
+def q_stream_dedup_replay(spark, sf_dir):
+    """dropDuplicates on (user_id, event_type) through the streaming
+    state store, then a batch count of surviving rows per event_type.
+    Which physical row survives a key collision is batch-order
+    dependent, so the query outputs only key-level counts — those are
+    deterministic and equal DISTINCT semantics in the oracle."""
+    deduped = replay_to_batch(
+        spark,
+        f"{sf_dir}/events.parquet",
+        lambda s: stream_dedup(s, ["user_id", "event_type"], watermark="365 days").select(
+            "user_id", "event_type"
+        ),
+        output_mode="append",
+    )
+    return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_user_type_pairs"))
+
+
+SQL_STREAM_DEDUP = """
+SELECT event_type, count(*) AS n_user_type_pairs
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY event_type
+"""
+
+
+# --- Custom stateful operator: applyInPandasWithState running counts ---
+def q_stream_stateful_counts(spark, sf_dir):
+    """Running per-user counts held in explicit group state
+    (streaming/stateful.py). The memory sink accumulates one update row
+    per (key, micro-batch); the final per-key count is the max — equal
+    to the plain batch group-by the oracle runs, regardless of how
+    availableNow split the input into batches."""
+    updates = replay_to_batch(
+        spark,
+        f"{sf_dir}/events.parquet",
+        lambda s: running_counts(s.withWatermark("ts", "365 days"), key_col="user_id"),
+        output_mode="update",
+    )
+    return updates.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+SQL_STREAM_STATEFUL = """
+SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+"""
+
+
 # --- PageRank (reference assignment1/part3 semantics) — iterative, rows-only ---
 def q_pagerank_events(spark, sf_dir):
     """Graph derived from the events fixture (consecutive event types
@@ -96,6 +181,9 @@ WORKLOADS = {
     "window_tumbling": (q_window_tumbling, SQL_WINDOW_TUMBLING),
     "window_sliding": (q_window_sliding, SQL_WINDOW_SLIDING),
     "stream_tumbling_replay": (q_stream_tumbling_replay, SQL_WINDOW_TUMBLING),
+    "stream_session_replay": (q_stream_session_replay, SQL_STREAM_SESSION),
+    "stream_dedup_replay": (q_stream_dedup_replay, SQL_STREAM_DEDUP),
+    "stream_stateful_counts": (q_stream_stateful_counts, SQL_STREAM_STATEFUL),
     "pagerank_events": (q_pagerank_events, None),  # iterative fixed-point
     "multimodal_features": (q_multimodal_features, None),  # decode stubbed
 }

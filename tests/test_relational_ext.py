@@ -1,0 +1,115 @@
+"""Second-batch relational operators (workloads/relational_ext.py) and
+the new dedup/similarity/stateful additions — semantics on tiny
+hand-built frames; oracle equality is covered by tools/selfcheck.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_full_outer_keeps_unmatched_both_sides(spark):
+    a = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "va"])
+    b = spark.createDataFrame([(2, "x"), (3, "y")], ["k2", "vb"])
+    out = a.join(b, a.k == b.k2, "full_outer").collect()
+    assert len(out) == 3
+    keys = {(r.k, r.k2) for r in out}
+    assert (1, None) in keys and (None, 3) in keys and (2, 2) in keys
+
+
+def test_percentile_exact_interpolation(spark):
+    df = spark.createDataFrame([(float(x),) for x in [1, 2, 3, 4]], ["x"])
+    got = df.agg(F.percentile("x", F.lit(0.5)).alias("p50")).first().p50
+    assert got == 2.5  # linear interpolation between 2 and 3
+
+
+def test_map_roundtrip_preserves_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "a")], ["uid", "et"]
+    )
+    per = df.groupBy("uid", "et").agg(F.count(F.lit(1)).alias("cnt"))
+    as_map = per.groupBy("uid").agg(
+        F.map_from_entries(F.array_sort(F.collect_list(F.struct("et", "cnt")))).alias("m")
+    )
+    back = as_map.select("uid", F.explode("m").alias("et", "cnt"))
+    assert sorted(back.collect()) == sorted(per.collect())
+
+
+def test_pivot_matches_conditional_agg(spark):
+    df = spark.createDataFrame(
+        [("A", "F", 1.0), ("A", "O", 2.0), ("B", "F", 3.0), ("A", "F", 4.0)],
+        ["rf", "ls", "qty"],
+    )
+    piv = {
+        (r.rf): (r.F, r.O)
+        for r in df.groupBy("rf").pivot("ls", ["F", "O"]).agg(F.sum("qty")).collect()
+    }
+    assert piv["A"] == (5.0, 2.0) and piv["B"] == (3.0, None)
+
+
+def test_simhash_pairs_banding_is_complete(spark):
+    """Band-join candidates must contain every pair within the hamming
+    budget — compare against the brute-force pair set."""
+    from cs744_big_data_system_spark.operators.dedup import simhash, simhash_hamming_pairs
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 10),
+        (1, "alpha beta gamma delta epsilon zeta eta iota", "en", "s", 10),   # near
+        (2, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 10),  # exact dup of 0
+        (3, "totally unrelated words nothing shared here at all", "en", "s", 10),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    got = {(r.doc_a, r.doc_b): r.hamming for r in simhash_hamming_pairs(docs, 16, 3).collect()}
+    sig = {r.doc_id: r.simhash for r in simhash(docs, 16).collect()}
+    brute = {
+        (a, b): bin(sig[a] ^ sig[b]).count("1")
+        for a in sig
+        for b in sig
+        if a < b and bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    assert got == brute
+    assert got[(0, 2)] == 0  # identical docs collide exactly
+
+
+def test_ivf_topk_finds_identical_vector(spark):
+    from cs744_big_data_system_spark.operators.similarity import cosine_topk_ivf
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [0.0, 0.9, 0.1, 0.0], 1),
+        (4, [1.0, 0.0, 0.0, 0.0], 0),  # identical to 0
+    ]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding", "label"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    top = cosine_topk_ivf(q, emb, num_centroids=2, k=2).orderBy("rnk").collect()
+    assert top[0].neighbor_id == 4 and top[0].cosine == 1.0
+
+
+def test_stateful_running_counts_equal_batch(spark, tmp_path):
+    from cs744_big_data_system_spark.streaming.stateful import running_counts
+    from cs744_big_data_system_spark.streaming.windows import replay_to_batch
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    updates = replay_to_batch(
+        spark,
+        src,
+        lambda s: running_counts(s.withWatermark("ts", "365 days")),
+        output_mode="update",
+    )
+    got = {
+        r.user_id: r.n_events
+        for r in updates.groupBy("user_id").agg(F.max("n_events").alias("n_events")).collect()
+    }
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    want = {
+        r.user_id: r.n
+        for r in load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want

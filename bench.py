@@ -33,7 +33,11 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_sig",
     "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
     "sim_cosine_topk",
+    "sim_cosine_topk_ivf",
+    "percentile",
+    "join_full_outer",
     "text_quality",
     "label_mean_embedding",
     "pagerank_events",

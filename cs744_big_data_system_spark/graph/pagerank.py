@@ -37,31 +37,43 @@ def pagerank(
     num_partitions: int | None = None,
     cache_links: bool = True,
     checkpoint_every: int = 3,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """edges(src: string, dst: string) → (node: string, rank: double).
 
     ``num_partitions`` mirrors the reference's partition-sweep knob
-    (task2.py:36); None lets AQE pick.
+    (task2.py:36); None lets AQE pick. ``broadcast_ranks`` joins each
+    superstep's rank vector as a broadcast — the right call when the
+    node set is far smaller than the edge set (the cached links table
+    then never re-shuffles); leave False when ranks won't fit an
+    executor.
     """
     edges = edges.select("src", "dst")
-    if num_partitions:
-        edges = edges.repartition(num_partitions, "src")
 
-    # Duplicate edges contribute multiply in the reference (flatMap over
-    # the full neighbor multiset) — keep multiset semantics.
-    degree = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
-    links = edges.join(degree, "src")  # (src, dst, out_degree)
+    # Duplicate edges contribute multiply in the reference (flatMap
+    # over the full neighbor multiset). Collapsing parallel edges to a
+    # weight preserves that exactly — contribution of an (src, dst)
+    # pair with multiplicity m is m·rank/out_degree — and shrinks the
+    # per-iteration join input from |edges| to |distinct pairs|, which
+    # at web scale is the difference between shuffling the raw edge
+    # list 10× and shuffling a weighted adjacency once.
+    links = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_para"))
+    degree = links.groupBy("src").agg(F.sum("n_para").alias("out_degree"))
+    links = links.join(degree, "src")  # (src, dst, n_para, out_degree)
+    if num_partitions:
+        links = links.repartition(num_partitions, "src")
     if cache_links:
         links = links.persist()
 
     ranks = degree.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
 
     for i in range(iterations):
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
         contribs = (
-            links.join(ranks, links.src == ranks.node, "inner")
+            links.join(rank_side, links.src == rank_side.node, "inner")
             .select(
                 F.col("dst").alias("node"),
-                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+                (F.col("rank") * F.col("n_para") / F.col("out_degree")).alias("contrib"),
             )
         )
         new_ranks = (

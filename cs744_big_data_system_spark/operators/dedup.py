@@ -108,9 +108,19 @@ def ngram_jaccard_pairs(
     (doc_a, doc_b) with map-side partial aggregation.
     """
     doc_cols = ["doc_id"] + ([block_col] if block_col else [])
+    # Shingles are folded to 60-bit hashes BEFORE the distinct and the
+    # self-join: the shuffle/join key becomes 8 bytes instead of a
+    # 3-word string (collision probability ~n²/2^61 — and the oracle
+    # hashes identically, so even a collision matches). Set semantics
+    # (distinct per doc) are on the hash.
     sh = (
         _with_canon_tokens(documents, *doc_cols)
-        .select(*doc_cols, F.explode(ngrams_from_tokens("_tk", n)).alias("shingle"))
+        .select(
+            *doc_cols,
+            F.explode(
+                F.transform(ngrams_from_tokens("_tk", n), md5_int60)
+            ).alias("shingle"),
+        )
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))

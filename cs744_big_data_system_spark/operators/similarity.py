@@ -42,15 +42,31 @@ def cosine_topk_bruteforce(
     ROUNDED cosine with neighbor_id tiebreak so the result is exactly
     reproducible (and oracle-comparable) despite float associativity.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_emb"))
+    from cs744_big_data_system_spark.functions.vectors import dot, l2_norm
+
+    # Norms are materialized per side BEFORE the join — computed once
+    # per vector instead of once per (query, neighbor) pair. The
+    # division below is the same expression order as
+    # cosine_similarity, so scores stay bit-identical to the oracle.
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_emb"),
+        l2_norm(vec_col).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_emb"),
+        l2_norm(vec_col).alias("_cn"),
+    )
     pairs = F.broadcast(q).crossJoin(c)
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    denom = F.col("_qn") * F.col("_cn")
+    cos = F.when(denom > 0, dot("q_emb", "c_emb") / denom)
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_similarity("q_emb", "c_emb"), 6).alias("cosine"),
+        F.round(cos, 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (

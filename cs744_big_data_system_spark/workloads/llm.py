@@ -72,8 +72,12 @@ def q_ngram_jaccard(spark, sf_dir):
 SQL_NGRAM_JACCARD = f"""
 WITH toks AS (
   SELECT doc_id, lang, {_SQL_CANON_TOKS} AS tk FROM documents
+), grams AS (
+  SELECT doc_id, lang, unnest({_SQL_NGRAM3}) AS gram FROM toks
 ), sh AS (
-  SELECT DISTINCT doc_id, lang, unnest({_SQL_NGRAM3}) AS shingle FROM toks
+  -- hash-folded shingles: set semantics on the 60-bit hash, exactly
+  -- like operators/dedup.ngram_jaccard_pairs
+  SELECT DISTINCT doc_id, lang, {_sql_md5_int60("gram")} AS shingle FROM grams
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
 ), common AS (
@@ -135,13 +139,14 @@ def q_simhash(spark, sf_dir):
     return simhash(load_table(spark, sf_dir, "documents"), bits=16)
 
 
-SQL_SIMHASH = f"""
+def _sql_simhash(bits: int) -> str:
+    return f"""
 WITH tok AS (
   SELECT doc_id, unnest({_SQL_CANON_TOKS}) AS tok FROM documents
 ), th AS (
   SELECT doc_id, {_sql_md5_int60("tok")} AS h FROM tok
 ), bits AS (
-  SELECT doc_id, unnest(range(0, 16)) AS bit, h FROM th
+  SELECT doc_id, unnest(range(0, {bits})) AS bit, h FROM th
 ), bitsum AS (
   SELECT doc_id, bit,
          sum(CASE WHEN (h >> CAST(bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
@@ -153,17 +158,23 @@ FROM bitsum GROUP BY doc_id
 """
 
 
+SQL_SIMHASH = _sql_simhash(16)
+
+
 # --- SimHash hamming-banded near-dup pairs, oracle-checked exactly ---
 def q_simhash_pairs(spark, sf_dir):
+    """32-bit signatures (8-bit bands): a 16-bit space collides too
+    hard once the corpus passes a few thousand docs — band buckets of
+    2^8 values keep the candidate join linear-ish."""
     from cs744_big_data_system_spark.operators.dedup import simhash_hamming_pairs
 
     return simhash_hamming_pairs(
-        load_table(spark, sf_dir, "documents"), bits=16, max_hamming=3
+        load_table(spark, sf_dir, "documents"), bits=32, max_hamming=3
     )
 
 
 SQL_SIMHASH_PAIRS = f"""
-WITH sig AS ({SQL_SIMHASH})
+WITH sig AS ({_sql_simhash(32)})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id

@@ -161,7 +161,9 @@ def q_pagerank_events(spark, sf_dir):
     damping 0.85, matching assignment1/part3/task1/task1.py:39,52.
     Golden-graph parity tests: tests/test_pagerank.py."""
     edges = edges_from_events(load_table(spark, sf_dir, "events"))
-    ranks = pagerank(edges, iterations=10, damping=0.85)
+    # The event-type graph has few nodes: broadcast the rank vector so
+    # the cached weighted-links table never re-shuffles per superstep.
+    ranks = pagerank(edges, iterations=10, damping=0.85, broadcast_ranks=True)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 

@@ -26,6 +26,28 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-partitioned-at-rest) managed table — the
+    co-located-join path: two tables bucketed the same way on the join
+    key join with NO exchange on either side, which at 100 TB removes
+    the dominant cost of every fact⋈fact join. Sorted buckets
+    additionally skip the sort of a sort-merge join.
+
+    Plan proof: tests/test_plans.py::test_bucketed_join_has_no_shuffle.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table)
+
+
 def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Text sink. The reference stringified (node, rank) tuples
     (task1.py:54); here any DataFrame is concat-serialized to one

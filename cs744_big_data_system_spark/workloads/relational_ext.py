@@ -215,6 +215,109 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --- §2.9 set ops, ALL variants (bag semantics) ---
+def q_set_ops_all(spark, sf_dir):
+    """UNION ALL / INTERSECT ALL / EXCEPT ALL of customer vs supplier
+    nation keys, tagged and stacked — bag semantics (duplicates
+    preserved per multiplicity), complementing set_ops' DISTINCT
+    variants."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    u = cust.unionAll(supp).withColumn("op", F.lit("union_all"))
+    i = cust.intersectAll(supp).withColumn("op", F.lit("intersect_all"))
+    e = cust.exceptAll(supp).withColumn("op", F.lit("except_all"))
+    return u.unionByName(i).unionByName(e)
+
+
+SQL_SET_OPS_ALL = """
+SELECT nationkey, 'union_all' AS op FROM
+  (SELECT c_nationkey AS nationkey FROM customer UNION ALL SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'intersect_all' AS op FROM
+  (SELECT c_nationkey AS nationkey FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'except_all' AS op FROM
+  (SELECT c_nationkey AS nationkey FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier)
+"""
+
+
+# --- §2.9 UDAF surface: grouped-agg pandas_udf (Arrow-vectorized) ---
+def q_udaf_weighted_mean(spark, sf_dir):
+    """Price-weighted mean discount per return flag via a grouped-agg
+    pandas_udf — the Arrow path for aggregation logic Spark lacks as a
+    built-in. One batch per group crosses the JVM↔Arrow boundary;
+    everything before the groupBy stays native (SURVEY.md §2.9 UDF
+    policy: pandas_udf for vector math, never row-at-a-time udf)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: this module uses
+    # `from __future__ import annotations`, which stringifies type
+    # hints and defeats pandas_udf's signature inference.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmean(price, discount):
+        return float((price * discount).sum() / price.sum())
+
+    li = _t(spark, sf_dir, "lineitem")
+    # Note: a grouped-agg pandas UDF cannot share an agg() with
+    # built-in aggregates (INVALID_PANDAS_UDF_PLACEMENT) — UDAF only.
+    return li.groupBy("l_returnflag").agg(
+        F.round(wmean("l_extendedprice", "l_discount"), 6).alias("w_mean_discount"),
+    )
+
+
+SQL_UDAF_WEIGHTED_MEAN = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_discount) / sum(l_extendedprice), 6) AS w_mean_discount
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- §2.1 S1/S5 parity: CSV sink + header, CSV scan + schema inference ---
+def q_csv_roundtrip_sort(spark, sf_dir):
+    """The reference's whole assignment1/part2 pipeline
+    (task.py:22-26) run through the engine's own sink and source: write
+    a projection of events as CSV-with-header, read it back with
+    schema inference, globally sort on (event_type, event_id) — the
+    cca2/timestamp multi-column sort shape. Proves the CSV round-trip
+    preserves types and values (the oracle never sees the CSV)."""
+    import tempfile
+
+    from cs744_big_data_system_spark.sources.readers import read_csv
+    from cs744_big_data_system_spark.sources.writers import write_csv
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    write_csv(ev, path)
+    back = read_csv(spark, path)
+    return back.orderBy(F.col("event_type").asc(), F.col("event_id").asc()).select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+SQL_CSV_ROUNDTRIP_SORT = """
+SELECT event_id, user_id, event_type, round(value, 6) AS value
+FROM events ORDER BY event_type, event_id
+"""
+
+
+# --- skew mitigation: salted two-phase aggregation ---
+def q_salted_agg(spark, sf_dir):
+    """Sum of values per event_type (5 hot keys — the fixture's
+    skew-in-miniature) through the salted two-phase shuffle
+    (operators/skew.py). Result must equal the direct aggregation."""
+    from cs744_big_data_system_spark.operators.skew import salted_sum
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_sum(ev, ["event_type"], "value", buckets=16, out_col="sum_value")
+    return out.select("event_type", F.round("sum_value", 4).alias("sum_value"))
+
+
+SQL_SALTED_AGG = """
+SELECT event_type, CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 WORKLOADS = {
     "join_full_outer": (q_join_full_outer, SQL_JOIN_FULL_OUTER),
     "join_cross": (q_join_cross, SQL_JOIN_CROSS),
@@ -223,4 +326,8 @@ WORKLOADS = {
     "map_funcs": (q_map_funcs, SQL_MAP_FUNCS),
     "first_last": (q_first_last, SQL_FIRST_LAST),
     "pivot_sum": (q_pivot_sum, SQL_PIVOT_SUM),
+    "set_ops_all": (q_set_ops_all, SQL_SET_OPS_ALL),
+    "udaf_weighted_mean": (q_udaf_weighted_mean, SQL_UDAF_WEIGHTED_MEAN),
+    "csv_roundtrip_sort": (q_csv_roundtrip_sort, SQL_CSV_ROUNDTRIP_SORT),
+    "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
 }

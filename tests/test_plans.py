@@ -77,3 +77,41 @@ def test_agg_has_partial_aggregation(spark):
     df = load_table(spark, SF_SMALL, "lineitem").groupBy("l_returnflag").agg(F.sum("l_quantity"))
     plan = formatted_plan(df)
     assert "partial_sum" in plan, plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must join with no Exchange
+    on either side (the co-located-join scale path)."""
+    from cs744_big_data_system_spark.plans.explain import formatted_plan
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.sources.writers import write_bucketed
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{tmp_path}/bucketdb'")
+    orders = load_table(spark, SF_SMALL, "orders")
+    lineitem = load_table(spark, SF_SMALL, "lineitem")
+    write_bucketed(orders.withColumnRenamed("o_orderkey", "k"), "bucketdb.b_orders", "k", 8)
+    write_bucketed(lineitem.withColumnRenamed("l_orderkey", "k"), "bucketdb.b_lineitem", "k", 8)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+        j = spark.table("bucketdb.b_orders").join(spark.table("bucketdb.b_lineitem"), "k")
+        plan = formatted_plan(j)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bucketdb.b_orders")
+        spark.sql("DROP TABLE IF EXISTS bucketdb.b_lineitem")
+        spark.sql("DROP DATABASE IF EXISTS bucketdb")
+
+
+def test_ivf_assignment_broadcasts_centroids(spark):
+    """IVF coarse assignment must broadcast the centroid table, never
+    shuffle the corpus."""
+    from cs744_big_data_system_spark.operators.similarity import cosine_topk_ivf
+    from cs744_big_data_system_spark.plans.explain import formatted_plan
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    plan = formatted_plan(cosine_topk_ivf(q, emb, num_centroids=4, k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan

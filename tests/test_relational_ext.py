@@ -113,3 +113,34 @@ def test_stateful_running_counts_equal_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_salted_sum_equals_direct(spark):
+    from cs744_big_data_system_spark.operators.skew import salted_count, salted_sum
+
+    df = spark.createDataFrame(
+        [("hot", 1.0)] * 50 + [("cold", 2.0), ("cold", 3.0)], ["k", "v"]
+    )
+    got = {r.k: r.sum_v for r in salted_sum(df, ["k"], "v", buckets=4, out_col="sum_v").collect()}
+    assert got == {"hot": 50.0, "cold": 5.0}
+    cnt = {r.k: r.n for r in salted_count(df, ["k"], buckets=4).collect()}
+    assert cnt == {"hot": 50, "cold": 2}
+
+
+def test_salted_join_multiplicity(spark):
+    from cs744_big_data_system_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "a")] * 20 + [(2, "b")] * 3, ["k", "x"])
+    small = spark.createDataFrame([(1, "dim1"), (2, "dim2"), (3, "dim3")], ["k", "d"])
+    out = salted_join(big, small, "k", buckets=4)
+    assert out.count() == 23
+    assert out.filter(F.col("d") == "dim1").count() == 20
+    assert set(out.columns) == {"k", "x", "d"}
+
+
+def test_set_ops_all_bag_semantics(spark):
+    a = spark.createDataFrame([(1,), (1,), (2,)], ["x"])
+    b = spark.createDataFrame([(1,), (3,)], ["x"])
+    assert sorted(r.x for r in a.intersectAll(b).collect()) == [1]
+    assert sorted(r.x for r in a.exceptAll(b).collect()) == [1, 2]
+    assert a.unionAll(b).count() == 5

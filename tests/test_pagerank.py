@@ -92,3 +92,22 @@ def test_edge_list_parsing(spark, tmp_path):
     rows = sorted((r.src, r.dst) for r in df.collect())
     assert rows == [("001", "002"), ("001", "003"), ("002", "001")]
     assert dict(df.dtypes) == {"src": "string", "dst": "string"}
+
+
+def test_knobs_do_not_change_results(spark):
+    """The reference's partition-sweep / cache experiments (task2/task3)
+    changed performance, never results — same here for every knob."""
+    expected = reference_pagerank(GOLDEN_EDGES, iters=5)
+    import pytest as _pt
+
+    for kw in (
+        {"num_partitions": 3},
+        {"cache_links": False},
+        {"broadcast_ranks": True},
+        {"checkpoint_every": 1},
+        {"checkpoint_every": 0},
+    ):
+        got = run_engine(spark, GOLDEN_EDGES, iterations=5, **kw)
+        assert set(got) == set(expected), kw
+        for node, r in expected.items():
+            assert got[node] == _pt.approx(r, rel=1e-9), (kw, node)

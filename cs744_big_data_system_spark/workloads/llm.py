@@ -182,6 +182,48 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+# --- Transitive near-dup clusters (simhash pairs → connected components) ---
+def q_dedup_clusters(spark, sf_dir):
+    """Candidate pairs only become deduplicatable once closed into
+    transitive clusters (A~B, B~C ⇒ one cluster even if A,C never
+    collided). SimHash pairs feed min-label-propagation connected
+    components (graph/connected_components.py); output one row per
+    clustered doc with its canonical (min) id and cluster size."""
+    from cs744_big_data_system_spark.graph.connected_components import dedup_clusters
+    from cs744_big_data_system_spark.operators.dedup import simhash_hamming_pairs
+
+    pairs = simhash_hamming_pairs(
+        load_table(spark, sf_dir, "documents"), bits=32, max_hamming=3
+    )
+    return dedup_clusters(pairs)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH sig AS ({_sql_simhash(32)}), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+), und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach AS (
+  -- transitive closure of "reachable with a smaller-or-equal label":
+  -- min(lab) over all labels that can reach a node = component min
+  WITH RECURSIVE r(node, lab) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM und)
+    UNION
+    SELECT e.b, r.lab FROM r JOIN und e ON e.a = r.node WHERE r.lab < e.b
+  )
+  SELECT node, min(lab) AS component FROM r GROUP BY node
+), sizes AS (
+  SELECT component, count(*) AS cluster_size FROM reach GROUP BY component
+)
+SELECT r.node AS doc_id, r.component AS cluster_id, s.cluster_size
+FROM reach r JOIN sizes s USING (component)
+"""
+
+
 # --- Embedding cosine near-dup pairs (blocked by label) ---
 def q_embedding_neardup(spark, sf_dir):
     return embedding_cosine_neardup(
@@ -370,6 +412,65 @@ FROM grams
 """
 
 
+# --- End-to-end corpus cleaning: the LLM-data-pipeline composite ---
+def q_llm_clean_corpus(spark, sf_dir):
+    """The full training-data cleaning pass as ONE lazy plan:
+    exact dedup (keep min doc_id per canonical digest) → near-dup
+    removal (n-gram Jaccard ≥ 0.5 inside lang blocks, drop the higher
+    doc_id of each pair) → quality filter (≥5 tokens, punct ratio
+    < 0.3). Each stage is the already-oracle-checked operator; the
+    composite proves they compose without driver materialization —
+    at 100 TB this whole pipeline is 4 shuffles end-to-end."""
+    from cs744_big_data_system_spark.operators.dedup import exact_dedup, ngram_jaccard_pairs
+    from cs744_big_data_system_spark.operators.text_analysis import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    d1 = exact_dedup(docs)
+    near = (
+        ngram_jaccard_pairs(d1, n=3, threshold=0.5, block_col="lang")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    d2 = d1.join(near, "doc_id", "left_anti")
+    q = quality_features(d2).filter(F.col("quality_ok")).select("doc_id", "n_tokens")
+    return d2.join(q, "doc_id").select("doc_id", "lang", "n_tokens")
+
+
+SQL_LLM_CLEAN_CORPUS = f"""
+WITH keep_exact AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+), d1 AS (
+  SELECT d.* FROM documents d JOIN keep_exact k USING (doc_id)
+), toks AS (
+  SELECT doc_id, lang, {_SQL_CANON_TOKS} AS tk FROM d1
+), grams AS (
+  SELECT doc_id, lang, unnest({_SQL_NGRAM3}) AS gram FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, lang, {_sql_md5_int60("gram")} AS shingle FROM grams
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), near AS (
+  SELECT DISTINCT doc_b FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.5
+), d2 AS (
+  SELECT * FROM d1 WHERE doc_id NOT IN (SELECT doc_b FROM near)
+)
+SELECT doc_id, lang, CAST(len({_SQL_TOKS}) AS INT) AS n_tokens
+FROM d2
+WHERE len({_SQL_TOKS}) >= 5 AND len({_SQL_TOKS}) <= 100000
+  AND (CASE WHEN length(text) > 0
+       THEN (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g'))) * 1.0 / length(text)
+       ELSE 0.0 END) < 0.3
+"""
+
+
 # --- Element-wise mean embedding per label (gradient-mean analogue, A3/D4) ---
 def q_label_mean_embedding(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
@@ -398,6 +499,7 @@ WORKLOADS = {
     "dedup_minhash_lsh": (q_minhash_lsh, None),  # approximate by design
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
     "dedup_simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_embedding_cosine": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "sim_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "sim_cosine_topk_ivf": (q_cosine_topk_ivf, SQL_COSINE_TOPK_IVF),
@@ -406,5 +508,6 @@ WORKLOADS = {
     "text_quality": (q_quality, SQL_QUALITY),
     "text_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "text_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
+    "llm_clean_corpus": (q_llm_clean_corpus, SQL_LLM_CLEAN_CORPUS),
     "label_mean_embedding": (q_label_mean_embedding, SQL_LABEL_MEAN_EMBEDDING),
 }

@@ -133,6 +133,57 @@ GROUP BY event_type
 """
 
 
+# --- TRUE streaming replay: stream-stream interval join ---
+def q_stream_stream_join_replay(spark, sf_dir):
+    """Stream⋈stream inner join with an event-time interval condition:
+    each purchase matched to the same user's clicks in the preceding
+    30 minutes. Both sides are derived from one replayed stream; the
+    join keeps watermark-bounded state per side (at scale the interval
+    bound is what caps state size). Inner joins emit on match, so the
+    availableNow replay must equal the batch interval join."""
+
+    def tf(s):
+        purchases = (
+            s.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("purchase_id"),
+            )
+            .withWatermark("p_ts", "365 days")
+        )
+        clicks = (
+            s.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("click_id"),
+            )
+            .withWatermark("c_ts", "365 days")
+        )
+        j = purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+            "inner",
+        )
+        return j.select(
+            "purchase_id", "click_id", F.col("p_user").alias("user_id")
+        )
+
+    return replay_to_batch(spark, f"{sf_dir}/events.parquet", tf, output_mode="append")
+
+
+SQL_STREAM_STREAM_JOIN = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTES
+"""
+
+
 # --- Custom stateful operator: applyInPandasWithState running counts ---
 def q_stream_stateful_counts(spark, sf_dir):
     """Running per-user counts held in explicit group state
@@ -185,6 +236,7 @@ WORKLOADS = {
     "stream_tumbling_replay": (q_stream_tumbling_replay, SQL_WINDOW_TUMBLING),
     "stream_session_replay": (q_stream_session_replay, SQL_STREAM_SESSION),
     "stream_dedup_replay": (q_stream_dedup_replay, SQL_STREAM_DEDUP),
+    "stream_stream_join_replay": (q_stream_stream_join_replay, SQL_STREAM_STREAM_JOIN),
     "stream_stateful_counts": (q_stream_stateful_counts, SQL_STREAM_STATEFUL),
     "pagerank_events": (q_pagerank_events, None),  # iterative fixed-point
     "multimodal_features": (q_multimodal_features, None),  # decode stubbed

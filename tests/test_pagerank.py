@@ -111,3 +111,33 @@ def test_knobs_do_not_change_results(spark):
         assert set(got) == set(expected), kw
         for node, r in expected.items():
             assert got[node] == _pt.approx(r, rel=1e-9), (kw, node)
+
+
+def test_connected_components_transitive_closure(spark):
+    """A~B, B~C must cluster {A,B,C} even though A,C share no edge;
+    labels converge to the component minimum."""
+    from cs744_big_data_system_spark.graph.connected_components import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 21), (30, 31), (31, 32), (30, 33)],
+        ["doc_a", "doc_b"],
+    )
+    cc = {r.node: r.component for r in connected_components(pairs, "doc_a", "doc_b").collect()}
+    assert cc == {1: 1, 5: 1, 9: 1, 20: 20, 21: 20, 30: 30, 31: 30, 32: 30, 33: 30}
+    cl = {r.doc_id: (r.cluster_id, r.cluster_size) for r in dedup_clusters(pairs).collect()}
+    assert cl[9] == (1, 3) and cl[33] == (30, 4) and cl[21] == (20, 2)
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A path graph longer than the checkpoint cadence still reaches
+    the fixpoint (early-stop must not fire before convergence)."""
+    from cs744_big_data_system_spark.graph.connected_components import connected_components
+
+    chain = [(i, i + 1) for i in range(12)]  # diameter 12 > cadence 3
+    cc = {r.node: r.component for r in connected_components(
+        spark.createDataFrame(chain, ["src", "dst"]), max_iterations=20
+    ).collect()}
+    assert set(cc.values()) == {0}

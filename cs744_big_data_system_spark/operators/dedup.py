@@ -122,6 +122,10 @@ def ngram_jaccard_pairs(
             ).alias("shingle"),
         )
         .distinct()
+        # The shingle table feeds three consumers (sizes, both join
+        # sides); persist so the tokenize+hash+distinct chain runs once
+        # (MEMORY_AND_DISK — evicted under pressure, recomputable).
+        .persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
@@ -282,23 +286,21 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
         "doc_id", F.explode("_tk").alias("tok")
     )
     tok = tok.withColumn("th", md5_int60(F.col("tok")))
-    bit = tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        F.col("th"),
-    ).withColumn(
-        "delta",
-        F.when(F.expr("shiftright(th, CAST(bit AS INT)) & 1") == 1, 1).otherwise(-1),
-    )
-    bitsum = bit.groupBy("doc_id", "bit").agg(F.sum("delta").alias("s"))
-    return (
-        bitsum.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).otherwise(0)
-            ).alias("simhash")
-        )
-    )
+    # One conditional-sum aggregate per bit instead of a bit-explode:
+    # the explode version shuffles |tokens|·bits rows; this shuffles
+    # |tokens| rows once with ``bits`` map-side partial sums riding the
+    # same exchange — measured ~3× at sf0.1 for bits=32.
+    bit_aggs = [
+        F.sum(
+            F.when(F.expr(f"shiftright(th, {i}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(bits)
+    ]
+    bitsums = tok.groupBy("doc_id").agg(*bit_aggs)
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        sim = sim + F.when(F.col(f"_b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return bitsums.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_hamming_pairs(

@@ -300,6 +300,42 @@ FROM events ORDER BY event_type, event_id
 """
 
 
+# --- §2.9 UDTF surface: Python table function (Spark 3.5+) ---
+def q_udtf_tokenize(spark, sf_dir):
+    """Positional tokenization as a LATERAL Python UDTF — the
+    table-function third of the UDF/UDAF/UDTF surface. Python-side
+    str.split() matches the engine's whitespace tokenizer exactly.
+    Bounded to 50 docs: UDTFs are row-at-a-time Python — the demo is
+    the API surface, not a hot path (hot paths use native
+    explode/tokens, see functions/text.py)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, token: string")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, t in enumerate(text.split()):
+                yield i, t
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token "
+        "FROM _udtf_docs d, LATERAL tokenize_udtf(d.text) t"
+    )
+
+
+SQL_UDTF_TOKENIZE = """
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, tk[i] AS token
+FROM (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents WHERE doc_id < 50
+), unnest(range(1, len(tk) + 1)) AS u(i)
+"""
+
+
 # --- skew mitigation: salted two-phase aggregation ---
 def q_salted_agg(spark, sf_dir):
     """Sum of values per event_type (5 hot keys — the fixture's
@@ -328,6 +364,7 @@ WORKLOADS = {
     "pivot_sum": (q_pivot_sum, SQL_PIVOT_SUM),
     "set_ops_all": (q_set_ops_all, SQL_SET_OPS_ALL),
     "udaf_weighted_mean": (q_udaf_weighted_mean, SQL_UDAF_WEIGHTED_MEAN),
+    "udtf_tokenize": (q_udtf_tokenize, SQL_UDTF_TOKENIZE),
     "csv_roundtrip_sort": (q_csv_roundtrip_sort, SQL_CSV_ROUNDTRIP_SORT),
     "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
 }

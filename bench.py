@@ -49,9 +49,11 @@ def time_query(fn, spark, sf_dir, reps: int = 2) -> float:
     for i in range(reps + 1):
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()  # materialize the whole result, discard rows
+        # noop sink: computes EVERY output column and keeps sorts —
+        # count() would let Catalyst prune projections and eliminate
+        # orderBys, timing less work than the query declares.
+        df.write.format("noop").mode("overwrite").save()
         times.append(time.perf_counter() - t0)
-        del n
     return sum(times[1:]) / len(times[1:])
 
 

@@ -43,6 +43,7 @@ def connected_components(
         "component", F.col("node")
     )
 
+    converged = False
     for i in range(max_iterations):
         nbr_min = (
             und.join(labels, und.a == labels.node)
@@ -74,9 +75,36 @@ def connected_components(
             )
             if changed == 0:
                 labels = new_labels
+                converged = True
                 break
         labels = new_labels
 
+    if not converged:
+        # Final probe: one more superstep; if it still changes labels
+        # the diameter exceeded max_iterations and the result is WRONG
+        # (split components) — fail loudly rather than dedup wrongly.
+        nbr_min = (
+            und.join(labels, und.a == labels.node)
+            .groupBy(F.col("b").alias("node2"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        still_changing = (
+            labels.join(nbr_min, labels.node == nbr_min.node2)
+            .filter(F.col("nbr_component") < F.col("component"))
+            .limit(1)
+            .count()
+        )
+        if still_changing:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} "
+                "iterations (component diameter too large) — raise max_iterations"
+            )
+
+    # Labels past the last eager checkpoint no longer reference und's
+    # lineage; if the loop never checkpointed, cut it now so the cache
+    # can be released without a recompute on the caller's first action.
+    labels = labels.localCheckpoint(eager=True)
+    und.unpersist()
     return labels
 
 

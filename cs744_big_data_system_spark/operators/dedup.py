@@ -66,7 +66,10 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     """Documents with exact duplicates removed; keeps the min doc_id per
     canonical text (deterministic, unlike dropDuplicates)."""
     keep = exact_dedup_groups(documents).select(F.col("keep_doc_id").alias("doc_id"))
-    return documents.join(F.broadcast(keep), "doc_id", "left_semi")
+    # No broadcast hint: the keep-list is ~one row per distinct doc —
+    # unbounded at corpus scale. AQE broadcasts it when (and only
+    # when) the runtime size allows.
+    return documents.join(keep, "doc_id", "left_semi")
 
 
 def _with_canon_tokens(documents: DataFrame, *keep_cols: str) -> DataFrame:
@@ -122,11 +125,11 @@ def ngram_jaccard_pairs(
             ).alias("shingle"),
         )
         .distinct()
-        # The shingle table feeds three consumers (sizes, both join
-        # sides); persist so the tokenize+hash+distinct chain runs once
-        # (MEMORY_AND_DISK — evicted under pressure, recomputable).
-        .persist()
     )
+    # No persist here: the three consumers (sizes, both join sides)
+    # share the distinct's shuffle via ReuseExchange, and a persist
+    # inside a lazily-returned operator can never be unpersisted —
+    # repeated invocations in one session would leak cached blocks.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     left = sh.select(
@@ -222,7 +225,9 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(documents, n, num_hashes).persist()
+    # No persist (see ngram_jaccard_pairs) — the band self-join's two
+    # sides are the same subplan; ReuseExchange computes it once.
+    sig = minhash_signatures(documents, n, num_hashes)
 
     band_entries = sig.select(
         "doc_id",

@@ -97,8 +97,11 @@ def sessionize(
     """
     w = Window.partitionBy(user_col).orderBy(F.col(time_col).asc(), F.col(tiebreak_col).asc())
     prev_ts = F.lag(time_col).over(w)
-    gap_sec = F.col(time_col).cast("long") - prev_ts.cast("long")
-    is_new = F.when(prev_ts.isNull() | (gap_sec > gap_minutes * 60), 1).otherwise(0)
+    # Microsecond gap arithmetic: cast("long") would truncate to whole
+    # seconds and disagree with the µs-precision oracle on gaps that
+    # straddle the boundary by sub-second amounts.
+    gap_us = F.unix_micros(F.col(time_col)) - F.unix_micros(prev_ts)
+    is_new = F.when(prev_ts.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
     run = (
         Window.partitionBy(user_col)
         .orderBy(F.col(time_col).asc(), F.col(tiebreak_col).asc())

@@ -73,7 +73,14 @@ def salted_join(
     once per salt value (explode of a literal range — ``buckets``× the
     small side's size, which must remain broadcast-able), and the join
     key becomes (key, salt). Row multiplicity is exactly that of the
-    plain join."""
+    plain join for inner/left joins; right/full outer are rejected —
+    the (buckets−1) unmatched small-side replicas per key would emit
+    spurious null-extended rows."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left join types, got {how!r}: "
+            "replicated small-side rows would null-extend under right/full outer"
+        )
     big_s = big.withColumn("_salt", F.pmod(F.abs(F.hash(F.rand(seed=14))), F.lit(buckets)))
     small_r = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

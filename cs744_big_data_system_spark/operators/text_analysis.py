@@ -83,6 +83,34 @@ def token_counts(documents: DataFrame) -> DataFrame:
     )
 
 
+def boilerplate_phrases(documents: DataFrame, n: int = 6, min_docs: int = 3) -> DataFrame:
+    """(phrase_hash, n_docs, phrase) for canonical word ``n``-grams
+    appearing in ≥ ``min_docs`` DISTINCT documents — the C4-style
+    boilerplate detector (nav bars, cookie banners, license headers
+    repeat across pages; organic content doesn't). Downstream cleaning
+    strips or down-weights docs dominated by these phrases.
+
+    Long-ish n-grams (default 6) make cross-doc repetition a strong
+    boilerplate signal; the plan is one explode + distinct + count —
+    a single shuffle keyed by the phrase, near-uniform."""
+    from cs744_big_data_system_spark.functions.text import ngrams_from_tokens, tokens
+
+    grams = documents.select(
+        "doc_id", tokens(normalized_text("text")).alias("_tk")
+    ).select("doc_id", F.explode(ngrams_from_tokens("_tk", n)).alias("phrase"))
+    # Fold the phrase to a 60-bit key before the shuffles (same move
+    # as ngram_jaccard_pairs): distinct + count are keyed by 8 bytes,
+    # not a 6-word string; min(phrase) keeps one representative.
+    hashed = grams.select("doc_id", md5_int60(F.col("phrase")).alias("ph"), "phrase")
+    per_doc = hashed.groupBy("ph", "doc_id").agg(F.min("phrase").alias("phrase"))
+    return (
+        per_doc.groupBy("ph")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("phrase").alias("phrase"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select(F.col("ph").alias("phrase_key"), "n_docs", "phrase")
+    )
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Two fingerprints per doc:
       content_fp  — md5 hex of the canonical text (exact-dup key);

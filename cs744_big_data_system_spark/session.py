@@ -56,7 +56,11 @@ def get_spark(
     submit-time master.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    if master is None and "SPARK_GRAFT_FORCE_SUBMIT_MASTER" not in os.environ:
+    # spark-submit records its CLI in PYSPARK_SUBMIT_ARGS; if a master
+    # was given there, honor it (never override a cluster launch with
+    # local[N]). Only default to local[N] for bare `python x.py` runs.
+    submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    if master is None and "--master" not in submit_args:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         # One shuffle partition per core locally; on a cluster this should

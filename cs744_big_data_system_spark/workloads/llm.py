@@ -388,6 +388,35 @@ FROM documents
 """
 
 
+# --- Boilerplate line detection (C4-style repeated-line filter) ---
+def q_boilerplate(spark, sf_dir):
+    from cs744_big_data_system_spark.operators.text_analysis import boilerplate_phrases
+
+    return boilerplate_phrases(load_table(spark, sf_dir, "documents"), n=6, min_docs=3)
+
+
+_SQL_NGRAM6 = (
+    "CASE WHEN len(tk) >= 6 THEN list_transform(range(1, len(tk) - 4),"
+    " i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5])"
+    " ELSE [] END"
+)
+
+SQL_BOILERPLATE = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_CANON_TOKS} AS tk FROM documents
+), grams AS (
+  SELECT doc_id, unnest({_SQL_NGRAM6}) AS phrase FROM toks
+), hashed AS (
+  SELECT doc_id, {_sql_md5_int60("phrase")} AS ph, min(phrase) AS phrase
+  FROM grams GROUP BY doc_id, {_sql_md5_int60("phrase")}
+), counted AS (
+  SELECT ph, count(*) AS n_docs, min(phrase) AS phrase FROM hashed GROUP BY ph
+)
+SELECT ph AS phrase_key, n_docs, phrase
+FROM counted WHERE n_docs >= 3
+"""
+
+
 # --- Document fingerprinting (content md5 + winnowing-style rolling) ---
 def q_fingerprints(spark, sf_dir):
     return fingerprints(load_table(spark, sf_dir, "documents"))
@@ -508,6 +537,7 @@ WORKLOADS = {
     "text_quality": (q_quality, SQL_QUALITY),
     "text_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "text_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
+    "text_boilerplate": (q_boilerplate, SQL_BOILERPLATE),
     "llm_clean_corpus": (q_llm_clean_corpus, SQL_LLM_CLEAN_CORPUS),
     "label_mean_embedding": (q_label_mean_embedding, SQL_LABEL_MEAN_EMBEDDING),
 }

@@ -75,11 +75,20 @@ def q_percentile(spark, sf_dir):
     percentile_approx (t-digest, mergeable partial aggregation); exact
     percentile needs a full sort of each group's values."""
     li = _t(spark, sf_dir, "lineitem")
+    # One percentile(col, array(...)) aggregate — a single sort of each
+    # group's values serves all three quantiles (three separate
+    # percentile aggs each re-buffer/re-sort: measured 3× slower).
+    pcts = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    )
     return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
-        F.count(F.lit(1)).alias("n"),
+        pcts.alias("_p"), F.count(F.lit(1)).alias("n")
+    ).select(
+        "l_returnflag",
+        F.round(F.element_at("_p", 1), 4).alias("p50"),
+        F.round(F.element_at("_p", 2), 4).alias("p90"),
+        F.round(F.element_at("_p", 3), 4).alias("p99"),
+        "n",
     )
 
 

@@ -86,3 +86,17 @@ def test_token_counts_bpe_ish(spark):
     assert r.ws_tokens == 3
     # don | ' | t | stop | , | believing | ! → 7
     assert r.bpe_ish_tokens == 7
+
+
+def test_boilerplate_phrases_cross_doc(spark):
+    from cs744_big_data_system_spark.operators.text_analysis import boilerplate_phrases
+
+    banner = "this site uses cookies to improve your experience okay"
+    rows = [
+        (i, f"unique words {i} " + banner, "en", "s", 10) for i in range(3)
+    ] + [(9, "totally organic content with no repeats at all here", "en", "s", 10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = boilerplate_phrases(docs, n=6, min_docs=3).collect()
+    assert out, "shared banner must be detected"
+    assert all(r.n_docs == 3 for r in out)
+    assert any("cookies" in r.phrase for r in out)

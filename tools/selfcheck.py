@@ -36,7 +36,9 @@ def canon(df_pandas):
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 vals.append("∅")
             elif isinstance(v, float):
-                vals.append(repr(round(v, 9)))
+                # + 0.0 normalizes IEEE -0.0 to +0.0 so the two engines
+                # can't mismatch on signed zero.
+                vals.append(repr(round(v, 9) + 0.0))
             elif isinstance(v, bool):
                 vals.append(str(bool(v)))
             else:

@@ -218,6 +218,20 @@ def q_pagerank_events(spark, sf_dir):
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+# --- Data-parallel training loop (assignment-2 all-reduce schema) ---
+def q_ml_linear_fit(spark, sf_dir):
+    """Fit a linear model label ~ embedding by full-batch gradient
+    descent: broadcast-w / per-shard gradient / treeAggregate-merge per
+    iteration (ml/linear_sgd.py — the part2b all-reduce pattern).
+    Iterative + float-merge-order sensitive → rows-only; convergence
+    is asserted against a closed-form solution in tests."""
+    from cs744_big_data_system_spark.ml.linear_sgd import fit_linear, weights_df
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = fit_linear(emb, lr=0.5, iterations=10)
+    return weights_df(spark, w)
+
+
 # --- Multimodal plumbing: Arrow-batched feature extraction (decode stubbed) ---
 def q_multimodal_features(spark, sf_dir):
     assets = synthetic_assets(spark, n=64)
@@ -239,5 +253,6 @@ WORKLOADS = {
     "stream_stream_join_replay": (q_stream_stream_join_replay, SQL_STREAM_STREAM_JOIN),
     "stream_stateful_counts": (q_stream_stateful_counts, SQL_STREAM_STATEFUL),
     "pagerank_events": (q_pagerank_events, None),  # iterative fixed-point
+    "ml_linear_fit": (q_ml_linear_fit, None),  # iterative training loop
     "multimodal_features": (q_multimodal_features, None),  # decode stubbed
 }

@@ -117,3 +117,21 @@ def test_decode_stub_rejects_unknown_modality():
 
     with pytest.raises(NotImplementedError):
         _decode_stub(b"xx", "hologram")
+
+
+def test_linear_sgd_converges_to_closed_form(spark):
+    """Full-batch GD on exactly-linear data must recover the true
+    weights (the reference's loss-parity check, part2b vs part1)."""
+    import numpy as np
+
+    from cs744_big_data_system_spark.ml.linear_sgd import fit_linear
+
+    rng = np.random.RandomState(14)
+    X = rng.randn(400, 4)
+    w_true = np.array([2.0, -1.0, 0.5, 3.0])
+    y = X @ w_true + 0.25  # known bias
+    rows = [(x.tolist(), float(t)) for x, t in zip(X, y)]
+    df = spark.createDataFrame(rows, ["embedding", "label"]).repartition(4)
+    w = fit_linear(df, lr=0.4, iterations=150)
+    assert np.allclose(w[:4], w_true, atol=1e-2), w
+    assert abs(w[4] - 0.25) < 1e-2, w

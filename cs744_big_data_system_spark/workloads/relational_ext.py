@@ -309,6 +309,76 @@ FROM events ORDER BY event_type, event_id
 """
 
 
+# --- §2.9 struct functions: build, field access, inline-explode ---
+def q_struct_funcs(spark, sf_dir):
+    """Nested STRUCT round-trip: build per-order structs, collect an
+    array of them, inline-explode back, project fields — the nested-
+    data surface (FIXTURES.md notes the reference has no struct data
+    at all)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("ln"),
+                    F.round("l_extendedprice", 4).alias("price"),
+                )
+            )
+        ).alias("lines")
+    )
+    return nested.select(
+        "l_orderkey",
+        F.size("lines").alias("n_lines"),
+        F.inline("lines"),
+    ).select(
+        "l_orderkey",
+        "n_lines",
+        "ln",
+        "price",
+    )
+
+
+SQL_STRUCT_FUNCS = """
+WITH nested AS (
+  SELECT l_orderkey,
+         list_sort(list({'ln': l_linenumber, 'price': round(l_extendedprice, 4)})) AS lines
+  FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey
+)
+SELECT l_orderkey, CAST(len(lines) AS INT) AS n_lines,
+       u.ln AS ln, u.price AS price
+FROM (SELECT l_orderkey, len(lines) AS lines_len, unnest(lines) AS u, lines FROM nested)
+"""
+
+
+# --- §2.9 unpivot / melt (wide → long) ---
+def q_unpivot(spark, sf_dir):
+    """unpivot (melt): the price-ish measures of lineitem as
+    (metric, value) rows — the inverse of pivot_sum, one narrow
+    projection with no shuffle."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    ).select(
+        "l_orderkey", "l_linenumber", "metric", F.round("value", 4).alias("value")
+    )
+
+
+SQL_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, metric, round(value, 4) AS value
+FROM (
+  UNPIVOT (SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax
+           FROM lineitem WHERE l_orderkey < 500)
+  ON l_extendedprice, l_discount, l_tax
+  INTO NAME metric VALUE value
+)
+"""
+
+
 # --- §2.9 UDTF surface: Python table function (Spark 3.5+) ---
 def q_udtf_tokenize(spark, sf_dir):
     """Positional tokenization as a LATERAL Python UDTF — the
@@ -374,6 +444,8 @@ WORKLOADS = {
     "set_ops_all": (q_set_ops_all, SQL_SET_OPS_ALL),
     "udaf_weighted_mean": (q_udaf_weighted_mean, SQL_UDAF_WEIGHTED_MEAN),
     "udtf_tokenize": (q_udtf_tokenize, SQL_UDTF_TOKENIZE),
+    "struct_funcs": (q_struct_funcs, SQL_STRUCT_FUNCS),
+    "unpivot": (q_unpivot, SQL_UNPIVOT),
     "csv_roundtrip_sort": (q_csv_roundtrip_sort, SQL_CSV_ROUNDTRIP_SORT),
     "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
 }

@@ -115,3 +115,22 @@ def test_ivf_assignment_broadcasts_centroids(spark):
     q = emb.filter(F.col("vec_id") < 5)
     plan = formatted_plan(cosine_topk_ivf(q, emb, num_centroids=4, k=3))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned parquet + a filter on the partition column must
+    prune at planning time (PartitionFilters), reading only matching
+    directories — the table-layout half of pushdown."""
+    from cs744_big_data_system_spark.plans.explain import formatted_plan
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.sources.writers import write_parquet
+
+    ev = load_table(spark, SF_SMALL, "events")
+    out = str(tmp_path / "events_by_type")
+    write_parquet(ev, out, partition_by=["event_type"])
+    back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200], plan
+    # and the data actually comes back right
+    want = ev.filter(F.col("event_type") == "purchase").count()
+    assert back.count() == want

@@ -415,6 +415,33 @@ FROM (
 """
 
 
+# --- deterministic hash sampling (reproducible D1-style sharding) ---
+def q_hash_sample(spark, sf_dir):
+    """20% sample selected by key hash, not rand(): reproducible across
+    runs, clusters, and engines (the property DistributedSampler's
+    fixed seed gave the reference, D1/D7) — and joinable: the same
+    doc/user lands in the same split everywhere. rand()-sampling can't
+    be oracle-checked; hash-sampling is."""
+    from cs744_big_data_system_spark.operators.dedup import md5_int60
+
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.pmod(md5_int60(F.col("event_id").cast("string")), F.lit(10))
+    return (
+        ev.withColumn("_b", bucket)
+        .filter(F.col("_b") < 2)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+SQL_HASH_SAMPLE = """
+SELECT event_type, count(*) AS n_sampled
+FROM events
+WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 2
+GROUP BY event_type
+"""
+
+
 # --- skew mitigation: salted two-phase aggregation ---
 def q_salted_agg(spark, sf_dir):
     """Sum of values per event_type (5 hot keys — the fixture's
@@ -448,4 +475,5 @@ WORKLOADS = {
     "unpivot": (q_unpivot, SQL_UNPIVOT),
     "csv_roundtrip_sort": (q_csv_roundtrip_sort, SQL_CSV_ROUNDTRIP_SORT),
     "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
+    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
 }

@@ -213,8 +213,13 @@ def q_pagerank_events(spark, sf_dir):
     Golden-graph parity tests: tests/test_pagerank.py."""
     edges = edges_from_events(load_table(spark, sf_dir, "events"))
     # The event-type graph has few nodes: broadcast the rank vector so
-    # the cached weighted-links table never re-shuffles per superstep.
-    ranks = pagerank(edges, iterations=10, damping=0.85, broadcast_ranks=True)
+    # the cached weighted-links table never re-shuffles per superstep,
+    # and size the loop's partitions to the COLLAPSED links table (tens
+    # of rows), not the default shuffle width — 32 near-empty tasks per
+    # superstep are pure scheduling overhead on a tiny graph.
+    ranks = pagerank(
+        edges, iterations=10, damping=0.85, broadcast_ranks=True, num_partitions=4
+    )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 

@@ -71,6 +71,26 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
     )
 
 
+def assets_from_documents(documents: DataFrame) -> DataFrame:
+    """Derive a deterministic asset table from the documents fixture:
+    payload = the 16 raw md5 bytes of the text, modality round-robins
+    by doc_id. Because the payload is a pure function of fixture data,
+    the whole mapInPandas decode path becomes DuckDB-oracle-checkable
+    (the oracle recomputes the stub's byte math from md5 hex)."""
+    return documents.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.to_binary(F.md5("text"), F.lit("hex")).alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(32).alias("width"),
+        F.lit(32).alias("height"),
+        (F.col("doc_id") * 100).alias("duration_ms"),
+    )
+
+
 def _decode_stub(payload: bytes, modality: str) -> list[float]:
     """Deterministic fake 'decode + feature-extract'.
 

@@ -249,6 +249,41 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+# --- Multimodal over fixture data: the mapInPandas path, oracle-checked ---
+def q_multimodal_doc_features(spark, sf_dir):
+    """Same Arrow-batched decode pipeline as multimodal_features, but
+    the asset payloads derive deterministically from the documents
+    fixture (md5 bytes), so the ENTIRE Python mapInPandas path is
+    hash-checked against an oracle that recomputes the stub's byte
+    math from md5 hex — not just smoke-tested."""
+    from cs744_big_data_system_spark.operators.multimodal import (
+        assets_from_documents,
+        extract_features,
+    )
+
+    assets = assets_from_documents(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(assets)
+    return feats.select(
+        "asset_id",
+        "modality",
+        "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("feature", 8).cast("double"), 6).alias("f7"),
+    )
+
+
+# stub feature i = payload_byte[i mod 16] / 255; byte j of md5 = hex
+# chars (2j+1, 2j+2). f0 -> byte 0, f7 -> byte 7.
+SQL_MULTIMODAL_DOC_FEATURES = """
+SELECT doc_id AS asset_id,
+       ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+       CAST(16 AS BIGINT) AS n_bytes,
+       round(CAST(CAST(CAST(('0x' || substr(md5(text), 1, 2)) AS INT) / 255.0 AS FLOAT) AS DOUBLE), 6) AS f0,
+       round(CAST(CAST(CAST(('0x' || substr(md5(text), 15, 2)) AS INT) / 255.0 AS FLOAT) AS DOUBLE), 6) AS f7
+FROM documents
+"""
+
+
 WORKLOADS = {
     "window_tumbling": (q_window_tumbling, SQL_WINDOW_TUMBLING),
     "window_sliding": (q_window_sliding, SQL_WINDOW_SLIDING),
@@ -260,4 +295,5 @@ WORKLOADS = {
     "pagerank_events": (q_pagerank_events, None),  # iterative fixed-point
     "ml_linear_fit": (q_ml_linear_fit, None),  # iterative training loop
     "multimodal_features": (q_multimodal_features, None),  # decode stubbed
+    "multimodal_doc_features": (q_multimodal_doc_features, SQL_MULTIMODAL_DOC_FEATURES),
 }

@@ -102,6 +102,29 @@ LIMIT 10
 """
 
 
+# --- Same flagship through the Spark SQL TEXT front end ---
+def q_flagship_q3_sql(spark, sf_dir):
+    """Identical query authored as SQL text against registered temp
+    views — proof the SQL front end (parser → same Catalyst plan) is a
+    first-class way to drive the engine, not just the DataFrame API."""
+    for t in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql("""
+        SELECT o_orderkey,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM v_lineitem
+        JOIN v_orders ON l_orderkey = o_orderkey
+        JOIN v_customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '2000-01-01'
+          AND l_shipdate > TIMESTAMP '2000-01-01'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """)
+
+
 # --- §2.3 J1: inner equi-join (task1.py:51) widened to a 3-way ---
 def q_join_inner(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -668,6 +691,7 @@ WORKLOADS = {
     "global_sort": (q_global_sort, SQL_GLOBAL_SORT),
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "flagship_q3": (q_flagship_q3, SQL_FLAGSHIP_Q3),
+    "flagship_q3_sql": (q_flagship_q3_sql, SQL_FLAGSHIP_Q3),
     "join_inner": (q_join_inner, SQL_JOIN_INNER),
     "join_left_outer": (q_join_left_outer, SQL_JOIN_LEFT_OUTER),
     "join_semi": (q_join_semi, SQL_JOIN_SEMI),

@@ -80,9 +80,13 @@ def connected_components(
         labels = new_labels
 
     if not converged:
-        # Final probe: one more superstep; if it still changes labels
-        # the diameter exceeded max_iterations and the result is WRONG
-        # (split components) — fail loudly rather than dedup wrongly.
+        # Materialize the loop's tail ONCE, then probe convergence on
+        # the checkpointed labels (otherwise the probe and a later
+        # checkpoint would each recompute the un-checkpointed lineage).
+        labels = labels.localCheckpoint(eager=True)
+        # If one more superstep would still change labels, the diameter
+        # exceeded max_iterations and the result is WRONG (split
+        # components) — fail loudly rather than dedup wrongly.
         nbr_min = (
             und.join(labels, und.a == labels.node)
             .groupBy(F.col("b").alias("node2"))
@@ -100,10 +104,10 @@ def connected_components(
                 "iterations (component diameter too large) — raise max_iterations"
             )
 
-    # Labels past the last eager checkpoint no longer reference und's
-    # lineage; if the loop never checkpointed, cut it now so the cache
-    # can be released without a recompute on the caller's first action.
-    labels = labels.localCheckpoint(eager=True)
+    # On the converged path labels is already an eager checkpoint (the
+    # early-stop fires only right after one); either way the lineage no
+    # longer references und, so its cache can be released without
+    # forcing a recompute on the caller's first action.
     und.unpersist()
     return labels
 

@@ -41,10 +41,15 @@ def fit_linear(
     all-reduce communication pattern, sized |w|, independent of rows.
     """
     first = df.select(feature_col).first()
+    if first is None or first[0] is None:
+        raise ValueError("fit_linear: input has no rows (or a null first feature)")
     dim = len(first[0]) + 1  # + bias
     w = np.zeros(dim, dtype=np.float64)
     sc = df.sparkSession.sparkContext
-    data = df.select(feature_col, label_col)
+    # Cache the training set: every iteration re-walks it through
+    # df.rdd (parquet scan + JVM->Python serde each time otherwise) —
+    # the task3.py:37 cache-the-loop-invariant lesson.
+    data = df.select(feature_col, label_col).persist()
 
     for _ in range(iterations):
         bw = sc.broadcast(w)
@@ -72,6 +77,7 @@ def fit_linear(
         if n == 0:
             break
         w = w - lr * (grad / n + l2 * w)
+    data.unpersist()  # w is a materialized ndarray; safe to release
     return w
 
 

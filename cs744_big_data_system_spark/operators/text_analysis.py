@@ -92,7 +92,11 @@ def boilerplate_phrases(documents: DataFrame, n: int = 6, min_docs: int = 3) -> 
 
     Long-ish n-grams (default 6) make cross-doc repetition a strong
     boilerplate signal; the plan is one explode + distinct + count —
-    a single shuffle keyed by the phrase, near-uniform."""
+    a single shuffle keyed by the phrase, near-uniform.
+
+    (Not built on dedup.shingles() deliberately: that operator
+    distincts on the phrase STRING; here the hash-fold happens before
+    the per-doc dedup so both shuffles are keyed by 8 bytes.)"""
     from cs744_big_data_system_spark.functions.text import ngrams_from_tokens, tokens
 
     grams = documents.select(

@@ -56,11 +56,17 @@ def get_spark(
     submit-time master.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # spark-submit records its CLI in PYSPARK_SUBMIT_ARGS; if a master
-    # was given there, honor it (never override a cluster launch with
-    # local[N]). Only default to local[N] for bare `python x.py` runs.
-    submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
-    if master is None and "--master" not in submit_args:
+    # Never override a cluster launch with local[N]. Two launch paths
+    # to detect: (a) `spark-submit app.py` — the JVM gateway already
+    # exists and exports PYSPARK_GATEWAY_PORT/SECRET; (b) pyspark
+    # shell / Python-launched JVM — the CLI is in PYSPARK_SUBMIT_ARGS.
+    # Only a bare `python x.py` run (neither signal) defaults to
+    # local[N].
+    launched_by_submit = (
+        "PYSPARK_GATEWAY_PORT" in os.environ
+        or "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    )
+    if master is None and not launched_by_submit:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         # One shuffle partition per core locally; on a cluster this should

@@ -39,11 +39,18 @@ _SQL_CANON_TOKS = (
     "list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),"
     " t -> t <> '')"
 )
-#: DuckDB fragment: word 3-gram shingles from a token list named ``tk``.
-_SQL_NGRAM3 = (
-    "CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),"
-    " i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) ELSE [] END"
-)
+def _sql_ngram(n: int) -> str:
+    """DuckDB fragment: word n-gram shingles from a token list named
+    ``tk`` — mirror of functions/text.ngrams_from_tokens."""
+    concat = " || ' ' || ".join(f"tk[i+{k}]" if k else "tk[i]" for k in range(n))
+    return (
+        f"CASE WHEN len(tk) >= {n} THEN list_transform(range(1, len(tk) - {n - 2}),"
+        f" i -> {concat}) ELSE [] END"
+    )
+
+
+#: word 3-gram shingles (the dedup family's shingle size).
+_SQL_NGRAM3 = _sql_ngram(3)
 #: DuckDB mirror of operators/dedup.md5_int60.
 def _sql_md5_int60(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
@@ -395,11 +402,7 @@ def q_boilerplate(spark, sf_dir):
     return boilerplate_phrases(load_table(spark, sf_dir, "documents"), n=6, min_docs=3)
 
 
-_SQL_NGRAM6 = (
-    "CASE WHEN len(tk) >= 6 THEN list_transform(range(1, len(tk) - 4),"
-    " i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5])"
-    " ELSE [] END"
-)
+_SQL_NGRAM6 = _sql_ngram(6)
 
 SQL_BOILERPLATE = f"""
 WITH toks AS (

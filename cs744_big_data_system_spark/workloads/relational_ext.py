@@ -415,6 +415,82 @@ FROM (
 """
 
 
+# --- §2.9 statistical aggregates (corr/covar/stddev/regr/skew) ---
+def q_stats_aggs(spark, sf_dir):
+    """The statistical-aggregate family per group — all mergeable
+    single-pass moments (partial aggregation applies), nothing here
+    needs a sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.skewness("l_extendedprice"), 6).alias("skew_price"),
+        F.round(F.kurtosis("l_extendedprice"), 6).alias("kurt_price"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("regr_slope_price_qty"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("regr_icept_price_qty"),
+    )
+
+
+# DuckDB kurtosis is EXCESS kurtosis with bias correction ≠ Spark's
+# population-moment kurtosis g2 = m4/m2² − 3; recompute g2 from raw
+# moments so both engines use the same estimator (same for skewness
+# g1 = m3/m2^1.5).
+_SQL_G2 = (
+    "(avg(pow(l_extendedprice - sub.mean_p, 4)) / pow(avg(pow(l_extendedprice - sub.mean_p, 2)), 2)) - 3"
+)
+_SQL_G1 = (
+    "avg(pow(l_extendedprice - sub.mean_p, 3)) / pow(avg(pow(l_extendedprice - sub.mean_p, 2)), 1.5)"
+)
+
+SQL_STATS_AGGS = f"""
+WITH sub AS (
+  SELECT l_returnflag AS rf, avg(l_extendedprice) AS mean_p FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       round(stddev_samp(l_extendedprice), 4) AS std_price,
+       round(var_samp(l_discount), 6) AS var_disc,
+       round({_SQL_G1}, 6) AS skew_price,
+       round({_SQL_G2}, 6) AS kurt_price,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS regr_slope_price_qty,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS regr_icept_price_qty
+FROM lineitem JOIN sub ON sub.rf = l_returnflag
+GROUP BY l_returnflag
+"""
+
+
+# --- §2.9 window frames: RANGE BETWEEN (value-based frame) ---
+def q_range_window(spark, sf_dir):
+    """Running count of same-flag line items within a VALUE window of
+    the current row's price (rangeBetween on the ordering value, not
+    row offsets) — the value-frame half of the window surface."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.col("l_extendedprice").asc())
+        .rangeBetween(-10000, 0)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round("l_extendedprice", 4).alias("l_extendedprice"),
+        F.count(F.lit(1)).over(w).alias("n_within_10k_below"),
+    )
+
+
+SQL_RANGE_WINDOW = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       round(l_extendedprice, 4) AS l_extendedprice,
+       count(*) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                      RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_within_10k_below
+FROM lineitem WHERE l_orderkey < 2000
+"""
+
+
 # --- deterministic hash sampling (reproducible D1-style sharding) ---
 def q_hash_sample(spark, sf_dir):
     """20% sample selected by key hash, not rand(): reproducible across
@@ -476,4 +552,6 @@ WORKLOADS = {
     "csv_roundtrip_sort": (q_csv_roundtrip_sort, SQL_CSV_ROUNDTRIP_SORT),
     "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "stats_aggs": (q_stats_aggs, SQL_STATS_AGGS),
+    "range_window": (q_range_window, SQL_RANGE_WINDOW),
 }

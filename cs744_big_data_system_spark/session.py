@@ -21,6 +21,13 @@ from pyspark.sql import SparkSession
 
 #: Defaults chosen for correctness at any scale + efficiency at large scale.
 ENGINE_CONF: dict[str, str] = {
+    # Local mode runs every task inside the driver JVM, whose DEFAULT
+    # heap is 1g — long sessions (70+ queries, streaming state stores,
+    # iterative checkpoints) eventually fail stage materialization.
+    # Size it to the machine (only honored at JVM start; harmless and
+    # ignored on an already-running cluster JVM).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    "spark.driver.maxResultSize": "4g",
     # --- Adaptive execution: runtime re-planning replaces manual tuning ---
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -42,6 +49,20 @@ ENGINE_CONF: dict[str, str] = {
 }
 
 
+def _default_master(cpus: int, env) -> str | None:
+    """local[cpus] for bare `python x.py` runs; None (= respect the
+    submit-time master) when a launcher already chose one. Two launch
+    paths to detect: (a) `spark-submit app.py` — the JVM gateway
+    already exists and exports PYSPARK_GATEWAY_PORT/SECRET; (b)
+    pyspark shell / Python-launched JVM — the CLI is in
+    PYSPARK_SUBMIT_ARGS. Never override a cluster launch with
+    local[N]."""
+    launched_by_submit = (
+        "PYSPARK_GATEWAY_PORT" in env or "--master" in env.get("PYSPARK_SUBMIT_ARGS", "")
+    )
+    return None if launched_by_submit else f"local[{cpus}]"
+
+
 def get_spark(
     app_name: str = "cs744-spark-engine",
     master: str | None = None,
@@ -56,18 +77,8 @@ def get_spark(
     submit-time master.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # Never override a cluster launch with local[N]. Two launch paths
-    # to detect: (a) `spark-submit app.py` — the JVM gateway already
-    # exists and exports PYSPARK_GATEWAY_PORT/SECRET; (b) pyspark
-    # shell / Python-launched JVM — the CLI is in PYSPARK_SUBMIT_ARGS.
-    # Only a bare `python x.py` run (neither signal) defaults to
-    # local[N].
-    launched_by_submit = (
-        "PYSPARK_GATEWAY_PORT" in os.environ
-        or "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
-    )
-    if master is None and not launched_by_submit:
-        master = f"local[{cpus}]"
+    if master is None:
+        master = _default_master(cpus, os.environ)
     if shuffle_partitions is None:
         # One shuffle partition per core locally; on a cluster this should
         # be ~2-3x total cores — AQE coalescing makes over-provisioning cheap.

@@ -135,3 +135,15 @@ def test_linear_sgd_converges_to_closed_form(spark):
     w = fit_linear(df, lr=0.4, iterations=150)
     assert np.allclose(w[:4], w_true, atol=1e-2), w
     assert abs(w[4] - 0.25) < 1e-2, w
+
+
+def test_default_master_detection():
+    """Bare python runs get local[N]; any launcher-provided master is
+    respected (spark-submit exports the gateway port; pyspark shell
+    exports PYSPARK_SUBMIT_ARGS)."""
+    from cs744_big_data_system_spark.session import _default_master
+
+    assert _default_master(8, {}) == "local[8]"
+    assert _default_master(8, {"PYSPARK_GATEWAY_PORT": "43211"}) is None
+    assert _default_master(8, {"PYSPARK_SUBMIT_ARGS": "--master yarn pyspark-shell"}) is None
+    assert _default_master(8, {"PYSPARK_SUBMIT_ARGS": "pyspark-shell"}) == "local[8]"

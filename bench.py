@@ -23,6 +23,7 @@ from cs744_big_data_system_spark.workloads import all_workloads
 #: toward the shuffle/join/agg-heavy ones that dominate at scale.
 HEADLINE = [
     "flagship_q3",
+    "flagship_q5",
     "global_sort",
     "agg_sums_q1",
     "join_inner",

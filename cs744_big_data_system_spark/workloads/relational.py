@@ -102,6 +102,48 @@ LIMIT 10
 """
 
 
+# --- Q5-shaped 6-table join: local-supplier revenue by nation ---
+def q_flagship_q5(spark, sf_dir):
+    """region→nation→customer→orders→lineitem→supplier with the
+    local-supplier constraint (customer and supplier in the same
+    nation) — the deepest join chain in the suite. All four dimension
+    tables broadcast; lineitem (the fact) shuffles exactly once, for
+    the final groupBy. Join ORDER is Catalyst's choice — the
+    declarative form is what makes the 6-way reorderable."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "2000-01-01")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)  # local supplier
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev), 4).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+SQL_FLAGSHIP_Q5 = """
+SELECT n_name,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND o_orderdate < TIMESTAMP '2000-01-01'
+GROUP BY n_name
+"""
+
+
 # --- Same flagship through the Spark SQL TEXT front end ---
 def q_flagship_q3_sql(spark, sf_dir):
     """Identical query authored as SQL text against registered temp
@@ -692,6 +734,7 @@ WORKLOADS = {
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "flagship_q3": (q_flagship_q3, SQL_FLAGSHIP_Q3),
     "flagship_q3_sql": (q_flagship_q3_sql, SQL_FLAGSHIP_Q3),
+    "flagship_q5": (q_flagship_q5, SQL_FLAGSHIP_Q5),
     "join_inner": (q_join_inner, SQL_JOIN_INNER),
     "join_left_outer": (q_join_left_outer, SQL_JOIN_LEFT_OUTER),
     "join_semi": (q_join_semi, SQL_JOIN_SEMI),

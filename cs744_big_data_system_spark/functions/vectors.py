@@ -42,6 +42,20 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return F.when(denom > 0, dot(a, b) / denom)
 
 
+def quantize_int8(a: Column | str) -> Column:
+    """Symmetric int8 quantization of a vector: scale = 127/max|x|,
+    q_i = floor(x_i·scale + 0.5) ∈ [−127, 127] (explicit floor(+0.5)
+    so both engines round identically — no HALF_UP/HALF_EVEN drift).
+    Returns struct(scale, q: array<int>); dequantize ≈ q/scale. The
+    4× size cut is what makes billion-vector ANN shards fit in RAM;
+    all native array ops, codegen'd."""
+    v = _as_double(a)
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(absmax > 0, F.lit(127.0) / absmax).otherwise(F.lit(0.0))
+    q = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
+    return F.struct(F.round(scale, 6).alias("scale"), q.alias("q"))
+
+
 def vec_argmax(a: Column | str) -> Column:
     """1-based index of the max element (first occurrence) — the
     reference's `output.argmax(dim=1)` (assignment2/part3/main.py:73)

@@ -503,6 +503,39 @@ WHERE len({_SQL_TOKS}) >= 5 AND len({_SQL_TOKS}) <= 100000
 """
 
 
+# --- Symmetric int8 quantization of embeddings (ANN shard compression) ---
+def q_embedding_quantize(spark, sf_dir):
+    """Per-vector int8 quantization (functions/vectors.quantize_int8);
+    output the scale and a few probe components plus the checksum of
+    the whole quantized vector, all oracle-reproducible."""
+    from cs744_big_data_system_spark.functions.vectors import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = emb.select("vec_id", quantize_int8("embedding").alias("qz"))
+    return qz.select(
+        "vec_id",
+        F.col("qz.scale").alias("scale"),
+        F.element_at("qz.q", 1).alias("q0"),
+        F.element_at("qz.q", 64).alias("q63"),
+        F.aggregate("qz.q", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
+    )
+
+
+_SQL_ABSMAX = "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+_SQL_QSCALE = f"CASE WHEN {_SQL_ABSMAX} > 0 THEN 127.0 / {_SQL_ABSMAX} ELSE 0.0 END"
+
+SQL_EMBEDDING_QUANTIZE = f"""
+WITH scaled AS (
+  SELECT vec_id, {_SQL_QSCALE} AS s,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_SQL_QSCALE} + 0.5) AS INT)) AS q
+  FROM embeddings
+)
+SELECT vec_id, round(s, 6) AS scale, q[1] AS q0, q[64] AS q63,
+       CAST(list_sum(q) AS BIGINT) AS q_sum
+FROM scaled
+"""
+
+
 # --- Element-wise mean embedding per label (gradient-mean analogue, A3/D4) ---
 def q_label_mean_embedding(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
@@ -543,4 +576,5 @@ WORKLOADS = {
     "text_boilerplate": (q_boilerplate, SQL_BOILERPLATE),
     "llm_clean_corpus": (q_llm_clean_corpus, SQL_LLM_CLEAN_CORPUS),
     "label_mean_embedding": (q_label_mean_embedding, SQL_LABEL_MEAN_EMBEDDING),
+    "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
 }

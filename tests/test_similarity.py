@@ -102,3 +102,22 @@ def test_vector_functions(spark):
     # zero vector → NULL cosine, not a crash
     z = spark.createDataFrame([([0.0, 0.0], [1.0, 0.0])], ["a", "b"])
     assert z.select(cosine_similarity("a", "b").alias("c")).collect()[0].c is None
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from cs744_big_data_system_spark.functions.vectors import quantize_int8
+
+    vecs = [(0, [0.5, -1.0, 0.25, 0.0]), (1, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    rows = {r.vec_id: r for r in df.select("vec_id", quantize_int8("embedding").alias("qz")).collect()}
+    q0 = rows[0].qz
+    assert q0.q == [64, -127, 32, 0]  # scale = 127/1.0, floor(x*127+0.5)
+    assert abs(q0.scale - 127.0) < 1e-6
+    # max|x| = 1.0 -> dequant error <= 0.5/scale
+    for orig, q in zip([0.5, -1.0, 0.25, 0.0], q0.q):
+        assert abs(q / q0.scale - orig) <= 0.5 / q0.scale + 1e-9
+    assert rows[1].qz.scale == 0.0 and rows[1].qz.q == [0, 0, 0, 0]  # zero vector safe

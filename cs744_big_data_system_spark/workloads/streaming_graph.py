@@ -72,6 +72,21 @@ def q_stream_tumbling_replay(spark, sf_dir):
     )
 
 
+# --- TRUE streaming replay: sliding windows through the streaming engine ---
+def q_stream_sliding_replay(spark, sf_dir):
+    """Sliding (overlapping) windows through the micro-batch engine —
+    each event updates window/slide window states; complete-mode output
+    must equal the batch oracle."""
+    return replay_to_batch(
+        spark,
+        f"{sf_dir}/events.parquet",
+        lambda s: sliding_window_counts(
+            s, window="10 minutes", slide="5 minutes", watermark="365 days"
+        ),
+        output_mode="complete",
+    )
+
+
 # --- TRUE streaming replay: session windows through the streaming engine ---
 def q_stream_session_replay(spark, sf_dir):
     """Per-user session windows (30-min gap) computed by the REAL
@@ -288,6 +303,7 @@ WORKLOADS = {
     "window_tumbling": (q_window_tumbling, SQL_WINDOW_TUMBLING),
     "window_sliding": (q_window_sliding, SQL_WINDOW_SLIDING),
     "stream_tumbling_replay": (q_stream_tumbling_replay, SQL_WINDOW_TUMBLING),
+    "stream_sliding_replay": (q_stream_sliding_replay, SQL_WINDOW_SLIDING),
     "stream_session_replay": (q_stream_session_replay, SQL_STREAM_SESSION),
     "stream_dedup_replay": (q_stream_dedup_replay, SQL_STREAM_DEDUP),
     "stream_stream_join_replay": (q_stream_stream_join_replay, SQL_STREAM_STREAM_JOIN),

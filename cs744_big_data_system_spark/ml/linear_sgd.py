@@ -46,38 +46,45 @@ def fit_linear(
     dim = len(first[0]) + 1  # + bias
     w = np.zeros(dim, dtype=np.float64)
     sc = df.sparkSession.sparkContext
-    # Cache the training set: every iteration re-walks it through
-    # df.rdd (parquet scan + JVM->Python serde each time otherwise) —
-    # the task3.py:37 cache-the-loop-invariant lesson.
-    data = df.select(feature_col, label_col).persist()
+    # Cache the CONVERTED RDD, not the DataFrame: the loop's per-
+    # iteration cost is the JVM→Python row conversion, which caching a
+    # DataFrame would re-pay every epoch (df.rdd converts on each
+    # walk); caching post-conversion pays it once — the task3.py:37
+    # cache-the-loop-invariant lesson applied at the right layer.
+    data_rdd = df.select(feature_col, label_col).rdd.persist()
 
-    for _ in range(iterations):
-        bw = sc.broadcast(w)
+    try:
+        for _ in range(iterations):
+            bw = sc.broadcast(w)
 
-        def local_grad(rows, _bw=bw):
-            wv = _bw.value
-            g = np.zeros_like(wv)
-            n = 0
-            X_rows, y_rows = [], []
-            for r in rows:
-                X_rows.append(r[0])
-                y_rows.append(r[1])
-            if X_rows:
-                X = np.asarray(X_rows, dtype=np.float64)
-                X = np.hstack([X, np.ones((X.shape[0], 1))])  # bias
-                y = np.asarray(y_rows, dtype=np.float64)
-                resid = X @ wv - y
-                g = X.T @ resid
-                n = X.shape[0]
-            return g, n
+            def local_grad(rows, _bw=bw):
+                wv = _bw.value
+                g = np.zeros_like(wv)
+                n = 0
+                X_rows, y_rows = [], []
+                for r in rows:
+                    X_rows.append(r[0])
+                    y_rows.append(r[1])
+                if X_rows:
+                    X = np.asarray(X_rows, dtype=np.float64)
+                    X = np.hstack([X, np.ones((X.shape[0], 1))])  # bias
+                    y = np.asarray(y_rows, dtype=np.float64)
+                    resid = X @ wv - y
+                    g = X.T @ resid
+                    n = X.shape[0]
+                return g, n
 
-        grad, n = synchronized_superstep(
-            data, local_grad, lambda a, b: (a[0] + b[0], a[1] + b[1]), (np.zeros(dim), 0)
-        )
-        if n == 0:
-            break
-        w = w - lr * (grad / n + l2 * w)
-    data.unpersist()  # w is a materialized ndarray; safe to release
+            grad, n = synchronized_superstep(
+                data_rdd, local_grad, lambda a, b: (a[0] + b[0], a[1] + b[1]), (np.zeros(dim), 0)
+            )
+            # Each epoch's weights are superseded — release the
+            # broadcast deterministically instead of waiting on GC.
+            bw.destroy()
+            if n == 0:
+                break
+            w = w - lr * (grad / n + l2 * w)
+    finally:
+        data_rdd.unpersist()  # w is a materialized ndarray; safe to release
     return w
 
 

@@ -49,7 +49,11 @@ def synchronized_superstep(
     ``local_fn(iterator) -> partial`` runs once per partition;
     ``merge_fn(a, b) -> partial`` must be associative+commutative.
     """
-    rdd = df.rdd.mapPartitions(lambda it: [local_fn(it)])
+    # Accept a DataFrame or a pre-converted (possibly cached) RDD —
+    # iterative callers cache post-conversion so the JVM→Python row
+    # conversion is paid once, not per superstep (ml/linear_sgd.py).
+    src = df.rdd if hasattr(df, "rdd") else df
+    rdd = src.mapPartitions(lambda it: [local_fn(it)])
     return rdd.treeAggregate(zero, merge_fn, merge_fn, depth=depth)
 
 

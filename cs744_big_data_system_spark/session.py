@@ -24,9 +24,8 @@ ENGINE_CONF: dict[str, str] = {
     # Local mode runs every task inside the driver JVM, whose DEFAULT
     # heap is 1g — long sessions (70+ queries, streaming state stores,
     # iterative checkpoints) eventually fail stage materialization.
-    # Size it to the machine (only honored at JVM start; harmless and
-    # ignored on an already-running cluster JVM).
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    # Sized from the machine's RAM below (only honored at JVM start;
+    # harmless and ignored on an already-running cluster JVM).
     "spark.driver.maxResultSize": "4g",
     # --- Adaptive execution: runtime re-planning replaces manual tuning ---
     "spark.sql.adaptive.enabled": "true",
@@ -47,6 +46,20 @@ ENGINE_CONF: dict[str, str] = {
     # ANSI off: engine follows classic Spark SQL nullable-on-error semantics.
     "spark.sql.ansi.enabled": "false",
 }
+
+
+def _default_driver_mem(env) -> str:
+    """Half the machine's RAM, clamped to [2g, 48g] — enough headroom
+    for long local sessions without promising memory a small host (or
+    cgroup limit) cannot back. SPARK_GRAFT_DRIVER_MEM overrides."""
+    override = env.get("SPARK_GRAFT_DRIVER_MEM")
+    if override:
+        return override
+    try:
+        total_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30
+    except (ValueError, OSError):
+        total_gb = 4.0
+    return f"{min(48, max(2, int(total_gb // 2)))}g"
 
 
 def _default_master(cpus: int, env) -> str | None:
@@ -87,6 +100,7 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
+    builder = builder.config("spark.driver.memory", _default_driver_mem(os.environ))
     for k, v in ENGINE_CONF.items():
         builder = builder.config(k, v)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

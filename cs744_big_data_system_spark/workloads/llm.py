@@ -517,7 +517,14 @@ def q_embedding_quantize(spark, sf_dir):
         F.col("qz.scale").alias("scale"),
         F.element_at("qz.q", 1).alias("q0"),
         F.element_at("qz.q", 64).alias("q63"),
-        F.aggregate("qz.q", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
+        # null-element filter + 0 seed so empty/null-holding vectors sum
+        # identically on both engines (DuckDB list_sum: NULL for empty,
+        # skips nulls; Spark fold: 0 for empty, NULL-poisoned by nulls).
+        F.aggregate(
+            F.filter("qz.q", lambda x: x.isNotNull()),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("q_sum"),
     )
 
 
@@ -531,7 +538,7 @@ WITH scaled AS (
   FROM embeddings
 )
 SELECT vec_id, round(s, 6) AS scale, q[1] AS q0, q[64] AS q63,
-       CAST(list_sum(q) AS BIGINT) AS q_sum
+       COALESCE(CAST(list_sum(q) AS BIGINT), 0) AS q_sum
 FROM scaled
 """
 

@@ -115,6 +115,53 @@ def boilerplate_phrases(documents: DataFrame, n: int = 6, min_docs: int = 3) -> 
     )
 
 
+def tfidf_bm25_topk(
+    documents: DataFrame, k: int = 5, k1: float = 1.2, b: float = 0.75
+) -> DataFrame:
+    """Top-``k`` scoring terms per document under smoothed TF-IDF and
+    BM25 — (doc_id, term, tf, df, tfidf, bm25, rnk).
+
+    The relevance-scoring half of a training-data pipeline (keyword
+    extraction, quality weighting, near-topic filtering). Reference has
+    no text scoring (SURVEY.md §2.9); formulas are the textbook ones:
+      tfidf = tf * (ln((N+1)/(df+1)) + 1)
+      bm25  = ln((N-df+0.5)/(df+0.5) + 1) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+
+    Scale shape: term counts shuffle on (doc_id, term) with map-side
+    partials; document frequency shuffles on term (near-uniform — the
+    skew of natural-language stopwords is bounded by the per-doc
+    distinct over md5-free string terms, and AQE handles residual
+    skew); the corpus-level (N, avgdl) scalar row is broadcast, never
+    collected; top-k per doc is one row_number window. Doc length
+    rides through the explode, so no per-doc join is needed.
+    """
+    canon = documents.select("doc_id", tokens(normalized_text("text")).alias("_tk"))
+    stats = canon.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("_tk")).alias("avgdl")
+    )
+    terms = canon.select(
+        "doc_id", F.size("_tk").alias("dl"), F.explode("_tk").alias("term")
+    )
+    tfc = terms.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    joined = tfc.join(dft, "term").crossJoin(F.broadcast(stats))
+    idf_tfidf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    idf_bm25 = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * ((1.0 - b) + b * F.col("dl") / F.col("avgdl"))
+    scored = joined.select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf") * idf_tfidf, 6).alias("tfidf"),
+        F.round(idf_bm25 * F.col("tf") * (k1 + 1.0) / denom, 6).alias("bm25"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("bm25").desc(), F.col("term").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Two fingerprints per doc:
       content_fp  — md5 hex of the canonical text (exact-dup key);

@@ -420,6 +420,40 @@ FROM counted WHERE n_docs >= 3
 """
 
 
+# --- TF-IDF / BM25 top-k terms per document ---
+def q_tfidf(spark, sf_dir):
+    from cs744_big_data_system_spark.operators.text_analysis import tfidf_bm25_topk
+
+    return tfidf_bm25_topk(load_table(spark, sf_dir, "documents"), k=5)
+
+
+# Formula shapes mirror operators/text_analysis.tfidf_bm25_topk exactly
+# (same association order) so round(,6) agrees bit-for-bit.
+SQL_TFIDF = f"""
+WITH tk AS (
+  SELECT doc_id, {_SQL_CANON_TOKS} AS tk FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl FROM tk
+), terms AS (
+  SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM tk
+), tfc AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM terms GROUP BY 1, 2, 3
+), dft AS (
+  SELECT term, count(*) AS df FROM tfc GROUP BY 1
+), scored AS (
+  SELECT doc_id, term, tf, df,
+         round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf,
+         round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+               / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+  FROM tfc JOIN dft USING (term) CROSS JOIN stats
+)
+SELECT doc_id, term, tf, df, tfidf, bm25, CAST(rnk AS INT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, term ASC) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+"""
+
+
 # --- Document fingerprinting (content md5 + winnowing-style rolling) ---
 def q_fingerprints(spark, sf_dir):
     return fingerprints(load_table(spark, sf_dir, "documents"))
@@ -580,6 +614,7 @@ WORKLOADS = {
     "text_quality": (q_quality, SQL_QUALITY),
     "text_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "text_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
+    "text_tfidf_bm25": (q_tfidf, SQL_TFIDF),
     "text_boilerplate": (q_boilerplate, SQL_BOILERPLATE),
     "llm_clean_corpus": (q_llm_clean_corpus, SQL_LLM_CLEAN_CORPUS),
     "label_mean_embedding": (q_label_mean_embedding, SQL_LABEL_MEAN_EMBEDDING),

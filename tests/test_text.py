@@ -100,3 +100,36 @@ def test_boilerplate_phrases_cross_doc(spark):
     assert out, "shared banner must be detected"
     assert all(r.n_docs == 3 for r in out)
     assert any("cookies" in r.phrase for r in out)
+
+
+def test_tfidf_bm25_topk(spark):
+    """Known 3-doc corpus: a term unique to one doc must outrank the
+    corpus-wide term; tf/df counts are exact; rnk is dense from 1."""
+    import math
+
+    from cs744_big_data_system_spark.operators.text_analysis import tfidf_bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple cherry"),
+            (3, "apple banana banana date"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_bm25_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rows in by_doc.values():
+        assert [r.rnk for r in sorted(rows, key=lambda r: r.rnk)] == list(
+            range(1, len(rows) + 1)
+        )
+    # doc 2: "cherry" (df=1) must beat "apple" (df=3, negative bm25 idf).
+    d2 = {r.term: r for r in by_doc[2]}
+    assert d2["cherry"].rnk == 1 and d2["cherry"].tf == 1 and d2["cherry"].df == 1
+    assert d2["apple"].df == 3
+    # Spot-check the tfidf formula on (doc 1, apple): tf=2, df=3, N=3.
+    d1 = {r.term: r for r in by_doc[1]}
+    want = round(2 * (math.log(4.0 / 4.0) + 1.0), 6)
+    assert abs(d1["apple"].tfidf - want) < 1e-9

@@ -162,6 +162,60 @@ def tfidf_bm25_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def cooccurrence_pmi(
+    documents: DataFrame, vocab_size: int = 64, min_docs: int = 5
+) -> DataFrame:
+    """Pointwise mutual information between top-``vocab_size`` terms,
+    from document-level co-occurrence — (term_a, term_b, df_a, df_b,
+    n_ab, pmi) for unordered pairs appearing together in ≥ ``min_docs``
+    documents.  pmi = ln( (n_ab/N) / (df_a/N · df_b/N) ).
+
+    Corpus statistics for phrase mining / topic drift checks. Scale
+    shape: the vocabulary is a deterministic top-k (df desc, term asc
+    — TakeOrderedAndProject, no full sort) and is tiny by
+    construction, so it broadcasts; the only real shuffles are the
+    distinct on (doc_id, term) and the per-doc self-join keyed by
+    doc_id, whose fan-out is bounded by vocab_size²/2 pairs per doc
+    regardless of corpus size. The corpus-size scalar is broadcast,
+    never collected.
+    """
+    canon = documents.select("doc_id", tokens(normalized_text("text")).alias("_tk"))
+    stats = canon.agg(F.count(F.lit(1)).alias("n_docs"))
+    dt = canon.select("doc_id", F.explode("_tk").alias("term")).distinct()
+    dft = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    vocab = dft.orderBy(F.col("df").desc(), F.col("term").asc()).limit(vocab_size)
+    dv = dt.join(F.broadcast(vocab), "term")
+    a, b = dv.alias("a"), dv.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"),
+            F.col("b.term").alias("term_b"),
+            F.col("a.df").alias("df_a"),
+            F.col("b.df").alias("df_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(stats))
+        .filter(F.col("n_ab") >= min_docs)
+        .select(
+            "term_a",
+            "term_b",
+            "df_a",
+            "df_b",
+            "n_ab",
+            F.round(
+                F.log((F.col("n_ab") * F.col("n_docs")) * 1.0 / (F.col("df_a") * F.col("df_b"))),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Two fingerprints per doc:
       content_fp  — md5 hex of the canonical text (exact-dup key);

@@ -454,6 +454,40 @@ WHERE rnk <= 5
 """
 
 
+# --- PMI co-occurrence over the top-V vocabulary ---
+def q_pmi(spark, sf_dir):
+    from cs744_big_data_system_spark.operators.text_analysis import cooccurrence_pmi
+
+    return cooccurrence_pmi(load_table(spark, sf_dir, "documents"), vocab_size=64, min_docs=5)
+
+
+SQL_PMI = f"""
+WITH tk AS (
+  SELECT doc_id, {_SQL_CANON_TOKS} AS tk FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs FROM tk
+), dt AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest(tk) AS term FROM tk)
+), dft AS (
+  SELECT term, count(*) AS df FROM dt GROUP BY 1
+), vocab AS (
+  SELECT term, df FROM dft ORDER BY df DESC, term ASC LIMIT 64
+), dv AS (
+  SELECT dt.doc_id, dt.term, v.df FROM dt JOIN vocab v USING (term)
+), pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, a.df AS df_a, b.df AS df_b,
+         count(*) AS n_ab
+  FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2, 3, 4
+)
+SELECT term_a, term_b, df_a, df_b, n_ab,
+       round(ln((n_ab * n_docs) * 1.0 / (df_a * df_b)), 6) AS pmi
+FROM pairs CROSS JOIN stats
+WHERE n_ab >= 5
+"""
+
+
 # --- Document fingerprinting (content md5 + winnowing-style rolling) ---
 def q_fingerprints(spark, sf_dir):
     return fingerprints(load_table(spark, sf_dir, "documents"))
@@ -615,6 +649,7 @@ WORKLOADS = {
     "text_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "text_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "text_tfidf_bm25": (q_tfidf, SQL_TFIDF),
+    "text_pmi_cooccurrence": (q_pmi, SQL_PMI),
     "text_boilerplate": (q_boilerplate, SQL_BOILERPLATE),
     "llm_clean_corpus": (q_llm_clean_corpus, SQL_LLM_CLEAN_CORPUS),
     "label_mean_embedding": (q_label_mean_embedding, SQL_LABEL_MEAN_EMBEDDING),

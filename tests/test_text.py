@@ -133,3 +133,24 @@ def test_tfidf_bm25_topk(spark):
     d1 = {r.term: r for r in by_doc[1]}
     want = round(2 * (math.log(4.0 / 4.0) + 1.0), 6)
     assert abs(d1["apple"].tfidf - want) < 1e-9
+
+
+def test_cooccurrence_pmi(spark):
+    """4-doc corpus, vocab covers all terms: check df/n_ab and the PMI
+    sign — a pair that always co-occurs has pmi > 0, an anti-correlated
+    pair is excluded by min_docs."""
+    import math
+
+    from cs744_big_data_system_spark.operators.text_analysis import cooccurrence_pmi
+
+    docs = spark.createDataFrame(
+        [(i, "x y common") for i in range(4)] + [(9, "z common")],
+        ["doc_id", "text"],
+    )
+    out = {(r.term_a, r.term_b): r for r in cooccurrence_pmi(docs, 8, min_docs=2).collect()}
+    assert ("x", "y") in out
+    r = out[("x", "y")]
+    assert r.df_a == 4 and r.df_b == 4 and r.n_ab == 4
+    # pmi = ln(4*5/(4*4)) = ln(1.25)
+    assert abs(r.pmi - round(math.log(1.25), 6)) < 1e-9
+    assert ("x", "z") not in out  # never co-occur

@@ -536,7 +536,86 @@ FROM events GROUP BY event_type
 """
 
 
+# --- Ordered conversion funnel over events (view -> click -> purchase) ---
+def q_events_funnel(spark, sf_dir):
+    """Per-user ordered funnel: first view, first click AFTER that
+    view, first purchase AFTER that click; stage = how deep the user
+    got. The ordering constraint is what makes this a funnel and not
+    three independent mins.
+
+    Scale shape: three aggregations and two joins, ALL keyed by
+    user_id — after the first exchange every later stage reuses the
+    same hash partitioning (co-partitioned joins, no extra shuffle of
+    the big side), so the plan costs one fact-table scan plus one
+    user-keyed shuffle regardless of corpus size. No windows over the
+    raw event stream, no driver materialization.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    ca = (
+        ev.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    pa = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(ca, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        fv.join(ca, "user_id", "left")
+        .join(pa, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_micros("first_view").alias("first_view_us"),
+            F.unix_micros("first_click").alias("first_click_us"),
+            F.unix_micros("first_purchase").alias("first_purchase_us"),
+            (
+                F.lit(1)
+                + F.when(F.col("first_click").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("first_purchase").isNotNull(), 1).otherwise(0)
+            ).cast("int").alias("stage"),
+        )
+    )
+
+
+# All comparisons in the µs domain: Spark's load_table truncates the
+# ns fixture to µs, so filtering on raw ns timestamps here could
+# diverge on sub-µs boundaries.
+SQL_EVENTS_FUNNEL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), fv AS (
+  SELECT user_id, min(us) AS first_view_us FROM ev
+  WHERE event_type = 'view' GROUP BY 1
+), ca AS (
+  SELECT e.user_id, min(e.us) AS first_click_us
+  FROM ev e JOIN fv USING (user_id)
+  WHERE e.event_type = 'click' AND e.us > fv.first_view_us GROUP BY 1
+), pa AS (
+  SELECT e.user_id, min(e.us) AS first_purchase_us
+  FROM ev e JOIN ca USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.us > ca.first_click_us GROUP BY 1
+)
+SELECT fv.user_id, fv.first_view_us, ca.first_click_us, pa.first_purchase_us,
+       CAST(1 + CASE WHEN ca.user_id IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN pa.user_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage
+FROM fv
+LEFT JOIN ca USING (user_id)
+LEFT JOIN pa USING (user_id)
+"""
+
+
 WORKLOADS = {
+    "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
     "join_full_outer": (q_join_full_outer, SQL_JOIN_FULL_OUTER),
     "join_cross": (q_join_cross, SQL_JOIN_CROSS),
     "percentile": (q_percentile, SQL_PERCENTILE),

@@ -144,3 +144,38 @@ def test_set_ops_all_bag_semantics(spark):
     assert sorted(r.x for r in a.intersectAll(b).collect()) == [1]
     assert sorted(r.x for r in a.exceptAll(b).collect()) == [1, 2]
     assert a.unionAll(b).count() == 5
+
+
+def test_events_funnel_ordering(spark, tmp_path):
+    """A purchase BEFORE the first qualifying click must not advance
+    the funnel; only view -> click -> purchase in strict time order."""
+    import datetime as dt
+
+    from cs744_big_data_system_spark.workloads.relational_ext import q_events_funnel
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        # u1: full ordered funnel
+        (1, s(0), 1, "view", 0.0, "{}"),
+        (2, s(10), 1, "click", 0.0, "{}"),
+        (3, s(20), 1, "purchase", 0.0, "{}"),
+        # u2: purchase precedes click -> stage 2 only
+        (4, s(0), 2, "view", 0.0, "{}"),
+        (5, s(5), 2, "purchase", 0.0, "{}"),
+        (6, s(10), 2, "click", 0.0, "{}"),
+        # u3: click precedes view -> stage 1 only
+        (7, s(5), 3, "click", 0.0, "{}"),
+        (8, s(10), 3, "view", 0.0, "{}"),
+        # u4: no view at all -> absent from the funnel
+        (9, s(0), 4, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r.user_id: r for r in q_events_funnel(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].stage == 3 and out[1].first_purchase_us is not None
+    assert out[2].stage == 2 and out[2].first_purchase_us is None
+    assert out[3].stage == 1 and out[3].first_click_us is None

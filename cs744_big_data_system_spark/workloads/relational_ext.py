@@ -543,12 +543,13 @@ def q_events_funnel(spark, sf_dir):
     got. The ordering constraint is what makes this a funnel and not
     three independent mins.
 
-    Scale shape: three aggregations and two joins, ALL keyed by
-    user_id — after the first exchange every later stage reuses the
-    same hash partitioning (co-partitioned joins, no extra shuffle of
-    the big side), so the plan costs one fact-table scan plus one
-    user-keyed shuffle regardless of corpus size. No windows over the
-    raw event stream, no driver materialization.
+    Scale shape: every aggregation and join is keyed by user_id. At
+    test SF the funnel-survivor sides are tiny, so AQE broadcasts them
+    (PLANS.md shows 5 broadcast joins); at cluster scale the joins
+    degrade gracefully to hash joins co-partitioned on the SAME key,
+    so the event table is shuffled on user_id once and the later
+    stages reuse that partitioning. No windows over the raw event
+    stream, no driver materialization.
     """
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     fv = (

@@ -588,6 +588,58 @@ def q_events_funnel(spark, sf_dir):
     )
 
 
+# --- Weekly cohort retention over events ---
+def q_events_retention(spark, sf_dir):
+    """Classic cohort-retention triangle: users grouped by the week of
+    their first event; for each (cohort_week, week_no) the number of
+    distinct users still active that many weeks later.
+
+    Scale shape: one user-keyed aggregation for first-event, one join
+    back to events on user_id (small side = one row per user — AQE
+    broadcasts under threshold, hash-co-partitions above), then a
+    count-distinct keyed by (cohort_week, week_no) whose cardinality
+    is tiny (weeks², not rows). Week math happens AFTER the join so
+    Monday truncation is applied identically to both timestamps.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    j = ev.join(first, "user_id")
+    weekly = j.select(
+        "user_id",
+        F.date_trunc("week", F.col("first_ts")).alias("cw"),
+        (
+            F.datediff(F.date_trunc("week", F.col("ts")), F.date_trunc("week", F.col("first_ts")))
+            / 7
+        ).cast("int").alias("week_no"),
+    )
+    return (
+        weekly.groupBy("cw", "week_no")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"), "week_no", "n_users"
+        )
+    )
+
+
+# Both engines truncate weeks to Monday (date_trunc('week')), and the
+# day delta between two Monday-truncated stamps is exactly divisible
+# by 7, so the integer division is exact in both.
+SQL_EVENTS_RETENTION = """
+WITH first AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1
+), weekly AS (
+  SELECT e.user_id,
+         date_trunc('week', f.first_ts) AS cw,
+         CAST(date_diff('day', date_trunc('week', f.first_ts),
+                        date_trunc('week', e.ts)) // 7 AS INT) AS week_no
+  FROM events e JOIN first f USING (user_id)
+)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, week_no,
+       count(DISTINCT user_id) AS n_users
+FROM weekly GROUP BY 1, 2
+"""
+
+
 # All comparisons in the µs domain: Spark's load_table truncates the
 # ns fixture to µs, so filtering on raw ns timestamps here could
 # diverge on sub-µs boundaries.
@@ -617,6 +669,7 @@ LEFT JOIN pa USING (user_id)
 
 WORKLOADS = {
     "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
+    "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
     "join_full_outer": (q_join_full_outer, SQL_JOIN_FULL_OUTER),
     "join_cross": (q_join_cross, SQL_JOIN_CROSS),
     "percentile": (q_percentile, SQL_PERCENTILE),

@@ -179,3 +179,28 @@ def test_events_funnel_ordering(spark, tmp_path):
     assert out[1].stage == 3 and out[1].first_purchase_us is not None
     assert out[2].stage == 2 and out[2].first_purchase_us is None
     assert out[3].stage == 1 and out[3].first_click_us is None
+
+
+def test_events_retention_cohorts(spark, tmp_path):
+    """Cohort week is the user's FIRST event week; week_no counts
+    Monday-truncated week boundaries, not 7-day gaps from the event."""
+    import datetime as dt
+
+    from cs744_big_data_system_spark.workloads.relational_ext import q_events_retention
+
+    # 2024-01-01 is a Monday; u1 starts wk0 and returns wk2;
+    # u2 starts Sunday wk0 and returns next-day Monday = week_no 1.
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9), 1, "view", 0.0, "{}"),
+        (2, dt.datetime(2024, 1, 16, 9), 1, "view", 0.0, "{}"),
+        (3, dt.datetime(2024, 1, 7, 23), 2, "view", 0.0, "{}"),
+        (4, dt.datetime(2024, 1, 8, 1), 2, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {(r.cohort_week, r.week_no): r.n_users for r in q_events_retention(spark, str(tmp_path)).collect()}
+    assert out[("2024-01-01", 0)] == 2  # both users' first events fall in wk of Jan 1
+    assert out[("2024-01-01", 2)] == 1  # u1 back two weeks later
+    assert out[("2024-01-01", 1)] == 1  # u2's Monday event is already week_no 1

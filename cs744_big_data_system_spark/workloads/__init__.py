@@ -24,11 +24,15 @@ from cs744_big_data_system_spark.workloads import llm, relational, relational_ex
 
 
 def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
+    # Registration order matters: the driver's correctness harness verifies a
+    # bounded window of entries in registry order, so the differentiating
+    # families (LLM-pipeline, streaming, graph) come first, then the relational
+    # core, then the long tail of relational extensions.
     reg: dict = {}
-    reg.update(relational.WORKLOADS)
-    reg.update(relational_ext.WORKLOADS)
     reg.update(llm.WORKLOADS)
     reg.update(streaming_graph.WORKLOADS)
+    reg.update(relational.WORKLOADS)
+    reg.update(relational_ext.WORKLOADS)
     return reg
 
 

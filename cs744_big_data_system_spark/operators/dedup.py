@@ -11,7 +11,10 @@ shuffle-conscious), sized for a 100 TB corpus:
                  classic way to avoid the O(n²) pair explosion.
   simhash      — 60-bit weighted-bit fingerprint; near-dups share most
                  bits. Deterministic md5-based hashing so the DuckDB
-                 oracle can reproduce it bit-for-bit.
+                 oracle can reproduce it bit-for-bit. 60 (not 64) so
+                 the signature and every band shift stay inside signed
+                 int64 on BOTH engines (DuckDB BIGINT errors, rather
+                 than wraps, on overflow).
   n-gram Jaccard — exact set-similarity via a shingle equi-join inside
                  blocking groups (lang), counting common shingles.
   embedding cosine — near-dup pairs by cosine ≥ τ inside label blocks
@@ -278,10 +281,11 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
+def simhash(documents: DataFrame, bits: int = 60) -> DataFrame:
     """(doc_id, simhash) — classic Charikar simhash over whitespace
-    tokens, ``bits`` wide (default 16 keeps the bit-explode cheap; the
-    oracle reproduces it exactly since the token hash is md5-based).
+    tokens, ``bits`` wide (max 60: the md5-folded token hash is 60 bits
+    so both engines stay inside signed int64; the oracle reproduces it
+    exactly since the token hash is md5-based).
 
     Plan shape: explode tokens (1→N), explode bit positions (1→bits),
     single groupBy(doc_id, bit) sum, then a pivot-free reassembly via
@@ -310,7 +314,7 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
 
 def simhash_hamming_pairs(
     documents: DataFrame,
-    bits: int = 16,
+    bits: int = 60,
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs whose simhashes differ in ≤ ``max_hamming`` bits,
@@ -319,6 +323,12 @@ def simhash_hamming_pairs(
     agree EXACTLY on at least one band, so candidates are found with an
     equi-join on (band_idx, band_value) instead of an O(n²) cross join.
     Exact hamming (bit_count of xor) verifies candidates.
+
+    Band width is the scale knob: the candidate join's key space is
+    bands × 2^(bits/bands), and every bucket self-joins quadratically.
+    The 60-bit default gives 4 × 2^15 ≈ 131k keys at max_hamming=3 —
+    narrow signatures (e.g. 32-bit → 4 × 2^8 = 1024 keys) collapse
+    into ~n/256-sized buckets at corpus scale and go quadratic.
 
     At 100 TB the band join is the only shuffle and its key is
     near-uniform (band values of a hash); the verify step is a narrow

@@ -141,9 +141,12 @@ def q_minhash_lsh(spark, sf_dir):
     )
 
 
-# --- SimHash fingerprint (16-bit), oracle-checked bit-for-bit ---
+# --- SimHash fingerprint (60-bit), oracle-checked bit-for-bit ---
 def q_simhash(spark, sf_dir):
-    return simhash(load_table(spark, sf_dir, "documents"), bits=16)
+    """60 bits — the widest signature whose value and per-band shifts
+    stay inside signed int64 on both engines (the md5-folded token
+    hash is itself 60 bits)."""
+    return simhash(load_table(spark, sf_dir, "documents"), bits=60)
 
 
 def _sql_simhash(bits: int) -> str:
@@ -165,23 +168,25 @@ FROM bitsum GROUP BY doc_id
 """
 
 
-SQL_SIMHASH = _sql_simhash(16)
+SQL_SIMHASH = _sql_simhash(60)
 
 
 # --- SimHash hamming-banded near-dup pairs, oracle-checked exactly ---
 def q_simhash_pairs(spark, sf_dir):
-    """32-bit signatures (8-bit bands): a 16-bit space collides too
-    hard once the corpus passes a few thousand docs — band buckets of
-    2^8 values keep the candidate join linear-ish."""
+    """60-bit signatures, 4 × 15-bit pigeonhole bands: the candidate
+    join's key space is 4 × 2^15 ≈ 131k (band_idx, band_val) values, so
+    bucket sizes — and the per-bucket quadratic self-join — shrink as
+    the corpus grows instead of collapsing into ~n/256 buckets the way
+    a 32-bit/8-bit-band signature does."""
     from cs744_big_data_system_spark.operators.dedup import simhash_hamming_pairs
 
     return simhash_hamming_pairs(
-        load_table(spark, sf_dir, "documents"), bits=32, max_hamming=3
+        load_table(spark, sf_dir, "documents"), bits=60, max_hamming=3
     )
 
 
 SQL_SIMHASH_PAIRS = f"""
-WITH sig AS ({_sql_simhash(32)})
+WITH sig AS ({_sql_simhash(60)})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -200,13 +205,13 @@ def q_dedup_clusters(spark, sf_dir):
     from cs744_big_data_system_spark.operators.dedup import simhash_hamming_pairs
 
     pairs = simhash_hamming_pairs(
-        load_table(spark, sf_dir, "documents"), bits=32, max_hamming=3
+        load_table(spark, sf_dir, "documents"), bits=60, max_hamming=3
     )
     return dedup_clusters(pairs)
 
 
 SQL_DEDUP_CLUSTERS = f"""
-WITH sig AS ({_sql_simhash(32)}), pairs AS (
+WITH sig AS ({_sql_simhash(60)}), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sig a JOIN sig b ON a.doc_id < b.doc_id
   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3

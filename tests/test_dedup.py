@@ -98,3 +98,45 @@ def test_empty_and_short_docs_survive(spark, docs):
     assert 5 not in sigs and 6 not in sigs and 0 in sigs
     sh = {r.doc_id for r in simhash(docs, bits=8).collect()}
     assert 5 not in sh and 6 in sh  # simhash is token-level: 'short' has one token
+
+
+def test_simhash_band_key_cardinality_scales(spark):
+    """The band join's key space must grow with the corpus — a narrow
+    signature (32-bit → 4×2^8 = 1024 keys) pins bucket sizes at ~n/256
+    and the per-bucket self-join goes quadratic at scale. With 60-bit
+    signatures (4 × 15-bit bands) distinct band keys track corpus size."""
+    import pyspark.sql.functions as F
+
+    from cs744_big_data_system_spark.operators.dedup import simhash
+
+    def distinct_band_keys(n_docs: int, bits: int) -> int:
+        import hashlib
+
+        # Disjoint pseudo-random token sets per doc (simhash is a
+        # similarity hash — overlapping vocabularies would rightly
+        # yield colliding bands and hide the cardinality effect).
+        def text(i: int) -> str:
+            return " ".join(hashlib.md5(f"{i}-{j}".encode()).hexdigest()[:10] for j in range(12))
+
+        rows = [(i, text(i), "en", f"s{i}", 40) for i in range(n_docs)]
+        docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+        bands, band_bits = 4, bits // 4
+        mask = (1 << band_bits) - 1
+        sig = simhash(docs, bits=bits)
+        entries = sig.select(
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.shiftright("simhash", i * band_bits).bitwiseAND(F.lit(mask)).alias("band_val"),
+                )
+                for i in range(bands)
+            ])).alias("b")
+        ).select("b.band_idx", "b.band_val")
+        return entries.distinct().count()
+
+    small, large = distinct_band_keys(100, 60), distinct_band_keys(400, 60)
+    # 60-bit / 15-bit bands: essentially every (doc, band) lands in its
+    # own bucket at this size — key count scales ~linearly with corpus.
+    assert small >= 0.9 * 4 * 100
+    assert large >= 0.9 * 4 * 400
+    assert large > 3 * small

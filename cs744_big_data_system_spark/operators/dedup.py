@@ -101,6 +101,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     block_col: str | None = "lang",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via shingle equi-join.
 
@@ -109,8 +110,16 @@ def ngram_jaccard_pairs(
     column to bound fan-out at scale), count common shingles per pair,
     join per-doc shingle counts, filter by threshold.
 
-    At 100 TB the blocking column is what keeps the shingle join from
-    exploding on stop-shingles; pair counting is a groupBy on
+    ``max_df`` drops shingles whose document frequency (within the
+    blocking group) exceeds the cutoff BEFORE the self-join — a
+    boilerplate n-gram shared by 10⁶ docs would otherwise fan the join
+    out to 10¹² rows on that one key. Per-doc sizes are computed after
+    the cutoff, so the result is the true Jaccard of the PRUNED shingle
+    sets (hot shingles carry no similarity signal — this is the n-gram
+    twin of a stop-word list, and the standard fix at corpus scale).
+
+    At 100 TB blocking bounds cross-language fan-out and ``max_df``
+    bounds per-key fan-out; pair counting is a groupBy on
     (doc_a, doc_b) with map-side partial aggregation.
     """
     doc_cols = ["doc_id"] + ([block_col] if block_col else [])
@@ -129,6 +138,18 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
+    if max_df is not None:
+        df_keys = ([block_col] if block_col else []) + ["shingle"]
+        # The hot list is tiny (only stop-shingles survive the HAVING),
+        # so the anti-join broadcasts under AQE — no extra shuffle of
+        # the big shingle table beyond the df groupBy itself.
+        hot = (
+            sh.groupBy(*df_keys)
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select(*df_keys)
+        )
+        sh = sh.join(hot, df_keys, "left_anti")
     # No persist here: the three consumers (sizes, both join sides)
     # share the distinct's shuffle via ReuseExchange, and a persist
     # inside a lazily-returned operator can never be unpersisted —

@@ -69,10 +69,17 @@ FROM documents GROUP BY 1
 """
 
 
-# --- Exact n-gram Jaccard similar pairs (blocked by lang) ---
+# --- Exact n-gram Jaccard similar pairs (blocked by lang, df-cut) ---
+#: hot-shingle document-frequency cutoff: shingles in more docs than
+#: this (within a lang block) are boilerplate, carry no similarity
+#: signal, and would fan the self-join out quadratically on one key.
+NGRAM_MAX_DF = 50
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=3, threshold=0.05, block_col="lang"
+        load_table(spark, sf_dir, "documents"),
+        n=3, threshold=0.05, block_col="lang", max_df=NGRAM_MAX_DF,
     )
 
 
@@ -81,10 +88,15 @@ WITH toks AS (
   SELECT doc_id, lang, {_SQL_CANON_TOKS} AS tk FROM documents
 ), grams AS (
   SELECT doc_id, lang, unnest({_SQL_NGRAM3}) AS gram FROM toks
-), sh AS (
+), sh0 AS (
   -- hash-folded shingles: set semantics on the 60-bit hash, exactly
   -- like operators/dedup.ngram_jaccard_pairs
   SELECT DISTINCT doc_id, lang, {_sql_md5_int60("gram")} AS shingle FROM grams
+), hot AS (
+  SELECT lang, shingle FROM sh0 GROUP BY lang, shingle HAVING count(*) > {NGRAM_MAX_DF}
+), sh AS (
+  SELECT s.* FROM sh0 s
+  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.lang = s.lang AND h.shingle = s.shingle)
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
 ), common AS (
@@ -532,7 +544,7 @@ def q_llm_clean_corpus(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     d1 = exact_dedup(docs)
     near = (
-        ngram_jaccard_pairs(d1, n=3, threshold=0.5, block_col="lang")
+        ngram_jaccard_pairs(d1, n=3, threshold=0.5, block_col="lang", max_df=NGRAM_MAX_DF)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
@@ -551,8 +563,13 @@ WITH keep_exact AS (
   SELECT doc_id, lang, {_SQL_CANON_TOKS} AS tk FROM d1
 ), grams AS (
   SELECT doc_id, lang, unnest({_SQL_NGRAM3}) AS gram FROM toks
-), sh AS (
+), sh0 AS (
   SELECT DISTINCT doc_id, lang, {_sql_md5_int60("gram")} AS shingle FROM grams
+), hot AS (
+  SELECT lang, shingle FROM sh0 GROUP BY lang, shingle HAVING count(*) > {NGRAM_MAX_DF}
+), sh AS (
+  SELECT s.* FROM sh0 s
+  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.lang = s.lang AND h.shingle = s.shingle)
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
 ), pairs AS (

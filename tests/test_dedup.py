@@ -140,3 +140,36 @@ def test_simhash_band_key_cardinality_scales(spark):
     assert small >= 0.9 * 4 * 100
     assert large >= 0.9 * 4 * 400
     assert large > 3 * small
+
+
+def test_ngram_jaccard_max_df_cuts_stop_shingles(spark):
+    """A boilerplate shingle shared by every doc must not create pairs
+    (or join fan-out) once max_df prunes it; genuinely similar docs —
+    which share doc-specific shingles — still pair up."""
+    import hashlib
+
+    from cs744_big_data_system_spark.operators.dedup import ngram_jaccard_pairs
+
+    BOILER = "subscribe to our newsletter"  # planted stop-shingle source
+
+    def body(i: int) -> str:
+        return " ".join(hashlib.md5(f"{i}-{j}".encode()).hexdigest()[:8] for j in range(10))
+
+    rows = [(i, f"{body(i)} {BOILER}", "en", f"s{i}", 80) for i in range(20)]
+    # 20 and 21 are near-dups of 0 and of each other (same body).
+    rows.append((20, f"{body(0)} extra {BOILER}", "en", "s20", 80))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+
+    without = ngram_jaccard_pairs(docs, n=3, threshold=0.01, block_col="lang").collect()
+    with_cut = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.01, block_col="lang", max_df=5
+    ).collect()
+
+    # Without the cutoff the shared boilerplate pairs EVERY doc with
+    # every other — quadratic fan-out (the scale killer).
+    assert len(without) == 21 * 20 // 2
+    # With it, only the planted near-dup pair survives, at a higher
+    # jaccard (pruned sets exclude the no-signal hot shingles).
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in with_cut}
+    assert set(pairs) == {(0, 20)}
+    assert pairs[(0, 20)] > 0.5

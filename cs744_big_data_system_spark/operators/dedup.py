@@ -398,8 +398,9 @@ def embedding_cosine_neardup(
     block_col: str | None = "label",
 ) -> DataFrame:
     """Near-duplicate vector pairs: cosine ≥ threshold inside blocking
-    groups (label). Blocked self-join keeps the pair space linear-ish;
-    the full-corpus variant is operators/similarity.py's LSH path."""
+    groups (label). Exact but O(n²/L) in the block size — this is the
+    small-scale oracle baseline; the corpus-scale candidate generator
+    is embedding_cosine_neardup_lsh below."""
     from cs744_big_data_system_spark.functions.vectors import cosine_similarity
 
     cols_a = [F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")]
@@ -417,5 +418,69 @@ def embedding_cosine_neardup(
     out_cols = ["vec_a", "vec_b"] + ([block_col] if block_col else [])
     return (
         pairs.select(*out_cols, F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_cosine_neardup_lsh(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    num_bands: int = 4,
+    planes_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-scale near-duplicate vector pairs: banded random-hyperplane
+    LSH candidates, exact cosine verification.
+
+    Each vector gets ``num_bands`` sign-pattern bucket keys from
+    disjoint slices of the deterministic hyperplane family
+    (similarity.lsh_bucket); a pair is a candidate iff it collides in
+    ANY band — the minhash-banding construction applied to angular
+    distance. For cosine ≥ 0.9 (angle ≈ 26°), P(one plane agrees)
+    ≈ 1 − θ/π ≈ 0.857, so 4 bands × 4 planes give recall
+    1 − (1 − 0.857⁴)⁴ ≈ 0.95, while unrelated vectors (p ≈ 0.5)
+    collide in a band with probability ~0.06.
+
+    Unlike embedding_cosine_neardup's blocked all-pairs (O(n²/L)), the
+    only shuffle here is the equi-join on (band_idx, bucket), whose key
+    cardinality is num_bands × 2^planes_per_band and grows with the
+    plane count, not the corpus — candidates per bucket stay bounded.
+    Recall vs the exact pairs is asserted in tests/test_dedup.py.
+    """
+    from cs744_big_data_system_spark.functions.vectors import cosine_similarity
+    from cs744_big_data_system_spark.operators.similarity import lsh_bucket
+
+    entries = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    lsh_bucket(
+                        vec_col, dim, planes_per_band, plane_offset=b * planes_per_band
+                    ).alias("bucket"),
+                )
+                for b in range(num_bands)
+            ])
+        ).alias("band"),
+    ).select(id_col, vec_col, "band.band_idx", "band.bucket")
+    a = entries.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a"), "band_idx", "bucket"
+    )
+    b = entries.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b"), "band_idx", "bucket"
+    )
+    cand = (
+        a.join(b, ["band_idx", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "emb_a", "emb_b")
+        .distinct()
+    )
+    cos = cosine_similarity("emb_a", "emb_b")
+    return (
+        cand.select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

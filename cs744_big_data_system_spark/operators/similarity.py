@@ -76,23 +76,32 @@ def cosine_topk_bruteforce(
 
 
 def _hyperplane(dim: int, plane_idx: int) -> "F.Column":
-    """Deterministic pseudo-random hyperplane as an array<double> literal
-    expression: coefficient j = (md5_int60(f"plane:{i}:{j}") % 2001 - 1000)/1000
-    ∈ [-1, 1]. Constant-folded by Catalyst — zero per-row cost."""
+    """Deterministic pseudo-random hyperplane as an array<double> literal:
+    coefficient j = (md5_int60(f"plane:{i}:{j}") % 2001 - 1000)/1000
+    ∈ [-1, 1]. The md5 is evaluated HERE in Python (same value as the
+    Spark-side md5_int60 expression) and emitted as plain double
+    literals — building it from md5() Column expressions costs Catalyst
+    thousands of nodes to fold once dim × planes × join-sides multiply
+    out (measured: 48s → 8s on the banded near-dup at sf0.01)."""
+    import hashlib
+
     coeffs = [
-        (md5_int60(F.lit(f"plane:{plane_idx}:{j}")) % 2001 - 1000) / 1000.0
+        (int(hashlib.md5(f"plane:{plane_idx}:{j}".encode()).hexdigest()[:15], 16) % 2001 - 1000)
+        / 1000.0
         for j in range(dim)
     ]
-    return F.array(*coeffs)
+    return F.array(*[F.lit(c) for c in coeffs])
 
 
-def lsh_bucket(vec_col, dim: int, num_planes: int = 8) -> "F.Column":
-    """Sign-pattern bucket id (0..2^num_planes-1) for a vector column."""
+def lsh_bucket(vec_col, dim: int, num_planes: int = 8, plane_offset: int = 0) -> "F.Column":
+    """Sign-pattern bucket id (0..2^num_planes-1) for a vector column.
+    ``plane_offset`` selects a disjoint slice of the deterministic
+    hyperplane family so callers can build independent bands."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     v = v.cast("array<double>")
     bucket = F.lit(0).cast("long")
     for i in range(num_planes):
-        plane = _hyperplane(dim, i)
+        plane = _hyperplane(dim, plane_offset + i)
         d = F.aggregate(F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
         bucket = bucket + F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
     return bucket

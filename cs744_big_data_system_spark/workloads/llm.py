@@ -269,6 +269,20 @@ WHERE round({_SQL_COS}, 6) >= 0.4
 """
 
 
+# --- LSH-banded embedding near-dup (corpus-scale candidate path) ---
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """Scale twin of dedup_embedding_cosine: banded sign-pattern LSH
+    candidates + exact cosine verify, no blocked all-pairs join.
+    Approximate by design (rows-only); recall vs the exact pairs is
+    asserted in tests/test_dedup.py on planted near-dups."""
+    from cs744_big_data_system_spark.operators.dedup import embedding_cosine_neardup_lsh
+
+    return embedding_cosine_neardup_lsh(
+        load_table(spark, sf_dir, "embeddings"),
+        dim=64, threshold=0.4, num_bands=8, planes_per_band=4,
+    )
+
+
 # --- Brute-force cosine top-k (exact ANN baseline) ---
 def q_cosine_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
@@ -663,6 +677,7 @@ WORKLOADS = {
     "dedup_simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_embedding_cosine": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "dedup_embedding_cosine_lsh": (q_embedding_neardup_lsh, None),  # approximate by design
     "sim_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "sim_cosine_topk_ivf": (q_cosine_topk_ivf, SQL_COSINE_TOPK_IVF),
     "sim_cosine_topk_lsh": (q_cosine_topk_lsh, None),  # approximate by design

@@ -173,3 +173,45 @@ def test_ngram_jaccard_max_df_cuts_stop_shingles(spark):
     pairs = {(r.doc_a, r.doc_b): r.jaccard for r in with_cut}
     assert set(pairs) == {(0, 20)}
     assert pairs[(0, 20)] > 0.5
+
+
+def test_embedding_neardup_lsh_recall(spark):
+    """Banded sign-pattern LSH must recover ~all true near-dup pairs
+    (cosine >= 0.9) that the exact blocked all-pairs join finds, without
+    any O(n^2) join."""
+    import math
+    import random
+
+    from cs744_big_data_system_spark.operators.dedup import (
+        embedding_cosine_neardup,
+        embedding_cosine_neardup_lsh,
+    )
+
+    rng = random.Random(744)
+    dim = 16
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = []
+    vid = 0
+    for base_i in range(40):
+        base = unit([rng.gauss(0, 1) for _ in range(dim)])
+        rows.append((vid, base, 0)); vid += 1
+        # planted near-dup: small perturbation, cosine ~0.99
+        near = unit([x + rng.gauss(0, 0.05) for x in base])
+        rows.append((vid, near, 0)); vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    exact = {(r.vec_a, r.vec_b) for r in
+             embedding_cosine_neardup(df, threshold=0.9, block_col=None).collect()}
+    lsh = {(r.vec_a, r.vec_b) for r in
+           embedding_cosine_neardup_lsh(
+               df, dim=dim, threshold=0.9, num_bands=8, planes_per_band=4
+           ).collect()}
+
+    assert len(exact) >= 40              # every planted pair is a true near-dup
+    assert lsh <= exact                  # verify step: no false positives
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.2f}"

@@ -102,6 +102,33 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --- §2.9 approximate quantiles: the 100 TB flip of q_percentile ---
+def q_approx_percentile(spark, sf_dir):
+    """percentile_approx — Spark's Greenwald-Khanna-style quantile
+    sketch: mergeable partial aggregation riding the same exchange as
+    any other agg, no per-group full sort/buffer. This is the plan
+    you run at 100 TB; q_percentile (exact) is its small-SF oracle
+    baseline. Rows-only in the driver gate: quantile sketches aren't
+    bit-reproducible across engines — the rank-error bound vs the
+    exact percentiles is unit-tested instead
+    (tests/test_relational_ext.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pcts = F.percentile_approx(
+        "l_extendedprice",
+        F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+        F.lit(10000),
+    )
+    return li.groupBy("l_returnflag").agg(
+        pcts.alias("_p"), F.count(F.lit(1)).alias("n")
+    ).select(
+        "l_returnflag",
+        F.round(F.element_at("_p", 1), 4).alias("p50"),
+        F.round(F.element_at("_p", 2), 4).alias("p90"),
+        F.round(F.element_at("_p", 3), 4).alias("p99"),
+        "n",
+    )
+
+
 # --- §2.6 / §2.9 math scalar family (reference only has + - * /) ---
 def q_math_funcs(spark, sf_dir):
     """Math scalars over lineitem — all JVM-native Column expressions,
@@ -673,6 +700,8 @@ WORKLOADS = {
     "join_full_outer": (q_join_full_outer, SQL_JOIN_FULL_OUTER),
     "join_cross": (q_join_cross, SQL_JOIN_CROSS),
     "percentile": (q_percentile, SQL_PERCENTILE),
+    "approx_percentile": (q_approx_percentile, None),  # sketch: not bit-reproducible
+
     "math_funcs": (q_math_funcs, SQL_MATH_FUNCS),
     "map_funcs": (q_map_funcs, SQL_MAP_FUNCS),
     "first_last": (q_first_last, SQL_FIRST_LAST),

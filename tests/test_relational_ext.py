@@ -204,3 +204,24 @@ def test_events_retention_cohorts(spark, tmp_path):
     assert out[("2024-01-01", 0)] == 2  # both users' first events fall in wk of Jan 1
     assert out[("2024-01-01", 2)] == 1  # u1 back two weeks later
     assert out[("2024-01-01", 1)] == 1  # u2's Monday event is already week_no 1
+
+
+def test_approx_percentile_within_rank_error_of_exact(spark):
+    """The sketch's quantiles must sit within a tight relative band of
+    the exact per-group percentiles (GK accuracy=10000 -> rank error
+    1e-4; on small groups it is exact)."""
+    from cs744_big_data_system_spark.workloads.relational_ext import (
+        q_approx_percentile,
+        q_percentile,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r.l_returnflag: r for r in q_percentile(spark, sf).collect()}
+    approx = {r.l_returnflag: r for r in q_approx_percentile(spark, sf).collect()}
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert a.n == e.n
+        for col in ("p50", "p90", "p99"):
+            assert abs(getattr(a, col) - getattr(e, col)) <= 0.01 * abs(getattr(e, col)), (
+                flag, col, getattr(a, col), getattr(e, col))

@@ -141,3 +141,33 @@ def test_connected_components_long_chain_converges(spark):
         spark.createDataFrame(chain, ["src", "dst"]), max_iterations=20
     ).collect()}
     assert set(cc.values()) == {0}
+
+
+def test_fault_recovery_after_cache_block_loss(spark):
+    """D8 analogue of the reference's kill-a-worker-at-25%/75% run
+    (assignment1/part3/task4/README.md:6, task4.sh:3-4): the
+    recoverable failure a single-JVM harness can inject is losing every
+    cached block. persist() is a hint backed by lineage — after a full
+    cache wipe the SAME lazy result must rebuild the links table from
+    source and reproduce identical ranks, and a fresh run must agree
+    with the golden reference values."""
+    import pytest as _pt
+
+    from cs744_big_data_system_spark.graph.pagerank import pagerank
+
+    df = spark.createDataFrame(GOLDEN_EDGES, ["src", "dst"])
+    ranks_df = pagerank(df, iterations=6, checkpoint_every=3)
+    r1 = {r.node: r.rank for r in ranks_df.collect()}
+
+    # Simulate executor/block loss for everything the catalog persisted
+    # (the cached links table pagerank relies on each superstep).
+    spark.catalog.clearCache()
+
+    r2 = {r.node: r.rank for r in ranks_df.collect()}  # recompute via lineage
+    assert set(r1) == set(r2)
+    for node in r1:
+        assert r2[node] == _pt.approx(r1[node], rel=1e-12), node
+
+    expected = reference_pagerank(GOLDEN_EDGES, iters=6)
+    for node, r in expected.items():
+        assert r2[node] == _pt.approx(r, rel=1e-9), node

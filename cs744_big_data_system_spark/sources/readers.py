@@ -4,7 +4,8 @@ Covers SURVEY.md §2.1 S1-S4, S7:
   S1 CSV scan w/ header + schema inference  (reference assignment1/part2/task.py:22)
   S2 text-line scan incl. directory globs    (assignment1/part3/task1/task1.py:26)
   S3 filesystem connector (any Hadoop FS URI: file://, hdfs://, s3a://)
-  S4 binary dataset source (see operators/multimodal.py)
+  S4 binary dataset source (binaryFile → ASSET_SCHEMA; decode plumbing
+     in operators/multimodal.py)
   S7 parametrized I/O paths (every function takes explicit paths)
 
 The engine standardizes on Parquet (columnar at rest, vectorized scan,
@@ -96,6 +97,66 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+#: File-extension → (modality, mime) for the binary asset source.
+_EXT_MODALITY = {
+    "jpg": ("image", "image/jpeg"),
+    "jpeg": ("image", "image/jpeg"),
+    "png": ("image", "image/png"),
+    "bmp": ("image", "image/bmp"),
+    "wav": ("audio", "audio/wav"),
+    "mp3": ("audio", "audio/mpeg"),
+    "flac": ("audio", "audio/flac"),
+    "mp4": ("video", "video/mp4"),
+    "mkv": ("video", "video/x-matroska"),
+    "webm": ("video", "video/webm"),
+}
+
+
+def read_binary_assets(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    default_modality: str = "image",
+) -> DataFrame:
+    """S4: directory of raw media files → multimodal ASSET_SCHEMA table
+    (reference parity: the CIFAR-10 binary dataset pipeline,
+    assignment2/part1/main.py:76-95).
+
+    Uses ``spark.read.format("binaryFile")`` — a real distributed
+    source (splittable listing, per-file tasks, partition-prunable by
+    path) — so pointing the engine at a 100 TB media lake needs no
+    driver-side file walk. Columns map into
+    operators/multimodal.ASSET_SCHEMA: asset_id is the 60-bit md5 of
+    the file path (stable across runs and listing order), modality/mime
+    derive from the extension, and the intrinsic width/height/duration
+    metadata stays NULL until the decode step fills it in
+    (extract_features runs on this table unchanged).
+    """
+    from cs744_big_data_system_spark.operators.dedup import md5_int60
+
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    modality_expr = F.lit(default_modality)
+    mime_expr = F.lit("application/octet-stream")
+    # Build the extension dispatch as a chain of when()s — stays in
+    # whole-stage codegen, no Python per row.
+    for e, (modality, mime) in _EXT_MODALITY.items():
+        modality_expr = F.when(ext == e, modality).otherwise(modality_expr)
+        mime_expr = F.when(ext == e, mime).otherwise(mime_expr)
+    return raw.select(
+        md5_int60(F.col("path")).alias("asset_id"),
+        modality_expr.alias("modality"),
+        F.col("content").alias("payload"),
+        mime_expr.alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
 
 
 def read_edge_list(

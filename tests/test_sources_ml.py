@@ -147,3 +147,52 @@ def test_default_master_detection():
     assert _default_master(8, {"PYSPARK_GATEWAY_PORT": "43211"}) is None
     assert _default_master(8, {"PYSPARK_SUBMIT_ARGS": "--master yarn pyspark-shell"}) is None
     assert _default_master(8, {"PYSPARK_SUBMIT_ARGS": "pyspark-shell"}) == "local[8]"
+
+
+def test_binary_assets_source_feeds_feature_extraction(spark, tmp_path):
+    """S4 end-to-end: files on disk -> binaryFile source -> ASSET_SCHEMA
+    -> mapInPandas feature extraction, with features matching the
+    decode stub computed directly on the written bytes."""
+    import hashlib
+
+    from cs744_big_data_system_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        _decode_stub,
+        extract_features,
+    )
+    from cs744_big_data_system_spark.sources.readers import read_binary_assets
+
+    payloads = {
+        "a.png": bytes(range(10)),
+        "b.wav": b"\xff\x00\x7f" * 5,
+        "c.mp4": b"moovbox!",
+        "d.dat": b"\x01\x02",          # unknown extension -> default modality
+    }
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+    (tmp_path / "skipme.txt").write_bytes(b"not media")
+
+    assets = read_binary_assets(spark, str(tmp_path), glob="*.{png,wav,mp4,dat}")
+    # Same names/types as ASSET_SCHEMA (nullability differs: expression
+    # columns are nullable, the literal schema pins NOT NULL).
+    assert [(f.name, f.dataType) for f in assets.schema] == [
+        (f.name, f.dataType) for f in ASSET_SCHEMA
+    ]
+    rows = {r.asset_id: r for r in assets.collect()}
+    assert len(rows) == 4
+
+    def aid(name: str) -> int:
+        return int(hashlib.md5(f"file:{tmp_path}/{name}".encode()).hexdigest()[:15], 16)
+
+    assert rows[aid("a.png")].modality == "image"
+    assert rows[aid("a.png")].mime == "image/png"
+    assert bytes(rows[aid("b.wav")].payload) == payloads["b.wav"]
+    assert rows[aid("c.mp4")].modality == "video"
+    assert rows[aid("d.dat")].modality == "image"  # default_modality
+
+    feats = {r.asset_id: r for r in extract_features(assets).collect()}
+    for name, data in payloads.items():
+        r = feats[aid(name)]
+        assert r.n_bytes == len(data)
+        expected = _decode_stub(data, rows[aid(name)].modality)
+        assert [round(x, 6) for x in r.feature] == [round(x, 6) for x in expected]

@@ -46,7 +46,14 @@ def pagerank(
     superstep's rank vector as a broadcast — the right call when the
     node set is far smaller than the edge set (the cached links table
     then never re-shuffles); leave False when ranks won't fit an
-    executor.
+    executor. In that regime, set ``num_partitions`` to the session's
+    shuffle-partition count so the cached links' hash partitioning
+    satisfies the per-superstep join requirement — links then never
+    re-shuffles either (plan-asserted in tests/test_plans.py).
+
+    The returned DataFrame carries a ``cached_links`` attribute (the
+    persisted links table, or None) so callers that materialize the
+    ranks can release the cache: ``ranks.cached_links.unpersist()``.
     """
     edges = edges.select("src", "dst")
 
@@ -88,7 +95,12 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
 
-    # Note: links stays persisted — the returned DataFrame is lazy and
+    # links must stay persisted — the returned DataFrame is lazy and
     # its plan references links once per superstep; unpersisting here
     # would make the caller's first action recompute the edge scan 10×.
+    # Expose it so long-lived sessions can release the cache after
+    # materializing: `ranks.cached_links.unpersist()` (None when
+    # cache_links=False). DataFrames are plain Python objects, so the
+    # attribute rides along without touching the plan.
+    ranks.cached_links = links if cache_links else None
     return ranks

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from cs744_big_data_system_spark.graph.pagerank import pagerank
+from cs744_big_data_system_spark.graph.synthetic import synthetic_graph
 from cs744_big_data_system_spark.operators.multimodal import extract_features, synthetic_assets
 from cs744_big_data_system_spark.sources.readers import edges_from_events, load_table
 from cs744_big_data_system_spark.streaming.stateful import running_counts
@@ -238,6 +239,37 @@ def q_pagerank_events(spark, sf_dir):
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+# --- PageRank on a synthetic large graph: the co-partitioned regime ---
+def q_pagerank_synthetic(spark, sf_dir):
+    """240k-edge synthetic graph (graph/synthetic.py), 5 supersteps in
+    the LARGE-graph regime: broadcast_ranks=False with num_partitions
+    matched to the session's shuffle width, so the cached weighted-links
+    table satisfies the join's partitioning and never re-shuffles — the
+    only per-superstep shuffles are the rank vector's. This is the plan
+    you run when ranks don't fit an executor; pagerank_events above is
+    the small-graph broadcast regime. Plan-asserted in
+    tests/test_plans.py; rows-only here (iterative fixed-point)."""
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = synthetic_graph(spark, num_nodes=30_000, avg_out_degree=8)
+    ranks = pagerank(
+        edges, iterations=5, damping=0.85,
+        broadcast_ranks=False, num_partitions=n_shuffle,
+    )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+# --- Same graph, broadcast regime: the BENCH pair for comparison ---
+def q_pagerank_synthetic_broadcast(spark, sf_dir):
+    """Identical graph and supersteps but broadcast_ranks=True — at
+    30k nodes the rank vector still fits an executor, so the bench rows
+    for this pair quantify the regime crossover round-over-round."""
+    edges = synthetic_graph(spark, num_nodes=30_000, avg_out_degree=8)
+    ranks = pagerank(
+        edges, iterations=5, damping=0.85, broadcast_ranks=True, num_partitions=4
+    )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
 # --- Data-parallel training loop (assignment-2 all-reduce schema) ---
 def q_ml_linear_fit(spark, sf_dir):
     """Fit a linear model label ~ embedding by full-batch gradient
@@ -309,6 +341,8 @@ WORKLOADS = {
     "stream_stream_join_replay": (q_stream_stream_join_replay, SQL_STREAM_STREAM_JOIN),
     "stream_stateful_counts": (q_stream_stateful_counts, SQL_STREAM_STATEFUL),
     "pagerank_events": (q_pagerank_events, None),  # iterative fixed-point
+    "pagerank_synthetic": (q_pagerank_synthetic, None),  # iterative, co-partitioned regime
+    "pagerank_synthetic_broadcast": (q_pagerank_synthetic_broadcast, None),  # broadcast regime
     "ml_linear_fit": (q_ml_linear_fit, None),  # iterative training loop
     "multimodal_features": (q_multimodal_features, None),  # decode stubbed
     "multimodal_doc_features": (q_multimodal_doc_features, SQL_MULTIMODAL_DOC_FEATURES),

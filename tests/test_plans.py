@@ -134,3 +134,87 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # and the data actually comes back right
     want = ev.filter(F.col("event_type") == "purchase").count()
     assert back.count() == want
+
+
+def _exchange_input_blocks(plan: str) -> list[str]:
+    """The formatted-explain detail block (Input + Arguments lines) of
+    every shuffle Exchange operator."""
+    import re
+
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    # REPARTITION_BY_NUM is the deliberate one-time cache-layout shuffle
+    # (runs once at persist time); ENSURE_REQUIREMENTS exchanges are the
+    # planner inserting a shuffle to satisfy a join — those are the ones
+    # that must not touch the cached links.
+    return [b for b in blocks
+            if b.startswith("Exchange\n") and "ENSURE_REQUIREMENTS" in b]
+
+
+def test_pagerank_copartitioned_links_never_reshuffle(spark):
+    """Large-graph regime (broadcast_ranks=False, num_partitions matched
+    to the shuffle width): the cached links table's hash partitioning on
+    src satisfies every superstep's join, so the planner inserts no
+    ENSURE_REQUIREMENTS exchange on the links side AND shuffles the rank
+    vector exactly once per superstep (its own aggregation). The control
+    (mismatched partition count) makes Spark chase links' foreign
+    partitioning with an extra per-superstep rank-vector exchange —
+    Input [node, rank] blocks that never appear in the matched plan."""
+    import re
+
+    from cs744_big_data_system_spark.graph.pagerank import pagerank
+    from cs744_big_data_system_spark.graph.synthetic import synthetic_graph
+    from cs744_big_data_system_spark.plans.explain import formatted_plan
+
+    edges = synthetic_graph(spark, num_nodes=500, avg_out_degree=4)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # pin SortMergeJoin so the assertion doesn't ride on size estimates
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    def rank_reshuffles(plan):
+        return [b for b in _exchange_input_blocks(plan)
+                if re.search(r"Input \[2\]: \[node#\d+, rank#\d+\]", b)]
+
+    good = bad = None
+    try:
+        good = pagerank(edges, iterations=3, broadcast_ranks=False, num_partitions=n)
+        plan = formatted_plan(good)
+        assert "SortMergeJoin" in plan, plan
+        assert [b for b in _exchange_input_blocks(plan)
+                if "n_para" in b and "out_degree" in b] == [], plan
+        assert rank_reshuffles(plan) == [], plan
+
+        bad = pagerank(edges, iterations=3, broadcast_ranks=False, num_partitions=n + 3)
+        assert len(rank_reshuffles(formatted_plan(bad))) >= 2
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for df in (good, bad):
+            if df is not None and df.cached_links is not None:
+                df.cached_links.unpersist()
+
+
+def test_pagerank_broadcast_regime_broadcasts_ranks(spark):
+    """Small-graph regime: every superstep joins the rank vector as an
+    explicit broadcast; the cached links table never shuffles at all."""
+    import re
+
+    from cs744_big_data_system_spark.graph.pagerank import pagerank
+    from cs744_big_data_system_spark.graph.synthetic import synthetic_graph
+    from cs744_big_data_system_spark.plans.explain import formatted_plan
+
+    edges = synthetic_graph(spark, num_nodes=500, avg_out_degree=4)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    ranks = None
+    try:
+        ranks = pagerank(edges, iterations=3, broadcast_ranks=True, num_partitions=4)
+        plan = formatted_plan(ranks)
+        # 3 superstep joins (+ possibly the links⋈degree build inside
+        # the cached plan, which the planner may also broadcast)
+        assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 3, plan
+        assert [b for b in _exchange_input_blocks(plan)
+                if "n_para" in b and "out_degree" in b] == [], plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        if ranks is not None and ranks.cached_links is not None:
+            ranks.cached_links.unpersist()

@@ -38,15 +38,27 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_cosine_topk_ivf",
     "percentile",
+    "approx_percentile",
     "join_full_outer",
     "text_quality",
     "label_mean_embedding",
     "pagerank_events",
+    # round-2 heavies: regression visibility round-over-round
+    "events_funnel",
+    "events_retention",
+    "text_tfidf_bm25",
+    "text_pmi_cooccurrence",
+    "llm_clean_corpus",
+    "dedup_embedding_cosine_lsh",
+    # same synthetic graph, both regimes (the crossover pair)
+    "pagerank_synthetic",
+    "pagerank_synthetic_broadcast",
 ]
 
 
 def time_query(fn, spark, sf_dir, reps: int = 2) -> float:
     times = []
+    df = None
     for i in range(reps + 1):
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
@@ -55,12 +67,22 @@ def time_query(fn, spark, sf_dir, reps: int = 2) -> float:
         # orderBys, timing less work than the query declares.
         df.write.format("noop").mode("overwrite").save()
         times.append(time.perf_counter() - t0)
+    # Iterative operators (pagerank) persist a loop-invariant table and
+    # expose it as cached_links; all reps share the one cache entry
+    # (CacheManager dedupes by plan), so release it here to keep a long
+    # bench session from accumulating blocks.
+    cached = getattr(df, "cached_links", None)
+    if cached is not None:
+        cached.unpersist()
     return sum(times[1:]) / len(times[1:])
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0  # path merely contains 'sf' (e.g. /data/sf_full)
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 

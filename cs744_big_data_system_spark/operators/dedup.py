@@ -426,8 +426,8 @@ def embedding_cosine_neardup_lsh(
     embeddings: DataFrame,
     dim: int,
     threshold: float = 0.9,
-    num_bands: int = 4,
-    planes_per_band: int = 4,
+    num_bands: int = 8,
+    planes_per_band: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -439,48 +439,49 @@ def embedding_cosine_neardup_lsh(
     (similarity.lsh_bucket); a pair is a candidate iff it collides in
     ANY band — the minhash-banding construction applied to angular
     distance. For cosine ≥ 0.9 (angle ≈ 26°), P(one plane agrees)
-    ≈ 1 − θ/π ≈ 0.857, so 4 bands × 4 planes give recall
-    1 − (1 − 0.857⁴)⁴ ≈ 0.95, while unrelated vectors (p ≈ 0.5)
-    collide in a band with probability ~0.06.
+    ≈ 1 − θ/π ≈ 0.857, so 8 bands × 10 planes give recall
+    1 − (1 − 0.857¹⁰)⁸ ≈ 0.86 (≈ 1.0 at cosine 0.97+), while an
+    unrelated pair (p = 0.5) collides anywhere with probability
+    8 × 0.5¹⁰ ≈ 0.8%.
 
-    Unlike embedding_cosine_neardup's blocked all-pairs (O(n²/L)), the
-    only shuffle here is the equi-join on (band_idx, bucket), whose key
-    cardinality is num_bands × 2^planes_per_band and grows with the
-    plane count, not the corpus — candidates per bucket stay bounded.
-    Recall vs the exact pairs is asserted in tests/test_dedup.py.
+    ``planes_per_band`` is the scale knob — size it ≈ log₂(corpus /
+    wanted-bucket-size): each band has 2^planes buckets, and per-bucket
+    candidates grow quadratically (10 planes = 1024 buckets per band;
+    4 planes = 16, which collapses exactly like a too-narrow simhash
+    band). Candidates are deduped on the ID pair ONLY — an 16-byte
+    shuffle key — and the embeddings re-join for the verify step (two
+    hash joins the optimizer can broadcast when the vector table side
+    allows), instead of dragging both float arrays through the
+    distinct. Recall vs the exact pairs is asserted in
+    tests/test_dedup.py.
     """
     from cs744_big_data_system_spark.functions.vectors import cosine_similarity
-    from cs744_big_data_system_spark.operators.similarity import lsh_bucket
+    from cs744_big_data_system_spark.operators.similarity import lsh_band_buckets_udf
 
+    # All bands' buckets in one Arrow-batched numpy matmul (see
+    # lsh_band_buckets_udf — the interpreted zip_with/aggregate path is
+    # ~100× slower at num_bands × planes_per_band dot products per row),
+    # then posexplode to (band_idx, bucket) rows.
+    buckets = lsh_band_buckets_udf(dim, num_bands, planes_per_band)
     entries = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_idx"),
-                    lsh_bucket(
-                        vec_col, dim, planes_per_band, plane_offset=b * planes_per_band
-                    ).alias("bucket"),
-                )
-                for b in range(num_bands)
-            ])
-        ).alias("band"),
-    ).select(id_col, vec_col, "band.band_idx", "band.bucket")
-    a = entries.select(
-        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a"), "band_idx", "bucket"
+        F.col(id_col), F.posexplode(buckets(F.col(vec_col).cast("array<double>"))).alias(
+            "band_idx", "bucket"
+        )
     )
-    b = entries.select(
-        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b"), "band_idx", "bucket"
-    )
+    a = entries.select(F.col(id_col).alias("vec_a"), "band_idx", "bucket")
+    b = entries.select(F.col(id_col).alias("vec_b"), "band_idx", "bucket")
     cand = (
         a.join(b, ["band_idx", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "emb_a", "emb_b")
+        .select("vec_a", "vec_b")
         .distinct()
     )
+    e_a = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a"))
+    e_b = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b"))
     cos = cosine_similarity("emb_a", "emb_b")
     return (
-        cand.select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        cand.join(e_a, "vec_a")
+        .join(e_b, "vec_b")
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -107,6 +107,49 @@ def lsh_bucket(vec_col, dim: int, num_planes: int = 8, plane_offset: int = 0) ->
     return bucket
 
 
+def _plane_coeff(plane_idx: int, j: int) -> float:
+    """The deterministic hyperplane coefficient, computed host-side —
+    same value _hyperplane emits as a literal."""
+    import hashlib
+
+    return (
+        int(hashlib.md5(f"plane:{plane_idx}:{j}".encode()).hexdigest()[:15], 16) % 2001 - 1000
+    ) / 1000.0
+
+
+def lsh_band_buckets_udf(dim: int, num_bands: int, planes_per_band: int):
+    """Arrow-batched bucket computation for MANY bands at once:
+    ``array<long>`` of one sign-pattern bucket per band.
+
+    The native-Column lsh_bucket is right for a handful of planes, but
+    banded near-dup needs num_bands × planes_per_band dot products per
+    row (e.g. 80 × dim 64 = 5k multiply-adds), and Catalyst evaluates
+    aggregate/zip_with lambdas interpreted, per element. Here the whole
+    batch is ONE numpy matmul (batch × dim) @ (dim × planes) — BLAS
+    against Arrow buffers, ~100× the throughput, identical hyperplanes
+    (coefficients are the same md5-derived values)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    n_planes = num_bands * planes_per_band
+    planes = np.array(
+        [[_plane_coeff(p, j) for j in range(dim)] for p in range(n_planes)]
+    )  # (P, dim)
+    weights = 1 << np.arange(planes_per_band, dtype=np.int64)  # bit i per plane-in-band
+
+    @pandas_udf(ArrayType(LongType()), PandasUDFType.SCALAR)
+    def buckets(v: pd.Series) -> pd.Series:
+        mat = np.array(v.tolist(), dtype=np.float64)  # (batch, dim)
+        signs = (mat @ planes.T) >= 0  # (batch, P)
+        per_band = signs.reshape(len(mat), num_bands, planes_per_band)
+        ids = (per_band * weights).sum(axis=2)  # (batch, num_bands)
+        return pd.Series(list(ids))
+
+    return buckets
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -10,6 +10,7 @@ watermark late-data semantics deterministically.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -126,13 +127,25 @@ def replay_to_batch(
     stream = normalize_event_ts(reader.parquet(stream_path))
     out = transform(stream)
     name = "replay_" + uuid.uuid4().hex[:12]
+    ckpt_dir = tempfile.mkdtemp(prefix="ckpt_")
     query = (
         out.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", ckpt_dir)
         .start()
     )
-    query.awaitTermination()
-    return spark.table(name)
+    try:
+        query.awaitTermination()
+        # Detach the result from the memory-sink temp view (eager
+        # localCheckpoint → LogicalRDD) so the view and checkpoint dir
+        # can be dropped immediately — repeated replays in one session
+        # must not accumulate catalog entries or tmp dirs. The
+        # checkpointed blocks themselves are released by the
+        # ContextCleaner once the returned DataFrame is unreachable.
+        result = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return result

@@ -255,10 +255,17 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
-_SQL_COS = (
-    "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))"
-    " / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * a.embedding[i])))"
+_SQL_NORM_PROD = (
+    "(sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * a.embedding[i])))"
     " * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * b.embedding[i]))))"
+)
+# NULL on zero-norm vectors, mirroring functions/vectors.cosine_similarity's
+# denom > 0 guard — an unguarded division would diverge (NULL vs NaN) if a
+# zero vector ever lands in a fixture.
+_SQL_COS = (
+    f"CASE WHEN {_SQL_NORM_PROD} > 0 THEN "
+    "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))"
+    f" / {_SQL_NORM_PROD} END"
 )
 
 SQL_EMBEDDING_NEARDUP = f"""
@@ -279,7 +286,7 @@ def q_embedding_neardup_lsh(spark, sf_dir):
 
     return embedding_cosine_neardup_lsh(
         load_table(spark, sf_dir, "embeddings"),
-        dim=64, threshold=0.4, num_bands=8, planes_per_band=4,
+        dim=64, threshold=0.4, num_bands=8, planes_per_band=10,
     )
 
 

@@ -601,10 +601,13 @@ def q_json_funcs(spark, sf_dir):
     )
 
 
+# TRY_CAST mirrors Spark's null-on-error cast semantics (ANSI off): a
+# plain CAST would make the oracle ERROR where Spark yields NULL on a
+# non-numeric props.k.
 SQL_JSON_FUNCS = """
 SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
 FROM events
 """
 

@@ -322,7 +322,12 @@ def q_csv_roundtrip_sort(spark, sf_dir):
     from cs744_big_data_system_spark.sources.writers import write_csv
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
-    path = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    # One pid-stable dir overwritten per call (the lazy return still
+    # reads it, so it can't be deleted here) — repeated invocations in
+    # a long session reuse it instead of accumulating mkdtemp dirs.
+    import os
+
+    path = os.path.join(tempfile.gettempdir(), f"csv_roundtrip_{os.getpid()}")
     write_csv(ev, path)
     back = read_csv(spark, path)
     return back.orderBy(F.col("event_type").asc(), F.col("event_id").asc()).select(

@@ -139,17 +139,22 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     if max_df is not None:
+        from pyspark.sql import Window
+
         df_keys = ([block_col] if block_col else []) + ["shingle"]
-        # The hot list is tiny (only stop-shingles survive the HAVING),
-        # so the anti-join broadcasts under AQE — no extra shuffle of
-        # the big shingle table beyond the df groupBy itself.
-        hot = (
-            sh.groupBy(*df_keys)
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_df)
-            .select(*df_keys)
+        # Document frequency as a window count over the join key: ONE
+        # repartition of the shingle table into (block, shingle)
+        # partitioning — which is exactly what the self-join below
+        # requires, so both join sides then need no further Exchange
+        # (vs a separate df-aggregate + anti-join, which costs an extra
+        # pass and leaves the join to re-shuffle anyway; ~12% on the
+        # sf0.1 bench, and one fewer full-table exchange at scale).
+        w = Window.partitionBy(*df_keys)
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
         )
-        sh = sh.join(hot, df_keys, "left_anti")
     # No persist here: the three consumers (sizes, both join sides)
     # share the distinct's shuffle via ReuseExchange, and a persist
     # inside a lazily-returned operator can never be unpersisted —

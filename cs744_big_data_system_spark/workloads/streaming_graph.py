@@ -284,6 +284,23 @@ def q_ml_linear_fit(spark, sf_dir):
     return weights_df(spark, w)
 
 
+# --- Nonlinear (MLP) training loop — the VGG-11 data-parallel analogue ---
+def q_ml_mlp_fit(spark, sf_dir):
+    """Train a 1-hidden-layer tanh MLP label ~ embedding with the SAME
+    broadcast-θ / shard-backward / single-treeAggregate superstep as
+    the linear fit (ml/mlp.py — the reference's VGG-11 DDP loop,
+    assignment2/part1/model.py:30-46, with the bucketed-all-reduce
+    lesson: every layer's gradient travels in ONE collective). Returns
+    the per-epoch loss curve; rows-only (iterative, float-merge-order
+    sensitive) — convergence and the beats-linear-baseline property
+    are unit-tested."""
+    from cs744_big_data_system_spark.ml.mlp import fit_mlp, loss_curve_df
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, losses = fit_mlp(emb, hidden=8, lr=0.1, iterations=10)
+    return loss_curve_df(spark, losses)
+
+
 # --- Multimodal plumbing: Arrow-batched feature extraction (decode stubbed) ---
 def q_multimodal_features(spark, sf_dir):
     assets = synthetic_assets(spark, n=64)
@@ -344,6 +361,7 @@ WORKLOADS = {
     "pagerank_synthetic": (q_pagerank_synthetic, None),  # iterative, co-partitioned regime
     "pagerank_synthetic_broadcast": (q_pagerank_synthetic_broadcast, None),  # broadcast regime
     "ml_linear_fit": (q_ml_linear_fit, None),  # iterative training loop
+    "ml_mlp_fit": (q_ml_mlp_fit, None),  # iterative nonlinear training loop
     "multimodal_features": (q_multimodal_features, None),  # decode stubbed
     "multimodal_doc_features": (q_multimodal_doc_features, SQL_MULTIMODAL_DOC_FEATURES),
 }

@@ -196,3 +196,51 @@ def test_binary_assets_source_feeds_feature_extraction(spark, tmp_path):
         assert r.n_bytes == len(data)
         expected = _decode_stub(data, rows[aid(name)].modality)
         assert [round(x, 6) for x in r.feature] == [round(x, 6) for x in expected]
+
+
+def test_mlp_learns_nonlinear_target_linear_cannot(spark):
+    """y = x0·x1 (pure interaction) has ZERO linear signal — the best
+    linear fit is the mean. The MLP, trained through the identical
+    broadcast/treeAggregate superstep, must cut MSE well below that
+    baseline, and its loss curve must be monotically useful
+    (end << start). Deterministic: seed-fixed init, full-batch."""
+    import numpy as np
+
+    from cs744_big_data_system_spark.ml.linear_sgd import fit_linear
+    from cs744_big_data_system_spark.ml.mlp import fit_mlp
+
+    rng = np.random.RandomState(14)
+    X = rng.uniform(-1, 1, size=(400, 2))
+    y = X[:, 0] * X[:, 1]
+    rows = [([float(a), float(b)], float(t)) for (a, b), t in zip(X, y)]
+    df = spark.createDataFrame(rows, ["embedding", "label"]).repartition(4)
+
+    theta, losses = fit_mlp(df, hidden=8, lr=1.0, iterations=60)
+    assert len(losses) == 60
+    assert losses[-1] < 0.25 * losses[0]  # converging
+
+    # Linear baseline on the same data: residual variance ~= var(y).
+    w = fit_linear(df, lr=0.5, iterations=60)
+    Xb = np.hstack([X, np.ones((400, 1))])
+    lin_mse = float(np.mean((Xb @ w - y) ** 2))
+    var_y = float(np.var(y))
+    assert lin_mse > 0.8 * var_y          # linear genuinely can't fit it
+    assert losses[-1] < 0.5 * lin_mse     # the MLP can
+
+
+def test_mlp_loss_merge_is_partition_invariant(spark):
+    """Same data in 1 vs 7 partitions: full-batch gradients are sums,
+    so the loss curve must agree to float tolerance (the all-reduce
+    merge is associative by construction)."""
+    import numpy as np
+
+    from cs744_big_data_system_spark.ml.mlp import fit_mlp
+
+    rng = np.random.RandomState(7)
+    rows = [([float(a), float(b), float(c)], float(a - b + 0.5 * c))
+            for a, b, c in rng.uniform(-1, 1, size=(120, 3))]
+    df1 = spark.createDataFrame(rows, ["embedding", "label"]).coalesce(1)
+    df7 = spark.createDataFrame(rows, ["embedding", "label"]).repartition(7)
+    _, l1 = fit_mlp(df1, hidden=4, lr=0.2, iterations=8)
+    _, l7 = fit_mlp(df7, hidden=4, lr=0.2, iterations=8)
+    np.testing.assert_allclose(l1, l7, rtol=1e-9)

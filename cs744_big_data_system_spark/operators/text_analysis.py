@@ -239,3 +239,79 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         F.md5("_ct").alias("content_fp"),
         rolling.alias("rolling_fp"),
     )
+
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 6,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, the fraction of its
+    distinct word n-gram shingles that appear ANYWHERE in the benchmark
+    set — the standard eval-leakage check a training-data pipeline runs
+    before a corpus ships (flag/drop docs that quote the benchmark).
+
+    Returns (doc_id, n_shingles, n_contaminated, contamination,
+    flagged) for every training doc that has at least one shingle.
+
+    Scale shape: the benchmark shingle set is tiny relative to the
+    corpus (an eval suite, not a second corpus), so the overlap join's
+    build side broadcasts under AQE; the corpus-side shingle table is
+    the one shuffle, keyed by the 60-bit shingle hash. 6-grams (vs the
+    dedup family's 3-grams) keep accidental matches near zero while
+    still catching verbatim quotes.
+    """
+    from cs744_big_data_system_spark.operators.dedup import shingles
+
+    doc_sh = shingles(documents, n).select(
+        "doc_id", md5_int60(F.col("shingle")).alias("sh")
+    )
+    bench_sh = (
+        shingles(benchmark, n)
+        .select(md5_int60(F.col("shingle")).alias("sh"))
+        .distinct()
+    )
+    sizes = doc_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        doc_sh.join(bench_sh, "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    ratio = F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_shingles")
+    return (
+        sizes.join(hits, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+            F.round(ratio, 6).alias("contamination"),
+            (ratio >= threshold).alias("flagged"),
+        )
+    )
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    cap: int,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum cap — domain-mix rebalancing for a
+    training corpus: keep at most ``cap`` rows per stratum, chosen by a
+    seeded hash order (md5 of the id) so the sample is reproducible,
+    unbiased by storage order, and identical on any engine.
+
+    One window shuffle keyed by the stratum; at scale this is the
+    standard way to pin a per-domain token budget before mixing.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(order_col).cast("string")).asc(), F.col(order_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

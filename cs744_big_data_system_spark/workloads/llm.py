@@ -550,6 +550,72 @@ FROM grams
 """
 
 
+# --- Benchmark decontamination: eval-leakage check before shipping ---
+def q_text_decontaminate(spark, sf_dir):
+    """Per training doc, the fraction of its distinct 6-gram shingles
+    that appear anywhere in the benchmark set (stand-in benchmark:
+    doc_id % 97 == 0 — a fixed pseudo-random ~1% slice, which also
+    exercises the interesting case since the fixture's planted dup
+    groups straddle the split). operators/text_analysis.decontaminate;
+    the benchmark shingle side broadcasts under AQE."""
+    from cs744_big_data_system_spark.operators.text_analysis import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, bench, n=6, threshold=0.05)
+
+
+SQL_TEXT_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_CANON_TOKS} AS tk FROM documents
+), grams AS (
+  SELECT doc_id, unnest({_sql_ngram(6)}) AS gram FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, {_sql_md5_int60("gram")} AS sh FROM grams
+), bench AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0
+), train AS (
+  SELECT * FROM sh WHERE doc_id % 97 <> 0
+), sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id
+), hits AS (
+  SELECT doc_id, count(*) AS n_contaminated FROM train
+  WHERE sh IN (SELECT sh FROM bench) GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       round(COALESCE(h.n_contaminated, 0) * 1.0 / s.n_shingles, 6) AS contamination,
+       COALESCE(h.n_contaminated, 0) * 1.0 / s.n_shingles >= 0.05 AS flagged
+FROM sizes s LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# --- Deterministic stratified sampling: domain-mix rebalancing ---
+def q_corpus_sample_stratified(spark, sf_dir):
+    """Keep at most 25 docs per lang, chosen by seeded md5 order —
+    reproducible per-domain budget capping before corpus mixing
+    (operators/text_analysis.sample_stratified). One window shuffle
+    keyed by the stratum."""
+    from cs744_big_data_system_spark.operators.text_analysis import sample_stratified
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_stratified(docs, "lang", cap=25).select("doc_id", "lang")
+
+
+SQL_CORPUS_SAMPLE_STRATIFIED = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rn <= 25
+"""
+
+
 # --- End-to-end corpus cleaning: the LLM-data-pipeline composite ---
 def q_llm_clean_corpus(spark, sf_dir):
     """The full training-data cleaning pass as ONE lazy plan:
@@ -695,6 +761,8 @@ WORKLOADS = {
     "text_tfidf_bm25": (q_tfidf, SQL_TFIDF),
     "text_pmi_cooccurrence": (q_pmi, SQL_PMI),
     "text_boilerplate": (q_boilerplate, SQL_BOILERPLATE),
+    "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
+    "corpus_sample_stratified": (q_corpus_sample_stratified, SQL_CORPUS_SAMPLE_STRATIFIED),
     "llm_clean_corpus": (q_llm_clean_corpus, SQL_LLM_CLEAN_CORPUS),
     "label_mean_embedding": (q_label_mean_embedding, SQL_LABEL_MEAN_EMBEDDING),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),

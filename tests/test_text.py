@@ -154,3 +154,38 @@ def test_cooccurrence_pmi(spark):
     # pmi = ln(4*5/(4*4)) = ln(1.25)
     assert abs(r.pmi - round(math.log(1.25), 6)) < 1e-9
     assert ("x", "z") not in out  # never co-occur
+
+
+def test_decontaminate_flags_benchmark_quotes(spark):
+    """A train doc quoting a benchmark doc verbatim must be flagged;
+    clean docs must report zero contamination (and still appear)."""
+    from cs744_big_data_system_spark.operators.text_analysis import decontaminate
+
+    bench_text = "the capital of france is paris and the capital of italy is rome ok"
+    clean_text = "completely unrelated words about distributed query engines and shuffles"
+    quoting = "intro words then " + bench_text + " closing remark here"
+    bench = spark.createDataFrame(
+        [(100, bench_text, "en", "b", 1)], ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    train = spark.createDataFrame(
+        [(1, quoting, "en", "t", 1), (2, clean_text, "en", "t", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = {r.doc_id: r for r in decontaminate(train, bench, n=6, threshold=0.05).collect()}
+    assert got[1].flagged and got[1].n_contaminated > 0
+    assert got[1].contamination > 0.3
+    assert not got[2].flagged and got[2].n_contaminated == 0
+    assert got[2].n_shingles > 0
+
+
+def test_sample_stratified_deterministic_caps(spark):
+    from cs744_big_data_system_spark.operators.text_analysis import sample_stratified
+
+    rows = [(i, f"t{i}", "en" if i % 3 else "de", "s", 1) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    s1 = sorted((r.lang, r.doc_id) for r in sample_stratified(df, "lang", cap=5).collect())
+    s2 = sorted((r.lang, r.doc_id) for r in sample_stratified(df, "lang", cap=5).collect())
+    assert s1 == s2                     # reproducible
+    from collections import Counter
+    per = Counter(lang for lang, _ in s1)
+    assert per == {"en": 5, "de": 5}    # caps honored per stratum

@@ -315,3 +315,34 @@ def sample_stratified(
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def repetition_features(
+    documents: DataFrame, n: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    """C4-style repetition signal: the fraction of a doc's word n-grams
+    that are duplicates (1 − distinct/total) — high values mark
+    low-quality template/spam text that token-count and punct-ratio
+    filters miss.
+
+    Pure per-row column math (token array materialized ONCE, then two
+    sizes) — no shuffle; at 100 TB the scan is the whole cost, like the
+    rest of the quality family.
+    """
+    from cs744_big_data_system_spark.functions.text import ngrams_from_tokens
+
+    with_grams = documents.select(
+        "doc_id", tokens(normalized_text("text")).alias("_tk")
+    ).select("doc_id", ngrams_from_tokens("_tk", n).alias("_g"))
+    n_grams = F.size("_g")
+    n_distinct = F.size(F.array_distinct("_g"))
+    ratio = F.when(
+        n_grams > 0, (n_grams - n_distinct) / n_grams.cast("double")
+    ).otherwise(F.lit(0.0))
+    return with_grams.select(
+        "doc_id",
+        n_grams.cast("long").alias("n_grams"),
+        n_distinct.cast("long").alias("n_distinct"),
+        F.round(ratio, 6).alias("repetition_ratio"),
+        (ratio > threshold).alias("repetitive"),
+    )

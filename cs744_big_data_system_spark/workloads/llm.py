@@ -550,6 +550,35 @@ FROM grams
 """
 
 
+# --- Repetition-ratio quality signal (C4-style) ---
+def q_text_repetition(spark, sf_dir):
+    """Duplicated-3-gram fraction per doc — the template/spam signal
+    the length/punct filters miss (operators/text_analysis.
+    repetition_features); pure scan-side column math, zero shuffle."""
+    from cs744_big_data_system_spark.operators.text_analysis import repetition_features
+
+    return repetition_features(load_table(spark, sf_dir, "documents"), n=3, threshold=0.2)
+
+
+SQL_TEXT_REPETITION = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_CANON_TOKS} AS tk FROM documents
+), grams AS (
+  SELECT doc_id, {_SQL_NGRAM3} AS g FROM toks
+)
+SELECT doc_id,
+       CAST(len(g) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+       round(CASE WHEN len(g) > 0
+             THEN (len(g) - len(list_distinct(g))) * 1.0 / len(g)
+             ELSE 0.0 END, 6) AS repetition_ratio,
+       CASE WHEN len(g) > 0
+            THEN (len(g) - len(list_distinct(g))) * 1.0 / len(g)
+            ELSE 0.0 END > 0.2 AS repetitive
+FROM grams
+"""
+
+
 # --- Benchmark decontamination: eval-leakage check before shipping ---
 def q_text_decontaminate(spark, sf_dir):
     """Per training doc, the fraction of its distinct 6-gram shingles
@@ -761,6 +790,7 @@ WORKLOADS = {
     "text_tfidf_bm25": (q_tfidf, SQL_TFIDF),
     "text_pmi_cooccurrence": (q_pmi, SQL_PMI),
     "text_boilerplate": (q_boilerplate, SQL_BOILERPLATE),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
     "corpus_sample_stratified": (q_corpus_sample_stratified, SQL_CORPUS_SAMPLE_STRATIFIED),
     "llm_clean_corpus": (q_llm_clean_corpus, SQL_LLM_CLEAN_CORPUS),

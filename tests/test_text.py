@@ -189,3 +189,18 @@ def test_sample_stratified_deterministic_caps(spark):
     from collections import Counter
     per = Counter(lang for lang, _ in s1)
     assert per == {"en": 5, "de": 5}    # caps honored per stratum
+
+
+def test_repetition_features_flags_template_text(spark):
+    from cs744_big_data_system_spark.operators.text_analysis import repetition_features
+
+    spam = " ".join(["buy cheap pills now"] * 10)      # one phrase, looped
+    normal = "a quick brown fox jumps over the lazy dog near the river bank today"
+    df = spark.createDataFrame(
+        [(1, spam, "en", "s", 1), (2, normal, "en", "s", 1), (3, "two words", "en", "s", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = {r.doc_id: r for r in repetition_features(df, n=3, threshold=0.2).collect()}
+    assert got[1].repetitive and got[1].repetition_ratio > 0.8
+    assert not got[2].repetitive and got[2].repetition_ratio == 0.0
+    assert got[3].n_grams == 0 and not got[3].repetitive  # short doc: no grams

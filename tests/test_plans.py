@@ -218,3 +218,21 @@ def test_pagerank_broadcast_regime_broadcasts_ranks(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         if ranks is not None and ranks.cached_links is not None:
             ranks.cached_links.unpersist()
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark):
+    """The benchmark shingle side is an eval suite (tiny), so at
+    runtime AQE must turn the overlap semi-join into a broadcast —
+    the corpus-side shingle table never shuffles for it. Checked on
+    the EXECUTED plan (static estimates lack stats; the conversion is
+    AQE's call)."""
+    from cs744_big_data_system_spark.operators.text_analysis import decontaminate
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    out = decontaminate(train, bench, n=6)
+    out.collect()
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in executed and "LeftSemi" in executed, executed

@@ -317,6 +317,146 @@ def sample_stratified(
     )
 
 
+#: PII patterns — restricted to syntax that Java regex (Spark) and RE2
+#: (DuckDB) parse IDENTICALLY, so redaction is oracle-reproducible.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?\d{1,2}-\d{3}-\d{3,4}(-\d{4})?"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Scrub PII before a corpus ships: count and redact emails, phone
+    numbers, and IPv4 addresses with typed placeholders — the standard
+    pre-release privacy pass of a training-data pipeline.
+
+    Returns (id, n_emails, n_phones, n_ips, redacted_fp) where
+    ``redacted_fp`` is the md5 of the scrubbed text (small enough to
+    hash-compare, proves the rewrite byte-for-byte).
+
+    Pure per-row regexp column math — no shuffle, the scan is the whole
+    cost at 100 TB, same posture as the quality family. Order matters:
+    emails first (they contain dots and digits that the IP/phone
+    patterns could nibble), then phones, then IPs.
+    """
+    c = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), 0))
+    after_email = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(after_email, F.lit(PII_PHONE), 0))
+    after_phone = F.regexp_replace(after_email, PII_PHONE, "<PHONE>")
+    n_ips = F.size(F.regexp_extract_all(after_phone, F.lit(PII_IP), 0))
+    redacted = F.regexp_replace(after_phone, PII_IP, "<IP>")
+    return df.select(
+        id_col,
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        n_ips.cast("long").alias("n_ips"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+def pack_sequences(
+    documents: DataFrame, budget: int = 512, n_shards: int = 8
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the step that turns a cleaned
+    corpus into fixed-width training sequences: documents are laid out
+    back-to-back in a deterministic order and cut every ``budget``
+    tokens; a doc whose span crosses a cut contributes to several
+    chunks.
+
+    Returns (doc_id, lang, shard, n_tokens, tok_offset, chunk_first,
+    n_chunks): ``tok_offset`` is the doc's start position in its shard's
+    token stream, ``chunk_first`` the first chunk it lands in,
+    ``n_chunks`` how many chunks its span touches.
+
+    Scale shape: packing is a running sum — a serial recurrence — so a
+    single global stream would serialize the corpus through one task.
+    Instead each (lang, shard) packs independently into its own chunk
+    stream (chunk boundaries don't need to be globally contiguous, only
+    deterministic), giving ``langs × n_shards`` parallel recurrences:
+    one window shuffle, partitions bounded at corpus/(L·S). At 100 TB
+    raise ``n_shards`` to O(cores); determinism is unaffected because
+    the shard key and order are content-derived (doc_id), not
+    storage-order.
+    """
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "doc_id",
+        "lang",
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("long").alias("shard"),
+        token_count("text").cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    chunk_first = F.floor(off / budget)
+    chunk_last = F.when(
+        F.col("n_tokens") > 0, F.floor((off + F.col("n_tokens") - 1) / budget)
+    ).otherwise(chunk_first)
+    return toks.select(
+        "doc_id",
+        "lang",
+        "shard",
+        "n_tokens",
+        off.cast("long").alias("tok_offset"),
+        chunk_first.cast("long").alias("chunk_first"),
+        (chunk_last - chunk_first + 1).cast("long").alias("n_chunks"),
+    )
+
+
+def token_histogram(
+    documents: DataFrame, width: int = 10, n_buckets: int = 20
+) -> DataFrame:
+    """Token-length histogram per language — the corpus-shape
+    diagnostic run before choosing packing budgets and length filters.
+    Bucket = min(floor(tokens/width), n_buckets-1) (last bucket is
+    open-ended). One near-uniform groupBy shuffle on (lang, bucket) —
+    at most langs × n_buckets groups regardless of corpus size."""
+    n_tok = token_count("text").cast("long")
+    bucket = F.least(F.floor(n_tok / width), F.lit(n_buckets - 1)).cast("long")
+    return (
+        documents.select("lang", bucket.alias("bucket"), n_tok.alias("n_tokens"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+def domain_mix_weights(documents: DataFrame) -> DataFrame:
+    """Per-source sampling weights that would rebalance the corpus to a
+    uniform domain mixture — the knob a pretraining pipeline turns to
+    hit a target data mix. weight = target_share / actual_token_share
+    (>1 ⇒ upsample, <1 ⇒ downsample).
+
+    One groupBy shuffle to ~n_sources rows; corpus totals ride along as
+    a broadcast scalar row (never collected to the driver)."""
+    per_src = documents.select(
+        "source", token_count("text").cast("long").alias("n_tokens")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("src_tokens")
+    )
+    totals = per_src.agg(
+        F.sum("src_tokens").alias("tot_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    share = F.col("src_tokens") / F.col("tot_tokens")
+    target = F.lit(1.0) / F.col("n_sources")
+    return per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        F.col("src_tokens").alias("n_tokens"),
+        F.round(share, 6).alias("token_share"),
+        F.round(target / share, 6).alias("mix_weight"),
+    )
+
+
 def repetition_features(
     documents: DataFrame, n: int = 3, threshold: float = 0.2
 ) -> DataFrame:

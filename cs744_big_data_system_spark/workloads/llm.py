@@ -749,6 +749,161 @@ FROM scaled
 """
 
 
+# --- PII redaction (privacy scrub before a corpus ships) ---
+def q_pii_redact(spark, sf_dir):
+    """The fixture corpus carries no organic PII, so the query plants
+    deterministic doc_id-derived emails/phones/IPs (same construction
+    in the oracle) and the operator must count and scrub them all."""
+    from cs744_big_data_system_spark.operators.text_analysis import pii_redact
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" or +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    ((F.col("doc_id") * 7) % 256).cast("string"),
+                    F.lit("."),
+                    ((F.col("doc_id") * 13) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_redact(raw)
+
+
+#: DuckDB mirrors of operators/text_analysis.PII_* (same RE2/Java-safe syntax).
+_SQL_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_SQL_PII_PHONE = "\\+?\\d{1,2}-\\d{3}-\\d{3,4}(-\\d{4})?"
+_SQL_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+SQL_PII_REDACT = f"""
+WITH raw AS (
+  SELECT doc_id,
+         text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail'
+              || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END
+              || CASE WHEN doc_id % 2 = 0
+                      THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                        || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+                      ELSE '' END AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_SQL_PII_EMAIL}')) AS BIGINT) AS n_emails,
+         regexp_replace(text, '{_SQL_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM raw
+), s2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t1, '{_SQL_PII_PHONE}')) AS BIGINT) AS n_phones,
+         regexp_replace(t1, '{_SQL_PII_PHONE}', '<PHONE>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id, n_emails, n_phones,
+       CAST(len(regexp_extract_all(t2, '{_SQL_PII_IP}')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(t2, '{_SQL_PII_IP}', '<IP>', 'g')) AS redacted_fp
+FROM s2
+"""
+
+
+# --- Sequence packing (concat-and-chunk into fixed token budgets) ---
+PACK_BUDGET = 512
+PACK_SHARDS = 8
+
+
+def q_seq_pack(spark, sf_dir):
+    from cs744_big_data_system_spark.operators.text_analysis import pack_sequences
+
+    return pack_sequences(
+        load_table(spark, sf_dir, "documents"), budget=PACK_BUDGET, n_shards=PACK_SHARDS
+    )
+
+
+SQL_SEQ_PACK = f"""
+WITH toks AS (
+  SELECT doc_id, lang, doc_id % {PACK_SHARDS} AS shard,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+), off AS (
+  SELECT *, COALESCE(sum(n_tokens) OVER (
+           PARTITION BY lang, shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+  FROM toks
+)
+SELECT doc_id, lang, shard, n_tokens, CAST(tok_offset AS BIGINT) AS tok_offset,
+       CAST(floor(tok_offset / {PACK_BUDGET}) AS BIGINT) AS chunk_first,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN floor((tok_offset + n_tokens - 1) / {PACK_BUDGET})
+                 ELSE floor(tok_offset / {PACK_BUDGET}) END
+            - floor(tok_offset / {PACK_BUDGET}) + 1 AS BIGINT) AS n_chunks
+FROM off
+"""
+
+
+# --- Token-length histogram (corpus-shape diagnostic) ---
+def q_token_histogram(spark, sf_dir):
+    from cs744_big_data_system_spark.operators.text_analysis import token_histogram
+
+    return token_histogram(load_table(spark, sf_dir, "documents"), width=10, n_buckets=20)
+
+
+SQL_TOKEN_HISTOGRAM = f"""
+WITH t AS (
+  SELECT lang,
+         LEAST(CAST(floor(CAST(len({_SQL_TOKS}) AS BIGINT) / 10) AS BIGINT), 19) AS bucket,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT lang, bucket, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+FROM t GROUP BY lang, bucket
+"""
+
+
+# --- Domain mixture weights (rebalance to a uniform source mix) ---
+def q_domain_mix(spark, sf_dir):
+    from cs744_big_data_system_spark.operators.text_analysis import domain_mix_weights
+
+    return domain_mix_weights(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DOMAIN_MIX = f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS src_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(src_tokens) AS BIGINT) AS tot_tokens,
+         count(*) AS n_sources FROM per_src
+)
+SELECT source, n_docs, src_tokens AS n_tokens,
+       round(src_tokens * 1.0 / tot_tokens, 6) AS token_share,
+       round((1.0 / n_sources) / (src_tokens * 1.0 / tot_tokens), 6) AS mix_weight
+FROM per_src, tot
+"""
+
+
 # --- Element-wise mean embedding per label (gradient-mean analogue, A3/D4) ---
 def q_label_mean_embedding(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
@@ -793,6 +948,10 @@ WORKLOADS = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
     "corpus_sample_stratified": (q_corpus_sample_stratified, SQL_CORPUS_SAMPLE_STRATIFIED),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "seq_pack_chunks": (q_seq_pack, SQL_SEQ_PACK),
+    "token_histogram": (q_token_histogram, SQL_TOKEN_HISTOGRAM),
+    "domain_mix_weights": (q_domain_mix, SQL_DOMAIN_MIX),
     "llm_clean_corpus": (q_llm_clean_corpus, SQL_LLM_CLEAN_CORPUS),
     "label_mean_embedding": (q_label_mean_embedding, SQL_LABEL_MEAN_EMBEDDING),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),

@@ -270,6 +270,83 @@ def q_pagerank_synthetic_broadcast(spark, sf_dir):
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+# --- Triangle counting + degree stats (degree-oriented, skew-bounded) ---
+#: Deterministic hash-generated graph both engines reproduce exactly:
+#: nodes 0..N-1, D directed edges per node dst = (src*A + j*B) mod N.
+TRI_N, TRI_D, TRI_A, TRI_B = 2000, 6, 17, 29
+
+
+def _hash_graph(spark):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(TRI_N)
+        .select(
+            F.col("id").alias("src"),
+            F.explode(F.sequence(F.lit(1), F.lit(TRI_D))).alias("j"),
+        )
+        .select(
+            "src",
+            (
+                (F.col("src") * F.col("src") * TRI_A + F.col("j") * TRI_B) % TRI_N
+            ).alias("dst"),
+        )
+    )
+
+
+# quadratic in src so IN-degrees spread (a linear map keeps the graph
+# regular and the degree histogram degenerate)
+_SQL_HASH_GRAPH = f"""
+  SELECT CAST(t.range AS BIGINT) AS src,
+         CAST((t.range * t.range * {TRI_A} + s.range * {TRI_B}) % {TRI_N} AS BIGINT) AS dst
+  FROM range({TRI_N}) t CROSS JOIN range(1, {TRI_D + 1}) s
+"""
+
+_SQL_CANON_GRAPH = f"""
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM ({_SQL_HASH_GRAPH}) WHERE src <> dst
+"""
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Exact triangle count on the hash graph via the degree-oriented
+    wedge join (graph/triangles.py — out-degree bounded O(sqrt m) under
+    any skew). The oracle counts the same triangles with the simple
+    id-ordered triple join — different algorithm, same answer."""
+    from cs744_big_data_system_spark.graph.triangles import triangle_count
+
+    return triangle_count(_hash_graph(spark))
+
+
+SQL_GRAPH_TRIANGLES = f"""
+WITH canon AS ({_SQL_CANON_GRAPH})
+SELECT (SELECT count(DISTINCT node) FROM (
+          SELECT u AS node FROM canon UNION ALL SELECT v FROM canon))  AS n_nodes,
+       (SELECT count(*) FROM canon) AS n_edges,
+       (SELECT count(*)
+        FROM canon ab
+        JOIN canon bc ON bc.u = ab.v
+        JOIN canon ac ON ac.u = ab.u AND ac.v = bc.v) AS n_triangles
+"""
+
+
+def q_graph_degree_histogram(spark, sf_dir):
+    from cs744_big_data_system_spark.graph.triangles import degree_histogram
+
+    return degree_histogram(_hash_graph(spark))
+
+
+SQL_GRAPH_DEGREE_HISTOGRAM = f"""
+WITH canon AS ({_SQL_CANON_GRAPH}),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT u AS node FROM canon UNION ALL SELECT v FROM canon)
+  GROUP BY node
+)
+SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+"""
+
+
 # --- Data-parallel training loop (assignment-2 all-reduce schema) ---
 def q_ml_linear_fit(spark, sf_dir):
     """Fit a linear model label ~ embedding by full-batch gradient
@@ -360,6 +437,8 @@ WORKLOADS = {
     "pagerank_events": (q_pagerank_events, None),  # iterative fixed-point
     "pagerank_synthetic": (q_pagerank_synthetic, None),  # iterative, co-partitioned regime
     "pagerank_synthetic_broadcast": (q_pagerank_synthetic_broadcast, None),  # broadcast regime
+    "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
+    "graph_degree_histogram": (q_graph_degree_histogram, SQL_GRAPH_DEGREE_HISTOGRAM),
     "ml_linear_fit": (q_ml_linear_fit, None),  # iterative training loop
     "ml_mlp_fit": (q_ml_mlp_fit, None),  # iterative nonlinear training loop
     "multimodal_features": (q_multimodal_features, None),  # decode stubbed

@@ -171,3 +171,29 @@ def test_fault_recovery_after_cache_block_loss(spark):
     expected = reference_pagerank(GOLDEN_EDGES, iters=6)
     for node, r in expected.items():
         assert r2[node] == _pt.approx(r, rel=1e-9), node
+
+
+def test_triangle_count_golden(spark):
+    from cs744_big_data_system_spark.graph.triangles import (
+        degree_histogram,
+        triangle_count,
+    )
+
+    # K4 (4 triangles) + a pendant node + a duplicate/reversed/self edge
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 4), (1, 0), (2, 2), (0, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    row = triangle_count(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (5, 7, 4)
+
+    hist = {r.degree: r.n_nodes for r in degree_histogram(df).collect()}
+    assert hist == {3: 3, 4: 1, 1: 1}
+
+
+def test_triangle_count_star_is_zero(spark):
+    # a hub with many spokes has no triangles: the degree orientation
+    # must point every edge AT the hub (no wedge fan-out from it)
+    from cs744_big_data_system_spark.graph.triangles import triangle_count
+
+    df = spark.createDataFrame([(0, i) for i in range(1, 30)], ["src", "dst"])
+    assert triangle_count(df).collect()[0].n_triangles == 0

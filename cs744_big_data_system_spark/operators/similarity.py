@@ -156,13 +156,16 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Assign every vector to its nearest centroid by cosine (IVF
-    coarse quantization). Centroids are broadcast (they are small by
-    definition); assignment is a broadcast-nested-loop + per-vector
-    argmax window — the corpus itself never shuffles until the final
-    per-cluster re-rank. Ranking uses the ROUNDED cosine with
-    centroid-id tiebreak so assignment is exactly reproducible.
+    """Assign every vector to its ``nprobe`` nearest centroids by
+    cosine (IVF coarse quantization; nprobe=1 for building the inverted
+    lists, >1 on the query side to widen recall). Centroids are
+    broadcast (they are small by definition); assignment is a
+    broadcast-nested-loop + per-vector rank window — the corpus itself
+    never shuffles until the final per-cluster re-rank. Ranking uses
+    the ROUNDED cosine with centroid-id tiebreak so assignment is
+    exactly reproducible.
     """
     v = vectors.select(F.col(id_col), F.col(vec_col).alias("_v_emb"))
     c = centroids.select(
@@ -176,7 +179,7 @@ def ivf_assign(
     w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col(centroid_id_col).asc())
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= nprobe)
         .select(id_col, centroid_id_col)
     )
 
@@ -188,10 +191,14 @@ def cosine_topk_ivf(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into
-    ``num_centroids`` inverted lists by nearest centroid, probe only the
-    query's own list (nprobe=1), exact cosine re-rank inside it.
+    ``num_centroids`` inverted lists by nearest centroid, probe the
+    query's ``nprobe`` nearest lists, exact cosine re-rank inside them.
+    Raising nprobe trades probe cost for recall linearly — the standard
+    IVF recall knob; each corpus vector lives in exactly one list, so
+    candidates never duplicate.
 
     Centroids are taken deterministically as the first ``num_centroids``
     corpus vectors by id — a training-free coarse quantizer that keeps
@@ -208,9 +215,9 @@ def cosine_topk_ivf(
     corpus_asn = ivf_assign(corpus, centroids, id_col, vec_col).withColumnRenamed(
         id_col, "neighbor_id"
     )
-    query_asn = ivf_assign(queries, centroids, id_col, vec_col).withColumnRenamed(
-        id_col, "query_id"
-    )
+    query_asn = ivf_assign(
+        queries, centroids, id_col, vec_col, nprobe=nprobe
+    ).withColumnRenamed(id_col, "query_id")
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_emb")).join(
         corpus_asn, "neighbor_id"
     )

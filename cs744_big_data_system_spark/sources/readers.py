@@ -99,6 +99,12 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — native columnar source with the same pushdown /
+    pruning behavior as Parquet."""
+    return spark.read.orc(path)
+
+
 #: File-extension → (modality, mime) for the binary asset source.
 _EXT_MODALITY = {
     "jpg": ("image", "image/jpeg"),

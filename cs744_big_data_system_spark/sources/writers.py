@@ -48,6 +48,18 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table)
 
 
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange format training-data tooling
+    speaks. One JSON object per row, one file per partition."""
+    df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other columnar-at-rest format Spark ships
+    natively; types and values round-trip exactly like Parquet."""
+    df.write.mode(mode).orc(path)
+
+
 def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Text sink. The reference stringified (node, rank) tuples
     (task1.py:54); here any DataFrame is concat-serialized to one

@@ -125,7 +125,12 @@ def replay_to_batch(
     else:
         stream_path = parquet_path
     stream = normalize_event_ts(reader.parquet(stream_path))
-    out = transform(stream)
+    return _drain_stream(spark, transform(stream), output_mode)
+
+
+def _drain_stream(spark: SparkSession, out: DataFrame, output_mode: str) -> DataFrame:
+    """availableNow → memory sink → eager batch DataFrame, leaving no
+    catalog entries or tmp dirs behind."""
     name = "replay_" + uuid.uuid4().hex[:12]
     ckpt_dir = tempfile.mkdtemp(prefix="ckpt_")
     query = (
@@ -149,3 +154,49 @@ def replay_to_batch(
         spark.catalog.dropTempView(name)
         shutil.rmtree(ckpt_dir, ignore_errors=True)
     return result
+
+
+def replay_waves_to_batch(
+    spark: SparkSession,
+    waves: list[DataFrame],
+    transform,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Replay ``waves`` as SEPARATE micro-batches, in order.
+
+    Each wave is staged as one parquet file with an increasing mtime;
+    the file source (``latestFirst=false`` + ``maxFilesPerTrigger=1``)
+    then processes exactly one wave per micro-batch in mtime order.
+    Because Structured Streaming advances the watermark BETWEEN
+    batches (from the max event time of completed batches), this makes
+    watermark late-data semantics fully deterministic: a row in wave
+    N+1 is late iff its window closed under the watermark established
+    by waves ≤ N — a rule an oracle can mirror exactly.
+    """
+    import os
+
+    stage = tempfile.mkdtemp(prefix="replay_waves_")
+    try:
+        for i, w in enumerate(waves):
+            tmp = os.path.join(stage, f"_stage{i}")
+            w.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                p for p in os.listdir(tmp)
+                if p.startswith("part-") and p.endswith(".parquet")
+            )
+            dst = os.path.join(stage, f"wave{i}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            mtime = 1_700_000_000 + 100 * i
+            os.utime(dst, (mtime, mtime))
+        schema = spark.read.parquet(os.path.join(stage, "wave0.parquet")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "wave*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(stage)
+        )
+        return _drain_stream(spark, transform(stream), output_mode)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

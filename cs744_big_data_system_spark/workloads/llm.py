@@ -349,6 +349,45 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
 """
 
 
+# --- IVF with nprobe=2: the recall knob, still oracle-checked ---
+def q_cosine_topk_ivf2(spark, sf_dir):
+    """Same inverted lists, but each query probes its TWO nearest
+    centroids — recall rises toward exact at linear probe cost (the
+    standard IVF trade). Deterministic, so still hash-checked."""
+    from cs744_big_data_system_spark.operators.similarity import cosine_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk_ivf(queries, emb, num_centroids=8, k=5, nprobe=2)
+
+
+SQL_COSINE_TOPK_IVF2 = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8
+), ranked AS (
+  SELECT v.vec_id, c.centroid_id,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY round({_SQL_COS_VC}, 6) DESC, c.centroid_id ASC) AS rn
+  FROM embeddings v CROSS JOIN cent c
+), assign1 AS (
+  SELECT vec_id, centroid_id FROM ranked WHERE rn = 1
+), probe2 AS (
+  SELECT vec_id, centroid_id FROM ranked WHERE rn <= 2
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         round({_SQL_COS_QN}, 6) AS cosine,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY round({_SQL_COS_QN}, 6) DESC, n.vec_id ASC) AS rnk
+  FROM embeddings q
+  JOIN probe2 qa ON qa.vec_id = q.vec_id
+  JOIN assign1 na ON na.centroid_id = qa.centroid_id
+  JOIN embeddings n ON n.vec_id = na.vec_id AND n.vec_id <> q.vec_id
+  WHERE q.vec_id < 20
+) WHERE rnk <= 5
+"""
+
+
 # --- LSH-bucketed approximate top-k (scale path) — rows-only ---
 def q_cosine_topk_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
@@ -937,6 +976,7 @@ WORKLOADS = {
     "dedup_embedding_cosine_lsh": (q_embedding_neardup_lsh, None),  # approximate by design
     "sim_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "sim_cosine_topk_ivf": (q_cosine_topk_ivf, SQL_COSINE_TOPK_IVF),
+    "sim_cosine_topk_ivf2": (q_cosine_topk_ivf2, SQL_COSINE_TOPK_IVF2),
     "sim_cosine_topk_lsh": (q_cosine_topk_lsh, None),  # approximate by design
     "text_lang_id": (q_lang_id, SQL_LANG_ID),
     "text_quality": (q_quality, SQL_QUALITY),

@@ -341,6 +341,49 @@ FROM events ORDER BY event_type, event_id
 """
 
 
+def q_jsonl_roundtrip_sort(spark, sf_dir):
+    """Same contract as the CSV round-trip but through the JSONL
+    sink/source (sources/writers.write_jsonl, readers.read_json) with
+    an explicit read schema — no inference pass, types pinned. JSONL
+    is the interchange format training-data tooling speaks, so the
+    round-trip must be lossless."""
+    import os
+    import tempfile
+
+    from cs744_big_data_system_spark.sources.readers import read_json
+    from cs744_big_data_system_spark.sources.writers import write_jsonl
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    path = os.path.join(tempfile.gettempdir(), f"jsonl_roundtrip_{os.getpid()}")
+    write_jsonl(ev, path)
+    back = read_json(
+        spark, path,
+        schema="event_id long, user_id long, event_type string, value double",
+    )
+    return back.orderBy(F.col("event_type").asc(), F.col("event_id").asc()).select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+def q_orc_roundtrip_sort(spark, sf_dir):
+    """Columnar-at-rest round-trip through the ORC sink/source — exact
+    type/value preservation like Parquet, same oracle as the CSV twin
+    (the oracle only ever sees the original events table)."""
+    import os
+    import tempfile
+
+    from cs744_big_data_system_spark.sources.readers import read_orc
+    from cs744_big_data_system_spark.sources.writers import write_orc
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    path = os.path.join(tempfile.gettempdir(), f"orc_roundtrip_{os.getpid()}")
+    write_orc(ev, path)
+    back = read_orc(spark, path)
+    return back.orderBy(F.col("event_type").asc(), F.col("event_id").asc()).select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
 # --- §2.9 struct functions: build, field access, inline-explode ---
 def q_struct_funcs(spark, sf_dir):
     """Nested STRUCT round-trip: build per-order structs, collect an
@@ -717,6 +760,8 @@ WORKLOADS = {
     "struct_funcs": (q_struct_funcs, SQL_STRUCT_FUNCS),
     "unpivot": (q_unpivot, SQL_UNPIVOT),
     "csv_roundtrip_sort": (q_csv_roundtrip_sort, SQL_CSV_ROUNDTRIP_SORT),
+    "jsonl_roundtrip_sort": (q_jsonl_roundtrip_sort, SQL_CSV_ROUNDTRIP_SORT),
+    "orc_roundtrip_sort": (q_orc_roundtrip_sort, SQL_CSV_ROUNDTRIP_SORT),
     "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "stats_aggs": (q_stats_aggs, SQL_STATS_AGGS),

@@ -200,6 +200,68 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+# --- Watermark late-data drop: TIGHT watermark, deterministic batches ---
+#: wave boundaries and hold-back rule for the late-data replay
+#: (mirrored verbatim in the oracle SQL).
+LATE_HOLD_BEFORE = "2024-01-08 00:00:00"  # held-back (late) rows live here
+LATE_SPLIT1 = "2024-01-10 00:00:00"       # wave0 | wave1 boundary
+LATE_SPLIT2 = "2024-01-15 00:00:00"       # wave1 | wave2 boundary
+LATE_HOLD_MOD = 97
+
+
+def q_stream_late_drop(spark, sf_dir):
+    """The one streaming query whose watermark actually BITES: the
+    fixture replays as three ordered micro-batches — two on-time waves,
+    then a tail wave carrying deterministically held-back rows
+    (event_id % 97 == 0, ts < Jan 8) that are DAYS older than the
+    1-hour watermark. The streaming aggregation must drop exactly the
+    held-back rows.
+
+    Spark advances the state-operator's late-record filter one batch
+    BEHIND the reported watermark (the filter for batch N uses event
+    times from batches <= N-2) — hence three waves, and margins wide
+    enough (>= 2 days vs a 1 h delay) that the drop set is identical
+    whether the filter lags zero or one batch. That makes the oracle
+    exact: kept = everything except the held-back rows.
+
+    Update-mode memory sink: each batch emits updated (window, type)
+    counts; the final count per key is the max over updates (counts
+    only grow).
+    """
+    from cs744_big_data_system_spark.streaming.windows import replay_waves_to_batch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    held = (F.col("event_id") % LATE_HOLD_MOD == 0) & (
+        F.col("ts") < F.lit(LATE_HOLD_BEFORE)
+    )
+    wave0 = ev.filter((F.col("ts") < F.lit(LATE_SPLIT1)) & ~held)
+    wave1 = ev.filter(
+        (F.col("ts") >= F.lit(LATE_SPLIT1)) & (F.col("ts") < F.lit(LATE_SPLIT2))
+    )
+    wave2 = ev.filter((F.col("ts") >= F.lit(LATE_SPLIT2)) | held)
+    updates = replay_waves_to_batch(
+        spark,
+        [wave0, wave1, wave2],
+        lambda s: tumbling_window_counts(s, window="10 minutes", watermark="1 hour"),
+        output_mode="update",
+    )
+    return (
+        updates.groupBy("window_start", "event_type")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+
+
+SQL_STREAM_LATE_DROP = f"""
+SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events
+FROM events
+WHERE NOT (event_id % {LATE_HOLD_MOD} = 0 AND ts < TIMESTAMP '{LATE_HOLD_BEFORE}')
+GROUP BY 1, 2
+"""
+
+
 # --- Custom stateful operator: applyInPandasWithState running counts ---
 def q_stream_stateful_counts(spark, sf_dir):
     """Running per-user counts held in explicit group state
@@ -434,6 +496,7 @@ WORKLOADS = {
     "stream_dedup_replay": (q_stream_dedup_replay, SQL_STREAM_DEDUP),
     "stream_stream_join_replay": (q_stream_stream_join_replay, SQL_STREAM_STREAM_JOIN),
     "stream_stateful_counts": (q_stream_stateful_counts, SQL_STREAM_STATEFUL),
+    "stream_late_data_drop": (q_stream_late_drop, SQL_STREAM_LATE_DROP),
     "pagerank_events": (q_pagerank_events, None),  # iterative fixed-point
     "pagerank_synthetic": (q_pagerank_synthetic, None),  # iterative, co-partitioned regime
     "pagerank_synthetic_broadcast": (q_pagerank_synthetic_broadcast, None),  # broadcast regime

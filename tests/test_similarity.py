@@ -121,3 +121,26 @@ def test_quantize_int8_roundtrip_error_bounded(spark):
     for orig, q in zip([0.5, -1.0, 0.25, 0.0], q0.q):
         assert abs(q / q0.scale - orig) <= 0.5 / q0.scale + 1e-9
     assert rows[1].qz.scale == 0.0 and rows[1].qz.q == [0, 0, 0, 0]  # zero vector safe
+
+
+def test_ivf_nprobe_recall_monotone(spark, emb_df, vectors):
+    from pyspark.sql import functions as F
+
+    from cs744_big_data_system_spark.operators.similarity import cosine_topk_ivf
+
+    exact = brute_force_topk(vectors, k=3)
+
+    def recall(nprobe):
+        got_df = cosine_topk_ivf(
+            emb_df.filter(F.col("vec_id") < 10), emb_df,
+            num_centroids=6, k=3, nprobe=nprobe,
+        )
+        got: dict[int, list[int]] = {}
+        for r in got_df.orderBy("query_id", "rnk").collect():
+            got.setdefault(r.query_id, []).append(r.neighbor_id)
+        hits = sum(len(set(got.get(q, [])) & set(exact[q])) for q in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1            # widening the probe can only add candidates
+    assert r2 >= 0.8           # clustered data: 2 probes ~cover the cluster

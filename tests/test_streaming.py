@@ -143,3 +143,36 @@ def test_session_window_batch_matches_gaps_and_islands(spark):
     n_key = sorted((r.user_id, r.session_start, r.n_events) for r in native.collect())
     g_key = sorted((r.user_id, r.session_start, r.n_events) for r in gi.collect())
     assert n_key == g_key
+
+
+def test_replay_waves_drops_late_rows_single_run(spark):
+    """Single availableNow run over ordered waves: the late row in
+    wave 3 is behind the watermark established by wave 1 (the
+    state-operator's late filter lags the reported watermark by one
+    batch — hence three waves) and must vanish; the fresh row in the
+    same wave survives."""
+    from cs744_big_data_system_spark.streaming.windows import (
+        replay_waves_to_batch,
+        tumbling_window_counts,
+    )
+
+    t = lambda day, h=0: dt.datetime(2024, 1, day, h)
+    mk = lambda rows: spark.createDataFrame(
+        [(i, ts, "a", 1.0) for i, ts in enumerate(rows)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    waves = [
+        mk([t(5), t(5, 1), t(5, 2)]),   # establishes watermark ~Jan 5
+        mk([t(6)]),                     # propagates it into the filter
+        mk([t(1), t(7)]),               # Jan 1 is LATE; Jan 7 is fresh
+    ]
+    updates = replay_waves_to_batch(
+        spark,
+        waves,
+        lambda s: tumbling_window_counts(s, window="10 minutes", watermark="1 hour"),
+        output_mode="update",
+    )
+    starts = {r.window_start for r in updates.collect()}
+    assert "2024-01-01 00:00:00" not in starts   # late row dropped
+    assert "2024-01-07 00:00:00" in starts       # fresh row kept
+    assert "2024-01-05 00:00:00" in starts

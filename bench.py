@@ -53,6 +53,10 @@ HEADLINE = [
     # same synthetic graph, both regimes (the crossover pair)
     "pagerank_synthetic",
     "pagerank_synthetic_broadcast",
+    # round-2 continuation: training-pipeline + graph kernels
+    "pii_redact",
+    "seq_pack_chunks",
+    "graph_triangles",
 ]
 
 

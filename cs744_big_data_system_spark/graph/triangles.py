@@ -60,50 +60,48 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     counted exactly once, at its minimum-(degree, id) vertex.
 
     Returns one row: (n_nodes, n_edges, n_triangles).
+
+    The canonical edge set feeds four subplans (degrees, orientation,
+    both wedge sides); it is NOT persisted — all four land in ONE final
+    plan, so ReuseExchange computes the distinct once at runtime while
+    the lazy return stays composable (never persist inside a
+    lazily-returned operator — unreleasable cache).
     """
-    canon = canonical_undirected(edges).persist()
-    try:
-        ends = canon.select(F.col("u").alias("node")).unionAll(
-            canon.select(F.col("v").alias("node"))
-        )
-        deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
-        # Attach endpoint degrees; deg has one row per node — broadcast
-        # below cluster thresholds, plain shuffle join above (Spark/AQE
-        # decides; we don't force it because deg is O(nodes)).
-        with_deg = (
-            canon.join(deg.withColumnRenamed("node", "u").withColumnRenamed("degree", "du"), "u")
-            .join(deg.withColumnRenamed("node", "v").withColumnRenamed("degree", "dv"), "v")
-        )
-        lo_first = (F.col("du") < F.col("dv")) | (
-            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-        )
-        oriented = with_deg.select(
-            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
-            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-            F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
-        )
-        x, y = oriented.alias("x"), oriented.alias("y")
-        wedges = x.join(
-            y,
-            (F.col("x.a") == F.col("y.a"))
-            & (
-                (F.col("x.db") < F.col("y.db"))
-                | ((F.col("x.db") == F.col("y.db")) & (F.col("x.b") < F.col("y.b")))
-            ),
-        ).select(F.col("x.b").alias("wa"), F.col("y.b").alias("wb"))
-        closed = wedges.join(
-            oriented.select(F.col("a").alias("wa"), F.col("b").alias("wb")),
-            ["wa", "wb"],
-            "left_semi",
-        )
-        n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
-        n_edges = canon.agg(F.count(F.lit(1)).alias("n_edges"))
-        n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-        out = n_nodes.crossJoin(n_edges).crossJoin(n_tri)
-        # Materialize the three scalars eagerly so the persisted edge
-        # set can be released (never persist inside a lazily-returned
-        # plan — see operators/dedup.py).
-        row = out.collect()[0]
-        return out.sparkSession.createDataFrame([row], out.schema)
-    finally:
-        canon.unpersist()
+    canon = canonical_undirected(edges)
+    ends = canon.select(F.col("u").alias("node")).unionAll(
+        canon.select(F.col("v").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    # Attach endpoint degrees; deg has one row per node — broadcast
+    # below cluster thresholds, plain shuffle join above (Spark/AQE
+    # decides; we don't force it because deg is O(nodes)).
+    with_deg = (
+        canon.join(deg.withColumnRenamed("node", "u").withColumnRenamed("degree", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("degree", "dv"), "v")
+    )
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.a") == F.col("y.a"))
+        & (
+            (F.col("x.db") < F.col("y.db"))
+            | ((F.col("x.db") == F.col("y.db")) & (F.col("x.b") < F.col("y.b")))
+        ),
+    ).select(F.col("x.b").alias("wa"), F.col("y.b").alias("wb"))
+    closed = wedges.join(
+        oriented.select(F.col("a").alias("wa"), F.col("b").alias("wb")),
+        ["wa", "wb"],
+        "left_semi",
+    )
+    n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = canon.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)

@@ -102,6 +102,60 @@ LIMIT 10
 """
 
 
+# --- Q18-shaped large-volume customers: agg→semi-join→join, co-keyed ---
+def q_flagship_q18(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold, joined back to customer detail, top-100 by price.
+
+    Scale shape: the HAVING aggregation, the semi-join filter, and the
+    detail re-aggregation are ALL keyed by l_orderkey/o_orderkey — one
+    hash partitioning serves the whole chain (Catalyst reuses the
+    exchange instead of re-shuffling); customer broadcasts; the final
+    top-100 is TakeOrderedAndProject, never a global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 4).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+SQL_FLAGSHIP_Q18 = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(round(o_totalprice, 4) AS DOUBLE) AS totalprice,
+       CAST(round(sum(l_quantity), 4) AS DOUBLE) AS sum_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
 # --- Q5-shaped 6-table join: local-supplier revenue by nation ---
 def q_flagship_q5(spark, sf_dir):
     """region→nation→customer→orders→lineitem→supplier with the
@@ -738,6 +792,7 @@ WORKLOADS = {
     "flagship_q3": (q_flagship_q3, SQL_FLAGSHIP_Q3),
     "flagship_q3_sql": (q_flagship_q3_sql, SQL_FLAGSHIP_Q3),
     "flagship_q5": (q_flagship_q5, SQL_FLAGSHIP_Q5),
+    "flagship_q18": (q_flagship_q18, SQL_FLAGSHIP_Q18),
     "join_inner": (q_join_inner, SQL_JOIN_INNER),
     "join_left_outer": (q_join_left_outer, SQL_JOIN_LEFT_OUTER),
     "join_semi": (q_join_semi, SQL_JOIN_SEMI),

@@ -365,6 +365,35 @@ def q_jsonl_roundtrip_sort(spark, sf_dir):
     )
 
 
+def q_partitioned_prune_agg(spark, sf_dir):
+    """Hive-partitioned write + partition-pruned read: events written
+    partitioned by event_type, read back with a partition-column filter
+    — the scan must touch ONE directory (PartitionFilters, asserted in
+    tests/test_plans.py::test_partitioned_write_prunes_partitions), the
+    at-rest layout every 100 TB ingest pipeline uses to make
+    per-category queries O(category), not O(corpus)."""
+    import os
+    import tempfile
+
+    from cs744_big_data_system_spark.sources.writers import write_parquet
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    path = os.path.join(tempfile.gettempdir(), f"part_prune_{os.getpid()}")
+    write_parquet(ev, path, partition_by=["event_type"])
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+SQL_PARTITIONED_PRUNE_AGG = """
+SELECT user_id, count(*) AS n_clicks,
+       CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+FROM events WHERE event_type = 'click' GROUP BY user_id
+"""
+
+
 def q_orc_roundtrip_sort(spark, sf_dir):
     """Columnar-at-rest round-trip through the ORC sink/source — exact
     type/value preservation like Parquet, same oracle as the CSV twin
@@ -611,6 +640,33 @@ FROM events GROUP BY event_type
 """
 
 
+def q_salted_join_agg(spark, sf_dir):
+    """Skewed fact ⋈ small dim through the salted broadcast-replicated
+    join (operators/skew.py::salted_join): the 5-hot-key event_type
+    column joins a derived per-type dim; hot keys spread over 8 salt
+    buckets instead of serializing one task. Row multiplicity must be
+    exactly the plain join's — the aggregate equals the unsalted oracle."""
+    from cs744_big_data_system_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type").distinct()
+        .withColumn("wt", F.length("event_type").cast("double"))
+    )
+    joined = salted_join(ev, dim, "event_type", buckets=8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value") * F.col("wt")), 4).alias("weighted_sum"),
+    )
+
+
+SQL_SALTED_JOIN_AGG = """
+SELECT event_type, count(*) AS n_events,
+       CAST(round(sum(value * len(event_type)), 4) AS DOUBLE) AS weighted_sum
+FROM events GROUP BY event_type
+"""
+
+
 # --- Ordered conversion funnel over events (view -> click -> purchase) ---
 def q_events_funnel(spark, sf_dir):
     """Per-user ordered funnel: first view, first click AFTER that
@@ -762,7 +818,9 @@ WORKLOADS = {
     "csv_roundtrip_sort": (q_csv_roundtrip_sort, SQL_CSV_ROUNDTRIP_SORT),
     "jsonl_roundtrip_sort": (q_jsonl_roundtrip_sort, SQL_CSV_ROUNDTRIP_SORT),
     "orc_roundtrip_sort": (q_orc_roundtrip_sort, SQL_CSV_ROUNDTRIP_SORT),
+    "partitioned_prune_agg": (q_partitioned_prune_agg, SQL_PARTITIONED_PRUNE_AGG),
     "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
+    "salted_join_agg": (q_salted_join_agg, SQL_SALTED_JOIN_AGG),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "stats_aggs": (q_stats_aggs, SQL_STATS_AGGS),
     "range_window": (q_range_window, SQL_RANGE_WINDOW),

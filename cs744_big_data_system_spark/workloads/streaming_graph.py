@@ -392,6 +392,18 @@ SELECT (SELECT count(DISTINCT node) FROM (
 """
 
 
+def q_graph_kcore(spark, sf_dir):
+    """k-core of the hash graph by iterative peeling (graph/kcore.py);
+    rows-only (iterative fixpoint — not CTE-expressible because each
+    peel round re-aggregates degrees); golden-graph peeling tests in
+    tests/test_pagerank.py."""
+    from cs744_big_data_system_spark.graph.kcore import k_core
+
+    # k=8 keeps roughly half the hash graph — a non-trivial core (k=9
+    # cascades to empty; k=6 removes nothing)
+    return k_core(_hash_graph(spark), k=8)
+
+
 def q_graph_degree_histogram(spark, sf_dir):
     from cs744_big_data_system_spark.graph.triangles import degree_histogram
 
@@ -438,6 +450,21 @@ def q_ml_mlp_fit(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     _, losses = fit_mlp(emb, hidden=8, lr=0.1, iterations=10)
     return loss_curve_df(spark, losses)
+
+
+# --- Unsupervised superstep: k-means via the same all-reduce schema ---
+def q_ml_kmeans_fit(spark, sf_dir):
+    """Lloyd's k-means over the embeddings fixture with the broadcast-
+    centroids / shard-partials / treeAggregate superstep (ml/kmeans.py)
+    — per-iteration traffic k·dim, independent of rows. Returns the
+    centroid matrix + MSE curve; rows-only (iterative,
+    float-merge-order sensitive) — monotone-convergence and golden-
+    cluster recovery are unit-tested."""
+    from cs744_big_data_system_spark.ml.kmeans import fit_kmeans, kmeans_df
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, curve = fit_kmeans(emb, k=8, iterations=5)
+    return kmeans_df(spark, centroids, curve)
 
 
 # --- Multimodal plumbing: Arrow-batched feature extraction (decode stubbed) ---
@@ -502,8 +529,10 @@ WORKLOADS = {
     "pagerank_synthetic_broadcast": (q_pagerank_synthetic_broadcast, None),  # broadcast regime
     "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "graph_degree_histogram": (q_graph_degree_histogram, SQL_GRAPH_DEGREE_HISTOGRAM),
+    "graph_kcore": (q_graph_kcore, None),  # iterative peeling fixpoint
     "ml_linear_fit": (q_ml_linear_fit, None),  # iterative training loop
     "ml_mlp_fit": (q_ml_mlp_fit, None),  # iterative nonlinear training loop
+    "ml_kmeans_fit": (q_ml_kmeans_fit, None),  # iterative unsupervised superstep
     "multimodal_features": (q_multimodal_features, None),  # decode stubbed
     "multimodal_doc_features": (q_multimodal_doc_features, SQL_MULTIMODAL_DOC_FEATURES),
 }

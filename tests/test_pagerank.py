@@ -197,3 +197,21 @@ def test_triangle_count_star_is_zero(spark):
 
     df = spark.createDataFrame([(0, i) for i in range(1, 30)], ["src", "dst"])
     assert triangle_count(df).collect()[0].n_triangles == 0
+
+
+def test_kcore_peeling_golden(spark):
+    from cs744_big_data_system_spark.graph.kcore import k_core
+
+    # triangle {0,1,2} + tail 2-3-4: the 2-core is exactly the triangle
+    # (3 peels off after 4 does — cascade, not single-pass)
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.core_degree for r in k_core(df, k=2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+
+    # K4: 3-core is all of it, 4-core is empty
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b], ["src", "dst"]
+    )
+    assert {r.node for r in k_core(k4, k=3).collect()} == {0, 1, 2, 3}
+    assert k_core(k4, k=4).count() == 0

@@ -244,3 +244,40 @@ def test_mlp_loss_merge_is_partition_invariant(spark):
     _, l1 = fit_mlp(df1, hidden=4, lr=0.2, iterations=8)
     _, l7 = fit_mlp(df7, hidden=4, lr=0.2, iterations=8)
     np.testing.assert_allclose(l1, l7, rtol=1e-9)
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    """Three well-separated 2-d blobs: Lloyd's must place one centroid
+    per blob (within the blob's spread) and the MSE curve must be
+    non-increasing (the Lloyd monotonicity guarantee)."""
+    import random
+
+    import numpy as np
+
+    from cs744_big_data_system_spark.ml.kmeans import fit_kmeans
+
+    rng = random.Random(7)
+    centers = [(0.0, 0.0), (20.0, 0.0), (0.0, 20.0)]
+    rows = []
+    for i in range(90):
+        cx, cy = centers[i % 3]
+        rows.append((i, [cx + rng.gauss(0, 0.5), cy + rng.gauss(0, 0.5)], i % 3))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    centroids, curve = fit_kmeans(df, k=3, iterations=8)
+    assert all(a >= b - 1e-9 for a, b in zip(curve, curve[1:]))  # monotone
+    got = sorted(tuple(np.round(c, 0)) for c in centroids)
+    assert got == sorted((cx, cy) for cx, cy in centers)
+    assert curve[-1] < 1.0  # tight blobs: final MSE ~2·0.25
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    import numpy as np
+
+    from cs744_big_data_system_spark.ml.kmeans import fit_kmeans
+
+    rows = [(i, [float(i % 7), float((i * 3) % 11)], 0) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    c1, k1 = fit_kmeans(df, k=4, iterations=5)
+    c2, k2 = fit_kmeans(df.repartition(13), k=4, iterations=5)
+    assert np.allclose(c1, c2)  # merge is order-insensitive in exact sums
+    assert k1 == pytest.approx(k2)

@@ -457,6 +457,88 @@ def domain_mix_weights(documents: DataFrame) -> DataFrame:
     )
 
 
+def bigram_lm(documents: DataFrame, min_count: int = 5) -> DataFrame:
+    """Corpus bigram language model: (w1, w2, n_big, n_w1, logp) for
+    token bigrams occurring >= ``min_count`` times, with
+    logp = ln(c(w1,w2) / c(w1,*)) — the count-based LM a CCNet-style
+    quality filter scores documents against.
+
+    Scale shape: one explode + count keyed by the bigram (near-uniform
+    after the min_count prune), then a window sum co-keyed on w1 (no
+    extra table join for the denominator). The pruned LM is small by
+    construction — it broadcasts into the scoring join.
+    """
+    from pyspark.sql import Window
+
+    canon = documents.select(tokens(normalized_text("text")).alias("_tk"))
+    grams = canon.select(F.explode(ngrams_from_tokens_2("_tk")).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_big"))
+    w1 = F.substring_index("gram", " ", 1)
+    with_w1 = counts.select(w1.alias("w1"), F.substring_index("gram", " ", -1).alias("w2"), "n_big")
+    # denominator = total bigram occurrences starting with w1, BEFORE
+    # the min_count prune would bias it — computed over all bigrams.
+    tot = Window.partitionBy("w1")
+    return (
+        with_w1.withColumn("n_w1", F.sum("n_big").over(tot))
+        .filter(F.col("n_big") >= min_count)
+        .select(
+            "w1",
+            "w2",
+            "n_big",
+            "n_w1",
+            F.round(F.log(F.col("n_big") / F.col("n_w1")), 6).alias("logp"),
+        )
+    )
+
+
+def ngrams_from_tokens_2(tok_col) -> Column:
+    """Bigrams from a materialized token array (see
+    functions/text.ngrams_from_tokens for the materialize-first rule)."""
+    from cs744_big_data_system_spark.functions.text import ngrams_from_tokens
+
+    return ngrams_from_tokens(tok_col, 2)
+
+
+def perplexity_score(
+    documents: DataFrame,
+    lm: DataFrame,
+    backoff_nll: float = 10.0,
+    threshold: float = 6.0,
+) -> DataFrame:
+    """Score each document's fluency against a bigram LM: mean negative
+    log-probability of its bigrams, unknown bigrams charged a flat
+    ``backoff_nll`` — the CCNet/KenLM-style perplexity filter that
+    separates fluent prose from gibberish and boilerplate.
+
+    Returns (doc_id, n_bigrams, mean_nll, flagged) for docs with at
+    least one bigram; flagged = mean_nll > threshold (would be dropped
+    by the cleaning pipeline).
+
+    Scale shape: the pruned LM broadcasts (it is min_count-pruned and
+    vocabulary-bounded); the corpus side explodes to (doc_id, bigram)
+    and joins WITHOUT shuffling the corpus — then one groupBy(doc_id)
+    aggregation. At 100 TB the scan + explode dominates; nothing else
+    grows with corpus size.
+    """
+    canon = documents.select(
+        "doc_id", tokens(normalized_text("text")).alias("_tk")
+    )
+    grams = canon.select("doc_id", F.explode(ngrams_from_tokens_2("_tk")).alias("gram"))
+    lm_k = lm.select(
+        F.concat_ws(" ", "w1", "w2").alias("gram"), F.col("logp")
+    )
+    nll = F.coalesce(-F.col("logp"), F.lit(float(backoff_nll)))
+    scored = grams.join(F.broadcast(lm_k), "gram", "left_outer").select(
+        "doc_id", nll.alias("_nll")
+    )
+    mean_nll = F.round(F.avg("_nll"), 4)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        mean_nll.alias("mean_nll"),
+        (mean_nll > threshold).alias("flagged"),
+    )
+
+
 def repetition_features(
     documents: DataFrame, n: int = 3, threshold: float = 0.2
 ) -> DataFrame:

@@ -943,6 +943,79 @@ FROM per_src, tot
 """
 
 
+# --- Bigram LM + perplexity filter (CCNet-style fluency scoring) ---
+LM_MIN_COUNT = 5
+LM_BACKOFF_NLL = 10.0
+LM_THRESHOLD = 6.0
+
+_SQL_NGRAM2 = _sql_ngram(2)
+
+#: shared DuckDB fragment: the pruned bigram LM (mirror of
+#: operators/text_analysis.bigram_lm).
+_SQL_LM = f"""
+  WITH t0 AS (
+    SELECT {_SQL_CANON_TOKS} AS tk FROM documents
+  ), g0 AS (
+    SELECT unnest({_SQL_NGRAM2.replace('tk', 'tk')}) AS gram FROM t0
+  ), c0 AS (
+    SELECT gram, count(*) AS n_big FROM g0 GROUP BY gram
+  ), s0 AS (
+    SELECT split_part(gram, ' ', 1) AS w1, split_part(gram, ' ', 2) AS w2, n_big FROM c0
+  )
+  SELECT w1, w2, n_big,
+         CAST(sum(n_big) OVER (PARTITION BY w1) AS BIGINT) AS n_w1
+  FROM s0
+"""
+
+
+def q_bigram_lm(spark, sf_dir):
+    from cs744_big_data_system_spark.operators.text_analysis import bigram_lm
+
+    return bigram_lm(load_table(spark, sf_dir, "documents"), min_count=LM_MIN_COUNT)
+
+
+SQL_BIGRAM_LM = f"""
+SELECT w1, w2, n_big, n_w1, round(ln(n_big * 1.0 / n_w1), 6) AS logp
+FROM ({_SQL_LM}) WHERE n_big >= {LM_MIN_COUNT}
+"""
+
+
+def q_perplexity_filter(spark, sf_dir):
+    """Score every doc against the corpus's own pruned bigram LM —
+    mean negative log-prob with flat backoff for unseen bigrams
+    (operators/text_analysis.perplexity_score). The LM side broadcasts;
+    the corpus never shuffles before its per-doc aggregation."""
+    from cs744_big_data_system_spark.operators.text_analysis import (
+        bigram_lm,
+        perplexity_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = bigram_lm(docs, min_count=LM_MIN_COUNT)
+    return perplexity_score(
+        docs, lm, backoff_nll=LM_BACKOFF_NLL, threshold=LM_THRESHOLD
+    )
+
+
+SQL_PERPLEXITY_FILTER = f"""
+WITH lm AS (
+  SELECT w1 || ' ' || w2 AS gram, round(ln(n_big * 1.0 / n_w1), 6) AS logp
+  FROM ({_SQL_LM}) WHERE n_big >= {LM_MIN_COUNT}
+), toks AS (
+  SELECT doc_id, {_SQL_CANON_TOKS} AS tk FROM documents
+), grams AS (
+  SELECT doc_id, unnest({_SQL_NGRAM2}) AS gram FROM toks
+), scored AS (
+  SELECT doc_id, COALESCE(-lm.logp, {LM_BACKOFF_NLL}) AS nll
+  FROM grams LEFT JOIN lm USING (gram)
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(nll), 4) AS mean_nll,
+       round(avg(nll), 4) > {LM_THRESHOLD} AS flagged
+FROM scored GROUP BY doc_id
+"""
+
+
 # --- Element-wise mean embedding per label (gradient-mean analogue, A3/D4) ---
 def q_label_mean_embedding(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
@@ -992,6 +1065,8 @@ WORKLOADS = {
     "seq_pack_chunks": (q_seq_pack, SQL_SEQ_PACK),
     "token_histogram": (q_token_histogram, SQL_TOKEN_HISTOGRAM),
     "domain_mix_weights": (q_domain_mix, SQL_DOMAIN_MIX),
+    "text_bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
+    "text_perplexity_filter": (q_perplexity_filter, SQL_PERPLEXITY_FILTER),
     "llm_clean_corpus": (q_llm_clean_corpus, SQL_LLM_CLEAN_CORPUS),
     "label_mean_embedding": (q_label_mean_embedding, SQL_LABEL_MEAN_EMBEDDING),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),

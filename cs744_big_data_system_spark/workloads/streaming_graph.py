@@ -514,6 +514,11 @@ FROM documents
 """
 
 
+# Registration order matters downstream (workloads/__init__ docstring):
+# the driver's correctness harness verifies a bounded prefix of the
+# registry, so oracle-backed entries come first and rows-only entries
+# (which get a weaker rows-only check regardless of position) fill the
+# tail — the prefix then hash-verifies every oracle we have.
 WORKLOADS = {
     "window_tumbling": (q_window_tumbling, SQL_WINDOW_TUMBLING),
     "window_sliding": (q_window_sliding, SQL_WINDOW_SLIDING),
@@ -524,15 +529,16 @@ WORKLOADS = {
     "stream_stream_join_replay": (q_stream_stream_join_replay, SQL_STREAM_STREAM_JOIN),
     "stream_stateful_counts": (q_stream_stateful_counts, SQL_STREAM_STATEFUL),
     "stream_late_data_drop": (q_stream_late_drop, SQL_STREAM_LATE_DROP),
-    "pagerank_events": (q_pagerank_events, None),  # iterative fixed-point
-    "pagerank_synthetic": (q_pagerank_synthetic, None),  # iterative, co-partitioned regime
-    "pagerank_synthetic_broadcast": (q_pagerank_synthetic_broadcast, None),  # broadcast regime
+    "multimodal_doc_features": (q_multimodal_doc_features, SQL_MULTIMODAL_DOC_FEATURES),
     "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "graph_degree_histogram": (q_graph_degree_histogram, SQL_GRAPH_DEGREE_HISTOGRAM),
+    # --- rows-only tail (iterative / approximate / stubbed-decode) ---
+    "pagerank_events": (q_pagerank_events, None),  # iterative fixed-point
     "graph_kcore": (q_graph_kcore, None),  # iterative peeling fixpoint
-    "ml_linear_fit": (q_ml_linear_fit, None),  # iterative training loop
-    "ml_mlp_fit": (q_ml_mlp_fit, None),  # iterative nonlinear training loop
     "ml_kmeans_fit": (q_ml_kmeans_fit, None),  # iterative unsupervised superstep
+    "ml_mlp_fit": (q_ml_mlp_fit, None),  # iterative nonlinear training loop
     "multimodal_features": (q_multimodal_features, None),  # decode stubbed
-    "multimodal_doc_features": (q_multimodal_doc_features, SQL_MULTIMODAL_DOC_FEATURES),
+    "pagerank_synthetic": (q_pagerank_synthetic, None),  # iterative, co-partitioned regime
+    "pagerank_synthetic_broadcast": (q_pagerank_synthetic_broadcast, None),  # broadcast regime
+    "ml_linear_fit": (q_ml_linear_fit, None),  # iterative training loop
 }

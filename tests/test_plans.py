@@ -236,3 +236,40 @@ def test_decontaminate_broadcasts_benchmark_shingles(spark):
     out.collect()
     executed = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in executed and "LeftSemi" in executed, executed
+
+
+def test_q18_semi_join_broadcasts_and_takes_ordered(spark):
+    """Q18 shape: the HAVING-filtered order set broadcasts into a
+    LeftSemi against the lineitem scan (the fact table never shuffles
+    before its aggregation), the scan reads exactly two columns, and
+    the top-100 is TakeOrderedAndProject, not a global sort."""
+    from cs744_big_data_system_spark.plans.explain import formatted_plan
+    from cs744_big_data_system_spark.workloads.relational import q_flagship_q18
+
+    plan = formatted_plan(q_flagship_q18(spark, SF_SMALL))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    li_scans = [
+        seg for seg in plan.split("Scan parquet")[1:] if "lineitem.parquet" in seg[:700]
+    ]
+    assert li_scans and all(
+        "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in s[:900]
+        for s in li_scans
+    ), plan
+
+
+def test_triangle_count_has_no_cartesian(spark):
+    """The wedge join must be an equi-join on the shared endpoint plus
+    a closure semi-join — never a cartesian/nested-loop expansion of
+    the edge set."""
+    from cs744_big_data_system_spark.graph.triangles import triangle_count
+    from cs744_big_data_system_spark.plans.explain import formatted_plan
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + j) % 50) for i in range(50) for j in range(1, 4)],
+        ["src", "dst"],
+    )
+    plan = formatted_plan(triangle_count(edges))
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan

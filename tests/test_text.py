@@ -294,3 +294,38 @@ def test_domain_mix_weights_rebalance(spark):
     # rebalancing: under-represented source upweighted, over-represented down
     assert got["small"].mix_weight != got["big"].mix_weight
     assert (got["big"].token_share > 0.5) == (got["big"].mix_weight < 1.0)
+
+
+def test_bigram_lm_probabilities(spark):
+    from cs744_big_data_system_spark.operators.text_analysis import bigram_lm
+
+    # "a b" 6x, "a c" 2x  ->  p(b|a)=0.75, p(c|a)=0.25 (pruned at 2)
+    rows = [(i, "a b" if i < 6 else "a c", "en", "s", 1) for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    got = {(r.w1, r.w2): r for r in bigram_lm(df, min_count=2).collect()}
+    import math
+
+    assert got[("a", "b")].n_big == 6 and got[("a", "b")].n_w1 == 8
+    assert got[("a", "b")].logp == pytest.approx(round(math.log(0.75), 6))
+    assert got[("a", "c")].logp == pytest.approx(round(math.log(0.25), 6))
+
+
+def test_perplexity_flags_gibberish(spark):
+    from cs744_big_data_system_spark.operators.text_analysis import (
+        bigram_lm,
+        perplexity_score,
+    )
+
+    fluent = "the cat sat on the mat"
+    rows = [(i, fluent, "en", "s", 1) for i in range(10)]
+    rows.append((99, "zq xv qk jw zz pp qq ww", "en", "s", 1))  # unseen bigrams
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    lm = bigram_lm(df, min_count=2)
+    got = {r.doc_id: r for r in perplexity_score(df, lm, threshold=6.0).collect()}
+    # "the" branches to cat/mat (p=0.5 each); other bigrams are certain:
+    # mean nll = 2*ln(2)/5
+    import math
+
+    assert not got[0].flagged
+    assert got[0].mean_nll == pytest.approx(round(2 * math.log(2) / 5, 4))
+    assert got[99].flagged and got[99].mean_nll == pytest.approx(10.0)  # all backoff

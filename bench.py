@@ -57,6 +57,8 @@ HEADLINE = [
     "pii_redact",
     "seq_pack_chunks",
     "graph_triangles",
+    "flagship_q18",
+    "text_perplexity_filter",
 ]
 
 

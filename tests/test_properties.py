@@ -118,3 +118,72 @@ def test_connected_components_property(spark, edges):
         comp_min[find(r)] = min(comp_min.get(find(r), n), n)
     expected = {n: comp_min[find(n)] for n in expected}
     assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.integers(min_value=0, max_value=40),  # token count per doc
+        min_size=1,
+        max_size=20,
+    ),
+    budget=st.sampled_from([4, 16, 64]),
+)
+@settings(**_SETTINGS)
+def test_pack_sequences_conserves_tokens(spark, docs, budget):
+    """Packing is a bijection onto the token stream: per (lang, shard)
+    offsets are the prefix sums of token counts in doc_id order, and
+    chunk spans cover exactly [offset, offset + n_tokens)."""
+    from cs744_big_data_system_spark.operators.text_analysis import pack_sequences
+
+    rows = [(i, " ".join(["w"] * n), "en", "s", 1) for i, n in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = sorted(pack_sequences(df, budget=budget, n_shards=3).collect(),
+                 key=lambda r: r.doc_id)
+    pos = {}
+    for r in out:
+        key = (r.lang, r.shard)
+        assert r.tok_offset == pos.get(key, 0)
+        lo, hi = r.tok_offset, r.tok_offset + max(r.n_tokens, 1) - 1
+        assert r.chunk_first == lo // budget
+        assert r.n_chunks == hi // budget - lo // budget + 1
+        pos[key] = r.tok_offset + r.n_tokens
+    assert sum(docs) == sum(pos.values())
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc @.-+0123456789\n", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_pii_redact_idempotent(spark, texts):
+    """Redaction is idempotent on arbitrary near-PII soup: a second
+    pass over redacted text finds nothing and changes nothing."""
+    from cs744_big_data_system_spark.operators.text_analysis import (
+        PII_EMAIL,
+        PII_IP,
+        PII_PHONE,
+    )
+    from cs744_big_data_system_spark.operators.text_analysis import pii_redact
+
+    rows = [(i, t, "en", "s", 1) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    first = {r.doc_id: r for r in pii_redact(df).collect()}
+    scrubbed = df.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", PII_EMAIL, "<EMAIL>"),
+                PII_PHONE,
+                "<PHONE>",
+            ),
+            PII_IP,
+            "<IP>",
+        ).alias("text"),
+    )
+    second = {r.doc_id: r for r in pii_redact(scrubbed).collect()}
+    for d in first:
+        assert second[d].n_emails == second[d].n_phones == second[d].n_ips == 0
+        assert second[d].redacted_fp == first[d].redacted_fp

@@ -20,7 +20,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cs744_big_data_system_spark.workloads import llm, relational, relational_ext, streaming_graph
+from cs744_big_data_system_spark.workloads import (
+    llm,
+    relational,
+    relational_ext,
+    streaming_graph,
+    tpch,
+)
 
 
 def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
@@ -32,6 +38,7 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     reg.update(llm.WORKLOADS)
     reg.update(streaming_graph.WORKLOADS)
     reg.update(relational.WORKLOADS)
+    reg.update(tpch.WORKLOADS)
     reg.update(relational_ext.WORKLOADS)
     return reg
 

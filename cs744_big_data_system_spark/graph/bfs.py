@@ -1,0 +1,83 @@
+"""Breadth-first search / shortest hop counts, as a frontier-expansion
+BSP loop over the edge table (SURVEY.md §2.9 graph kernels; same
+superstep schema as graph/pagerank.py — the reference's only iterative
+graph code is assignment1/part3's PageRank, so BFS has no file to cite
+and follows the engine's own iterative conventions).
+
+Scale design:
+  * the edge table is hash-partitioned on ``src`` once and cached; the
+    per-superstep frontier join then reuses that partitioning, so each
+    round shuffles only the (tiny) frontier, never the edges;
+  * the visited set grows monotonically and is the only state carried
+    between rounds; it is localCheckpoint'd periodically to truncate
+    the growing lineage (the pagerank.py lesson);
+  * the frontier is `left_anti`-joined against visited before
+    expanding — each node is expanded exactly once, so total work is
+    O(|E|) across all rounds regardless of graph diameter;
+  * termination: the loop stops when the frontier is empty (one cheap
+    `isEmpty`-style limit(1) probe per round) or after ``max_iters``.
+
+Unlike the fixed-point kernels (pagerank, k-core), BFS from a single
+source IS expressible as a bounded recursive CTE, so the workload
+entry is fully oracle-checked against DuckDB (workloads/
+streaming_graph.py::SQL_GRAPH_BFS_HOPS).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source,
+    max_iters: int = 20,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """edges(src, dst) → (node, hop) — minimum hop count from
+    ``source`` for every reachable node (hop 0 = the source itself).
+
+    Directed reachability: only ``src → dst`` traversals. The returned
+    DataFrame carries a ``cached_links`` attribute (the persisted edge
+    table) so callers can release the cache after materializing,
+    mirroring pagerank()'s contract.
+    """
+    spark = edges.sparkSession
+    links = edges.select("src", "dst").distinct()
+    if num_partitions:
+        links = links.repartition(num_partitions, "src")
+    links = links.persist()
+
+    src_lit = F.lit(source)
+    node_type = dict(links.dtypes)["src"]
+    visited = spark.range(1).select(
+        src_lit.cast(node_type).alias("node"), F.lit(0).alias("hop")
+    )
+    frontier = visited.select("node")
+
+    for hop in range(1, max_iters + 1):
+        # Expand: neighbors of the frontier not yet visited. Broadcast
+        # the frontier/visited sides — they are bounded by the node
+        # set, which in the BFS regime (hop-limited exploration) is
+        # far smaller than the edge table; the cached links therefore
+        # never re-shuffle.
+        neighbors = (
+            links.join(F.broadcast(frontier), links.src == frontier.node, "left_semi")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(F.broadcast(visited), "node", "left_anti")
+        )
+        frontier = neighbors.localCheckpoint(eager=True)
+        if frontier.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(
+            frontier.select("node", F.lit(hop).alias("hop"))
+        )
+        # The visited table's plan grows by one union per round;
+        # checkpoint every few rounds to keep re-analysis linear.
+        if hop % 4 == 0:
+            visited = visited.localCheckpoint(eager=False)
+
+    visited.cached_links = links
+    return visited

@@ -1,0 +1,112 @@
+"""MERGE / upsert and slowly-changing-dimension operators (SURVEY.md
+§2.9 warehouse family — absent from the reference, which has no
+mutable-table story at all; re-expressed as the standard copy-on-write
+full-outer-join rewrite every lakehouse engine (Delta/Iceberg/Hudi
+MERGE INTO) lowers to).
+
+Scale design:
+  * MERGE is ONE full-outer shuffle join on the key — at 100 TB this
+    is the canonical copy-on-write merge; when the change-set is small
+    relative to the target (the common CDC case) Spark's AQE converts
+    the join to broadcast automatically, and a partitioned target
+    prunes untouched partitions before the join ever runs;
+  * SCD-2 history build is a single window pass per business key
+    (change-detection via lag, interval close via lead) — one shuffle
+    on the key, no self-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    matched_set: dict[str, Column],
+    not_matched_insert: dict[str, Column],
+    action_col: str = "merge_action",
+) -> DataFrame:
+    """SQL ``MERGE INTO`` semantics via one full-outer join.
+
+    Output = every target column, where
+      * rows matched by source get ``matched_set``'s expressions
+        (WHEN MATCHED THEN UPDATE SET ...),
+      * source rows with no target match become inserts built from
+        ``not_matched_insert`` (WHEN NOT MATCHED THEN INSERT ...),
+      * unmatched target rows pass through unchanged,
+    plus an ``action_col`` tag ∈ {updated, inserted, kept} so callers
+    (and tests) can audit which MERGE branch fired per row.
+
+    Expressions in both dicts refer to columns as ``t.<col>`` /
+    ``s.<col>`` (the join sides are aliased).
+    """
+    t, s = target.alias("t"), source.alias("s")
+    tk, sk = F.col(f"t.{key}"), F.col(f"s.{key}")
+    joined = t.join(s, tk == sk, "full_outer")
+
+    is_matched = tk.isNotNull() & sk.isNotNull()
+    is_insert = tk.isNull()
+
+    out_cols = []
+    for c in target.columns:
+        if c == key:
+            expr = F.coalesce(tk, sk)
+        else:
+            branches = F.col(f"t.{c}")
+            if c in matched_set:
+                branches = F.when(is_matched, matched_set[c]).otherwise(branches)
+            if c in not_matched_insert:
+                branches = F.when(is_insert, not_matched_insert[c]).otherwise(branches)
+            expr = branches
+        out_cols.append(expr.alias(c))
+
+    action = (
+        F.when(is_matched, F.lit("updated"))
+        .when(is_insert, F.lit("inserted"))
+        .otherwise(F.lit("kept"))
+    )
+    return joined.select(*out_cols, action.alias(action_col))
+
+
+def scd2_history(
+    changes: DataFrame,
+    key: str,
+    tracked: str,
+    order_by: list[str],
+    open_end: str = "9999-12-31",
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from a change log.
+
+    ``changes`` holds one row per observation (key, tracked attribute,
+    ordering columns — e.g. customer orders carrying a status). Output:
+    one row per (key, run of equal ``tracked`` values) with
+    ``valid_from`` / ``valid_to`` date-string intervals and an
+    ``is_current`` flag — the standard warehouse history table.
+
+    Change detection = ``tracked != lag(tracked)`` over the key's
+    ordered window; interval close = ``lead(valid_from)``. Both windows
+    share one partitioning, so the whole build is a single shuffle on
+    the business key.
+    """
+    from pyspark.sql import Window
+
+    # Both windows use the SAME (unique) ordering — ties on the date
+    # alone (two changes observed the same day) would otherwise make
+    # lead() nondeterministic. order_by must therefore end in a
+    # tie-breaking unique column (e.g. the change-log's event key).
+    w = Window.partitionBy(key).orderBy(*order_by)
+    first_date = order_by[0]
+    changed = changes.withColumn("_prev", F.lag(tracked).over(w)).filter(
+        F.col("_prev").isNull() | (F.col(tracked) != F.col("_prev"))
+    )
+    nxt = F.lead(first_date).over(w)  # re-applied over the filtered rows
+    return changed.select(
+        key,
+        tracked,
+        F.date_format(first_date, "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(F.date_format(nxt, "yyyy-MM-dd"), F.lit(open_end)).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

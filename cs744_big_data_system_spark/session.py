@@ -43,6 +43,11 @@ ENGINE_CONF: dict[str, str] = {
     # Fixture events.ts is TIMESTAMP(NANOS): read as ns longs (converted
     # to µs timestamps in sources.readers.load_table).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Current testdata writes tz-less timestamp[us]; Spark 4 would infer
+    # TIMESTAMP_NTZ, which event-time operators (withWatermark, window
+    # state) reject. Read as session-tz TIMESTAMP instead — an identity
+    # under the pinned UTC timezone, and what the DuckDB oracle sees.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # ANSI off: engine follows classic Spark SQL nullable-on-error semantics.
     "spark.sql.ansi.enabled": "false",
 }

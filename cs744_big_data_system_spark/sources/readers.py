@@ -53,9 +53,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """ns-long epoch column → µs timestamp (no-op if already timestamp)."""
-    if dict(df.dtypes).get(ts_col) == "bigint":
+    """Fixture ``ts`` → session-tz TIMESTAMP (no-op if already one).
+
+    Handles both fixture generations: ns-epoch bigint (early testdata)
+    and TIMESTAMP_NTZ (current testdata).  The NTZ→TIMESTAMP cast is a
+    wall-clock identity under the engine's pinned UTC session timezone
+    (session.py) and is required because event-time operators
+    (withWatermark, streaming window state) accept only TIMESTAMP.
+    """
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype == "bigint":
         df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 
 

@@ -392,6 +392,62 @@ SELECT (SELECT count(DISTINCT node) FROM (
 """
 
 
+def q_graph_bfs_hops(spark, sf_dir):
+    """Minimum hop counts from node 0 on the hash graph via the
+    frontier-expansion BSP loop (graph/bfs.py — edges cached and
+    partition-reused across supersteps, each node expanded once).
+    Unlike the other iterative kernels this IS oracle-checked: single-
+    source BFS with a hop bound is a bounded recursive CTE in DuckDB —
+    a rare hash-verified iterative graph algorithm."""
+    from cs744_big_data_system_spark.graph.bfs import bfs_hops
+
+    hops = bfs_hops(_hash_graph(spark), source=0, max_iters=20, num_partitions=4)
+    return hops.select("node", F.col("hop").cast("long").alias("hop"))
+
+
+SQL_GRAPH_BFS_HOPS = f"""
+WITH RECURSIVE walk(node, hop) AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS hop
+  UNION
+  SELECT g.dst AS node, walk.hop + 1 AS hop
+  FROM walk JOIN ({_SQL_HASH_GRAPH}) g ON g.src = walk.node
+  WHERE walk.hop < 20
+)
+SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM walk GROUP BY node
+"""
+
+
+# --- Stream-static join: per-micro-batch dimension enrichment ---
+def q_stream_static_join_replay(spark, sf_dir):
+    """The events stream joined per micro-batch against the STATIC
+    customer dimension (Structured Streaming's stream-static join —
+    distinct from the stream-stream join, which needs symmetric state:
+    here the static side is simply broadcast into every micro-batch,
+    no watermark bookkeeping on the dimension). Aggregated per nation
+    in complete mode so the replayed result equals the batch oracle."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+
+    def xform(s):
+        joined = s.join(
+            F.broadcast(cust), s.user_id == cust.c_custkey, "inner"
+        )
+        return joined.groupBy("c_nationkey").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+
+    return replay_to_batch(spark, f"{sf_dir}/events.parquet", xform, "complete")
+
+
+SQL_STREAM_STATIC_JOIN = """
+SELECT c.c_nationkey,
+       count(*) AS n_events,
+       CAST(round(sum(e.value), 4) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
 def q_graph_kcore(spark, sf_dir):
     """k-core of the hash graph by iterative peeling (graph/kcore.py);
     rows-only (iterative fixpoint — not CTE-expressible because each
@@ -532,6 +588,8 @@ WORKLOADS = {
     "multimodal_doc_features": (q_multimodal_doc_features, SQL_MULTIMODAL_DOC_FEATURES),
     "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "graph_degree_histogram": (q_graph_degree_histogram, SQL_GRAPH_DEGREE_HISTOGRAM),
+    "graph_bfs_hops": (q_graph_bfs_hops, SQL_GRAPH_BFS_HOPS),
+    "stream_static_join_replay": (q_stream_static_join_replay, SQL_STREAM_STATIC_JOIN),
     # --- rows-only tail (iterative / approximate / stubbed-decode) ---
     "pagerank_events": (q_pagerank_events, None),  # iterative fixed-point
     "graph_kcore": (q_graph_kcore, None),  # iterative peeling fixpoint

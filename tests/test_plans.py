@@ -273,3 +273,36 @@ def test_triangle_count_has_no_cartesian(spark):
     plan = formatted_plan(triangle_count(edges))
     assert "CartesianProduct" not in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_merge_upsert_is_one_full_outer_join(spark):
+    """MERGE lowers to exactly one full-outer shuffle join on the key —
+    no extra exchanges, no cartesian anywhere."""
+    from cs744_big_data_system_spark.plans.explain import formatted_plan
+    from cs744_big_data_system_spark.workloads.warehouse import q_merge_upsert
+
+    import re
+
+    plan = formatted_plan(q_merge_upsert(spark, SF_SMALL))
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    # exactly one join node in the tree (each node prints twice:
+    # tree + detail section, so count tree-form occurrences only)
+    joins = re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\w* \w*\s?\(\d+\)", plan)
+    assert len(joins) == 1, (joins, plan)
+
+
+def test_topk_salted_windows_partition_by_salt_first(spark):
+    """Stage 1 of the two-stage top-k windows over (group, salt) — the
+    skew-bounding property — and stage 2 only sees the candidate set."""
+    from cs744_big_data_system_spark.plans.explain import formatted_plan
+    from cs744_big_data_system_spark.workloads.warehouse import q_topk_per_group_salted
+
+    import re
+
+    plan = formatted_plan(q_topk_per_group_salted(spark, SF_SMALL))
+    assert len(re.findall(r"\bWindow \(\d+\)", plan)) == 2, plan
+    assert "salt" in plan, plan
+    # Spark's rank-limit pushdown caps each window sort at k rows per
+    # partition group — the salted stage never fully sorts a hot group.
+    assert "WindowGroupLimit" in plan, plan

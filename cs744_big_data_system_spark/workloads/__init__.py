@@ -59,6 +59,8 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
         "merge_upsert",
         "scd2_history",
         "topk_per_group_salted",
+        "timeseries_gapfill",
+        "zorder_layout",
         "tpch_q4",
         "tpch_q6",
         "tpch_q9",

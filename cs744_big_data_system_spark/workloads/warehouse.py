@@ -169,8 +169,98 @@ WHERE rnk <= 3
 """
 
 
+# --- Time-series gap-fill + forward fill (operators/timeseries.py) ---
+def q_timeseries_gapfill(spark, sf_dir):
+    """Per-user hourly series densified onto each user's own bucket
+    range with gap rows forward-filled from the previous bucket's sum
+    — the hypertable locf/gapfill operator, fully oracle-checked
+    (DuckDB generate_series + LAST_VALUE IGNORE NULLS)."""
+    from cs744_big_data_system_spark.operators.timeseries import gapfill_forward
+
+    return gapfill_forward(load_table(spark, sf_dir, "events"), bucket="1 hour")
+
+
+SQL_TIMESERIES_GAPFILL = """
+WITH agg AS (
+  SELECT user_id, time_bucket(INTERVAL '1 hours', ts) AS bucket,
+         count(*) AS n, round(sum(value), 4) AS s
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '1 hours')) AS bucket
+  FROM (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM agg GROUP BY 1)
+), joined AS (
+  SELECT sp.user_id, sp.bucket, a.n, a.s
+  FROM spine sp LEFT JOIN agg a ON sp.user_id = a.user_id AND sp.bucket = a.bucket
+)
+SELECT user_id,
+       strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+       last_value(s IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+FROM joined
+"""
+
+
+# --- Z-order clustering key (functions/zorder.py) ---
+def q_zorder_layout(spark, sf_dir):
+    """Normalized Morton key over (l_partkey, l_suppkey) for every
+    lineitem row — the clustering key you'd sort on before writing so
+    parquet min/max stats prune on BOTH dimensions. Pure codegen'd bit
+    ops over one broadcast stats row, bit-for-bit oracle-checked; the
+    locality property (per-file spread of EACH dimension shrinks vs a
+    single-column sort) is unit-tested."""
+    from cs744_big_data_system_spark.functions.zorder import zordered
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return zordered(li, "l_partkey", "l_suppkey", bits=16)
+
+
+def _sql_zorder():
+    from cs744_big_data_system_spark.functions.zorder import zordered_sql
+
+    return f"""
+WITH stats AS (
+  SELECT min(l_partkey) AS _xmin, max(l_partkey) AS _xmax,
+         min(l_suppkey) AS _ymin, max(l_suppkey) AS _ymax
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       CAST({zordered_sql('lineitem', 'l_partkey', 'l_suppkey', 16)} AS BIGINT) AS zkey
+FROM lineitem CROSS JOIN stats
+"""
+
+
+# --- Mergeable-sketch rollup: HLL union across grain levels ---
+def q_hll_rollup(spark, sf_dir):
+    """Fine-grain (lang, source) HLL sketches of doc_id unioned up to
+    per-lang estimates — the mergeable-sketch pattern that makes
+    100 TB rollups one pass: partial sketches combine associatively,
+    so coarser grains never rescan the data (same reason BENCH's
+    approx_percentile beats exact percentile). Rows-only (sketch
+    estimates are engine-specific); tests assert the union-rollup
+    estimate equals the direct per-lang sketch exactly and tracks the
+    true distinct count within HLL tolerance."""
+    fine = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.hll_sketch_agg("doc_id").alias("sk"))
+    )
+    return (
+        fine.groupBy("lang")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("approx_docs")
+        )
+    )
+
+
 WORKLOADS = {
     "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
     "topk_per_group_salted": (q_topk_per_group_salted, SQL_TOPK_PER_GROUP),
+    "timeseries_gapfill": (q_timeseries_gapfill, SQL_TIMESERIES_GAPFILL),
+    "zorder_layout": (q_zorder_layout, _sql_zorder()),
+    "hll_rollup": (q_hll_rollup, None),  # sketch estimates are engine-specific
 }

@@ -137,3 +137,106 @@ def test_stream_static_join_equals_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_gapfill_fills_gaps_with_previous_sum(spark):
+    import datetime
+
+    from cs744_big_data_system_spark.operators.timeseries import gapfill_forward
+
+    d = datetime.datetime
+    # user 1: buckets 00:00 and 02:00 — 01:00 is a gap
+    events = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1, 0, 5), 1.0),
+            (1, d(2024, 1, 1, 0, 15), 2.0),
+            (1, d(2024, 1, 1, 2, 30), 5.0),
+        ],
+        ["user_id", "ts", "value"],
+    )
+    got = {
+        r.bucket_start: (r.n_events, r.filled_sum)
+        for r in gapfill_forward(events, bucket="1 hour").collect()
+    }
+    assert got == {
+        "2024-01-01 00:00:00": (2, 3.0),
+        "2024-01-01 01:00:00": (0, 3.0),  # gap row, forward-filled
+        "2024-01-01 02:00:00": (1, 5.0),
+    }
+
+
+def test_zorder_key_known_values(spark):
+    from cs744_big_data_system_spark.functions.zorder import zorder_key
+
+    df = spark.createDataFrame([(3, 0), (0, 3), (5, 5)], ["x", "y"])
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", zorder_key(F.col("x"), F.col("y"), 4).alias("z")).collect()
+    }
+    # interleave: x bits at even positions, y bits at odd
+    assert got == {(3, 0): 0b0101, (0, 3): 0b1010, (5, 5): 0b110011}
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
+    """Files range-partitioned on zkey bound the spread of BOTH
+    l_partkey and l_suppkey, whereas sorting on one column leaves the
+    other's per-file spread at (nearly) the global range — the file-
+    skipping property that makes Z-ordering worth a rewrite at scale."""
+    import pyarrow.parquet as pq
+
+    from cs744_big_data_system_spark.workloads.warehouse import q_zorder_layout
+
+    df = q_zorder_layout(spark, "/root/testdata/sf0.001")
+
+    def mean_spread(order_col, col):
+        out = str(tmp_path / f"layout_{order_col}")
+        df.repartitionByRange(8, F.col(order_col)).write.mode("overwrite").parquet(out)
+        spreads = []
+        import glob
+
+        for f in glob.glob(out + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = min(
+                md.row_group(i).column(
+                    [c for c in range(md.num_columns)
+                     if md.row_group(i).column(c).path_in_schema == col][0]
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(
+                    [c for c in range(md.num_columns)
+                     if md.row_group(i).column(c).path_in_schema == col][0]
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spreads.append(hi - lo)
+        return sum(spreads) / len(spreads)
+
+    # Z-ordered files must bound the *other* dimension far better than
+    # a single-column sort does.
+    assert mean_spread("zkey", "l_suppkey") < 0.7 * mean_spread("l_partkey", "l_suppkey")
+    assert mean_spread("zkey", "l_partkey") < 0.7 * mean_spread("l_suppkey", "l_partkey")
+
+
+def test_hll_rollup_merge_is_lossless_and_close_to_exact(spark):
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.workloads.warehouse import q_hll_rollup
+
+    sf_dir = "/root/testdata/sf0.001"
+    rolled = {r.lang: r.approx_docs for r in q_hll_rollup(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    direct = {
+        r.lang: r.est
+        for r in docs.groupBy("lang")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("doc_id")).cast("long").alias("est"))
+        .collect()
+    }
+    exact = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.countDistinct("doc_id").alias("n")).collect()
+    }
+    # union-of-fine-sketches == direct coarse sketch (HLL merge lossless)
+    assert rolled == direct
+    for lang, n in exact.items():
+        assert abs(rolled[lang] - n) <= max(2, 0.05 * n), (lang, rolled[lang], n)

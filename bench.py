@@ -59,6 +59,14 @@ HEADLINE = [
     "graph_triangles",
     "flagship_q18",
     "text_perplexity_filter",
+    # round-3: warehouse/CDC + layout + graph/stream additions
+    "merge_upsert",
+    "scd2_history",
+    "topk_per_group_salted",
+    "timeseries_gapfill",
+    "zorder_layout",
+    "graph_bfs_hops",
+    "tpch_q9",
 ]
 
 

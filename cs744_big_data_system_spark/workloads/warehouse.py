@@ -256,11 +256,51 @@ def q_hll_rollup(spark, sf_dir):
     )
 
 
+# --- Incremental view maintenance: mergeable partial-aggregate refresh ---
+def q_incremental_agg_merge(spark, sf_dir):
+    """Refresh a per-user aggregate view from a delta batch WITHOUT
+    rescanning the base: base state (count, sum) computed once, the
+    delta's partial state unioned in and re-aggregated — associative
+    merge, the IVM pattern that turns a 100 TB daily rollup into a
+    delta-sized job. The oracle recomputes from scratch; equality
+    proves the merge is exact (avg derived post-merge, rounded only at
+    the end)."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = "2024-01-15"  # events fixture spans January 2024
+    state_cols = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+    ]
+    base = ev.filter(F.col("ts") < cutoff).groupBy("user_id").agg(*state_cols)
+    delta = ev.filter(F.col("ts") >= cutoff).groupBy("user_id").agg(*state_cols)
+    merged = (
+        base.unionByName(delta)
+        .groupBy("user_id")
+        .agg(F.sum("n").alias("n_events"), F.sum("s").alias("sv"))
+    )
+    return merged.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sv", 4).alias("sum_value"),
+        F.round(F.col("sv") / F.col("n_events"), 6).alias("avg_value"),
+    )
+
+
+SQL_INCREMENTAL_AGG = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(round(sum(value), 4) AS DOUBLE) AS sum_value,
+       CAST(round(sum(value) / count(*), 6) AS DOUBLE) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
 WORKLOADS = {
     "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
     "topk_per_group_salted": (q_topk_per_group_salted, SQL_TOPK_PER_GROUP),
     "timeseries_gapfill": (q_timeseries_gapfill, SQL_TIMESERIES_GAPFILL),
     "zorder_layout": (q_zorder_layout, _sql_zorder()),
+    "incremental_agg_merge": (q_incremental_agg_merge, SQL_INCREMENTAL_AGG),
     "hll_rollup": (q_hll_rollup, None),  # sketch estimates are engine-specific
 }

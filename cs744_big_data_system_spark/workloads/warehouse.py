@@ -282,7 +282,9 @@ def q_incremental_agg_merge(spark, sf_dir):
         "user_id",
         F.col("n_events").cast("long").alias("n_events"),
         F.round("sv", 4).alias("sum_value"),
-        F.round(F.col("sv") / F.col("n_events"), 6).alias("avg_value"),
+        # divide the ROUNDED sum so both engines divide identical
+        # numerators (raw float sums differ in accumulation order)
+        F.round(F.round("sv", 4) / F.col("n_events"), 6).alias("avg_value"),
     )
 
 
@@ -290,7 +292,7 @@ SQL_INCREMENTAL_AGG = """
 SELECT user_id,
        count(*) AS n_events,
        CAST(round(sum(value), 4) AS DOUBLE) AS sum_value,
-       CAST(round(sum(value) / count(*), 6) AS DOUBLE) AS avg_value
+       CAST(round(round(sum(value), 4) / count(*), 6) AS DOUBLE) AS avg_value
 FROM events GROUP BY 1
 """
 

@@ -68,8 +68,12 @@ def bfs_hops(
             .distinct()
             .join(F.broadcast(visited), "node", "left_anti")
         )
-        frontier = neighbors.localCheckpoint(eager=True)
-        if frontier.limit(1).count() == 0:
+        # One action per round: count() both materializes the lazy
+        # checkpoint (truncating lineage) and answers the emptiness
+        # probe — an eager checkpoint plus a separate limit(1) probe
+        # would schedule two jobs per superstep.
+        frontier = neighbors.localCheckpoint(eager=False)
+        if frontier.count() == 0:
             break
         visited = visited.unionByName(
             frontier.select("node", F.lit(hop).alias("hop"))

@@ -1,189 +1,177 @@
-"""Property-based tests (hypothesis): operators must agree with plain
-Python brute force on arbitrary small inputs — the cases a fixed
-fixture never covers (ties, empties, single-element groups, extreme
-gaps)."""
+"""Property-based tests (hypothesis) for the algebraic operators whose
+correctness is a law, not an example: MERGE branch totality, SCD-2
+interval tiling, salted-top-k == naive-top-k, Z-order bijectivity,
+and incremental state-merge associativity.
+
+Strategy sizes are kept small (Spark job per example is expensive);
+the laws themselves are exact, so a handful of adversarial examples
+beats thousands of rows."""
 
 from __future__ import annotations
-
-import datetime as dt
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-_SETTINGS = dict(
-    max_examples=8,  # each example spins Spark jobs — keep the suite fast
+_settings = settings(
+    max_examples=8,
     deadline=None,
-    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
 
 @given(
-    events=st.lists(
-        st.tuples(
-            st.integers(min_value=1, max_value=3),      # user_id
-            st.integers(min_value=0, max_value=7200),   # seconds offset
-        ),
-        min_size=1,
-        max_size=25,
-    ),
-    gap_minutes=st.sampled_from([1, 5, 30]),
+    tgt=st.dictionaries(st.integers(0, 15), st.integers(-100, 100), max_size=8),
+    src=st.dictionaries(st.integers(0, 15), st.integers(-100, 100), max_size=8),
 )
-@settings(**_SETTINGS)
-def test_sessionize_matches_bruteforce(spark, events, gap_minutes):
-    from cs744_big_data_system_spark.operators.relational import sessionize
+@_settings
+def test_merge_upsert_matches_dict_semantics(spark, tgt, src):
+    from cs744_big_data_system_spark.operators.merge import merge_upsert
 
-    base = dt.datetime(2024, 1, 1)
-    rows = [
-        (i, u, base + dt.timedelta(seconds=s)) for i, (u, s) in enumerate(events)
-    ]
-    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
-    got = {
-        (r.event_id): r.session_id
-        for r in sessionize(df, gap_minutes=gap_minutes).collect()
-    }
+    target = spark.createDataFrame(
+        [(k, v) for k, v in tgt.items()] or [(None, None)], "k long, v long"
+    ).filter(F.col("k").isNotNull())
+    source = spark.createDataFrame(
+        [(k, v) for k, v in src.items()] or [(None, None)], "k long, d long"
+    ).filter(F.col("k").isNotNull())
+    out = merge_upsert(
+        target,
+        source,
+        key="k",
+        matched_set={"v": F.col("t.v") + F.col("s.d")},
+        not_matched_insert={"v": F.col("s.d")},
+    )
+    got = {r.k: (r.v, r.merge_action) for r in out.collect()}
+    want = {}
+    for k, v in tgt.items():
+        if k in src:
+            want[k] = (v + src[k], "updated")
+        else:
+            want[k] = (v, "kept")
+    for k, d in src.items():
+        if k not in tgt:
+            want[k] = (d, "inserted")
+    assert got == want
 
-    # brute force: per user, sorted by (ts, event_id), new session when
-    # gap strictly exceeds gap_minutes
-    expected = {}
-    by_user: dict[int, list] = {}
-    for i, u, ts in rows:
-        by_user.setdefault(u, []).append((ts, i))
-    for u, evs in by_user.items():
-        evs.sort()
-        sid = 0
-        prev = None
-        for ts, i in evs:
-            if prev is None or (ts - prev).total_seconds() > gap_minutes * 60:
-                sid += 1
-            expected[i] = sid
-            prev = ts
-    assert got == expected
+
+@given(
+    seq=st.lists(st.sampled_from("ABC"), min_size=1, max_size=10),
+)
+@_settings
+def test_scd2_runs_compress_and_tile(spark, seq):
+    import datetime
+
+    from cs744_big_data_system_spark.operators.merge import scd2_history
+
+    base = datetime.datetime(2024, 1, 1)
+    changes = spark.createDataFrame(
+        [(1, s, base + datetime.timedelta(days=i), i) for i, s in enumerate(seq)],
+        "k long, status string, ts timestamp, id long",
+    )
+    rows = sorted(
+        scd2_history(changes, "k", "status", ["ts", "id"]).collect(),
+        key=lambda r: r.valid_from,
+    )
+    # run-length compression: one row per status run
+    runs = [s for i, s in enumerate(seq) if i == 0 or s != seq[i - 1]]
+    assert [r.status for r in rows] == runs
+    # intervals tile: each valid_to is the next valid_from; last open
+    for a, b in zip(rows, rows[1:]):
+        assert a.valid_to == b.valid_from and not a.is_current
+    assert rows[-1].is_current and rows[-1].valid_to == "9999-12-31"
 
 
 @given(
     vals=st.lists(
-        st.tuples(st.sampled_from(["a", "b", "hot"]), st.integers(-100, 100)),
-        min_size=1,
-        max_size=40,
-    )
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=30
+    ),
+    k=st.integers(1, 4),
 )
-@settings(**_SETTINGS)
-def test_salted_sum_property(spark, vals):
-    from cs744_big_data_system_spark.operators.skew import salted_sum
+@_settings
+def test_salted_topk_law(spark, vals, k):
+    """Two-stage salted top-k == naive top-k for ANY data and k (the
+    containment law the workload relies on)."""
+    from pyspark.sql import Window
 
-    df = spark.createDataFrame([(k, float(v)) for k, v in vals], ["k", "v"])
-    got = {r.k: r.s for r in salted_sum(df, ["k"], "v", buckets=4, out_col="s").collect()}
-    expected: dict[str, float] = {}
-    for k, v in vals:
-        expected[k] = expected.get(k, 0.0) + v
-    assert got == expected
+    df = spark.createDataFrame(
+        [(g, i, v) for i, (g, v) in enumerate(vals)], "g long, id long, v long"
+    )
+    order = [F.desc("v"), F.asc("id")]
+    w1 = Window.partitionBy("g", "salt").orderBy(*order)
+    w2 = Window.partitionBy("g").orderBy(*order)
+    salted = (
+        df.withColumn("salt", F.col("id") % 4)
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+    )
+    naive = df.withColumn("rnk", F.row_number().over(w2)).filter(F.col("rnk") <= k)
+    assert {(r.g, r.rnk, r.id) for r in salted.collect()} == {
+        (r.g, r.rnk, r.id) for r in naive.collect()
+    }
 
 
 @given(
-    edges=st.lists(
-        st.tuples(st.integers(0, 9), st.integers(0, 9)),
-        min_size=1,
-        max_size=15,
-    )
-)
-@settings(**_SETTINGS)
-def test_connected_components_property(spark, edges):
-    from cs744_big_data_system_spark.graph.connected_components import connected_components
-
-    df = spark.createDataFrame(edges, ["src", "dst"])
-    got = {r.node: r.component for r in connected_components(df, max_iterations=25).collect()}
-
-    # brute force union-find
-    parent = {}
-
-    def find(x):
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    for a, b in edges:
-        union(a, b)
-    expected = {n: find(n) for n in parent}
-    # canonicalize union-find roots to component minimum
-    comp_min: dict[int, int] = {}
-    for n, r in expected.items():
-        comp_min[find(r)] = min(comp_min.get(find(r), n), n)
-    expected = {n: comp_min[find(n)] for n in expected}
-    assert got == expected
-
-
-@given(
-    docs=st.lists(
-        st.integers(min_value=0, max_value=40),  # token count per doc
+    pts=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
         min_size=1,
         max_size=20,
-    ),
-    budget=st.sampled_from([4, 16, 64]),
+        unique=True,
+    )
 )
-@settings(**_SETTINGS)
-def test_pack_sequences_conserves_tokens(spark, docs, budget):
-    """Packing is a bijection onto the token stream: per (lang, shard)
-    offsets are the prefix sums of token counts in doc_id order, and
-    chunk spans cover exactly [offset, offset + n_tokens)."""
-    from cs744_big_data_system_spark.operators.text_analysis import pack_sequences
+@_settings
+def test_zorder_key_is_injective_and_monotone_per_dim(spark, pts):
+    from cs744_big_data_system_spark.functions.zorder import zorder_key
 
-    rows = [(i, " ".join(["w"] * n), "en", "s", 1) for i, n in enumerate(docs)]
-    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
-    out = sorted(pack_sequences(df, budget=budget, n_shards=3).collect(),
-                 key=lambda r: r.doc_id)
-    pos = {}
-    for r in out:
-        key = (r.lang, r.shard)
-        assert r.tok_offset == pos.get(key, 0)
-        lo, hi = r.tok_offset, r.tok_offset + max(r.n_tokens, 1) - 1
-        assert r.chunk_first == lo // budget
-        assert r.n_chunks == hi // budget - lo // budget + 1
-        pos[key] = r.tok_offset + r.n_tokens
-    assert sum(docs) == sum(pos.values())
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", zorder_key(F.col("x"), F.col("y"), 8).alias("z")).collect()
+    }
+    # injective: distinct points -> distinct keys
+    assert len(set(got.values())) == len(pts)
+    # exact Morton reference
+    def morton(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(x, y)
 
 
 @given(
-    texts=st.lists(
-        st.text(alphabet="abc @.-+0123456789\n", min_size=0, max_size=40),
+    vals=st.lists(
+        st.tuples(st.integers(0, 5), st.floats(-1e6, 1e6, allow_nan=False)),
         min_size=1,
-        max_size=8,
-    )
+        max_size=30,
+    ),
+    split=st.integers(0, 30),
 )
-@settings(**_SETTINGS)
-def test_pii_redact_idempotent(spark, texts):
-    """Redaction is idempotent on arbitrary near-PII soup: a second
-    pass over redacted text finds nothing and changes nothing."""
-    from cs744_big_data_system_spark.operators.text_analysis import (
-        PII_EMAIL,
-        PII_IP,
-        PII_PHONE,
+@_settings
+def test_incremental_state_merge_associative(spark, vals, split):
+    """(count, sum) partial states merged across an arbitrary split
+    equal the unsplit aggregate — the IVM law."""
+    a, b = vals[:split], vals[split:]
+    schema = "k long, v double"
+    full = spark.createDataFrame(vals, schema).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
     )
-    from cs744_big_data_system_spark.operators.text_analysis import pii_redact
-
-    rows = [(i, t, "en", "s", 1) for i, t in enumerate(texts)]
-    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
-    first = {r.doc_id: r for r in pii_redact(df).collect()}
-    scrubbed = df.select(
-        "doc_id",
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace("text", PII_EMAIL, "<EMAIL>"),
-                PII_PHONE,
-                "<PHONE>",
-            ),
-            PII_IP,
-            "<IP>",
-        ).alias("text"),
-    )
-    second = {r.doc_id: r for r in pii_redact(scrubbed).collect()}
-    for d in first:
-        assert second[d].n_emails == second[d].n_phones == second[d].n_ips == 0
-        assert second[d].redacted_fp == first[d].redacted_fp
+    parts = []
+    for chunk in (a, b):
+        if chunk:
+            parts.append(
+                spark.createDataFrame(chunk, schema)
+                .groupBy("k")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    merged = merged.groupBy("k").agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    got = {r.k: (r.n, round(r.s, 6)) for r in merged.collect()}
+    want = {r.k: (r.n, round(r.s, 6)) for r in full.collect()}
+    assert got == want

@@ -1037,6 +1037,21 @@ GROUP BY label, pos
 """
 
 
+# --- BPE merge training (operators/bpe.py) — iterative, rows-only ---
+def q_text_bpe_merges(spark, sf_dir):
+    """First 8 BPE merges learned from the documents corpus: corpus
+    scanned once into a weighted word vocab, then each merge round
+    runs over the |V|-row vocab table only (pair explode + argmax +
+    Arrow-batched merge apply — operators/bpe.py). Iterative driver
+    loop → rows-only; the merge sequence is golden-tested against an
+    independent pure-Python BPE reference."""
+    from cs744_big_data_system_spark.operators.bpe import bpe_merges_df, bpe_train
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merges_df(spark, bpe_train(docs, num_merges=8))
+
+
 WORKLOADS = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
@@ -1070,4 +1085,5 @@ WORKLOADS = {
     "llm_clean_corpus": (q_llm_clean_corpus, SQL_LLM_CLEAN_CORPUS),
     "label_mean_embedding": (q_label_mean_embedding, SQL_LABEL_MEAN_EMBEDDING),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
+    "text_bpe_merges": (q_text_bpe_merges, None),  # iterative driver loop
 }

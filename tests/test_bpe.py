@@ -1,0 +1,71 @@
+"""Golden tests for the BPE merge trainer: the distributed merge
+sequence must equal an independent pure-Python reference (Sennrich
+et al. 2016 word-level BPE with the same lexicographic tie-break)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+
+def _ref_bpe(word_counts: dict[str, int], k: int):
+    """Dictionary-based reference implementation."""
+    vocab = {tuple(list(w) + ["</w>"]): n for w, n in word_counts.items()}
+    merges = []
+    for _ in range(k):
+        pairs: Counter = Counter()
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        # max count, ties broken lexicographically ascending
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < 2:
+            break
+        merges.append((left, right, cnt))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_matches_reference_on_classic_corpus(spark):
+    from cs744_big_data_system_spark.operators.bpe import bpe_train
+
+    # the classic Sennrich example corpus
+    texts = (
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = bpe_train(docs, num_merges=6)
+    want = _ref_bpe({"low": 5, "lower": 2, "newest": 6, "widest": 3}, 6)
+    assert got == want
+    # the famous first merges: ('e','s') then ('es','t') then ('est','</w>')
+    assert got[0][:2] == ("e", "s") and got[1][:2] == ("es", "t")
+
+
+def test_bpe_matches_reference_on_fixture_sample(spark):
+    from cs744_big_data_system_spark.operators.bpe import bpe_train
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    texts = [r.text for r in docs.select("text").collect()]
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in t.lower().split():
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    got = bpe_train(docs, num_merges=5)
+    want = _ref_bpe(counts, 5)
+    assert got == want

@@ -120,3 +120,58 @@ def bpe_merges_df(spark, merges: list[tuple[str, str, int]]) -> DataFrame:
         [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "step long, left string, right string, cnt long",
     )
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Classic BPE encode: repeatedly merge the lowest-rank adjacent
+    pair present. Pure function shared by the distributed tokenizer
+    and the tests' reference path."""
+    syms = list(word) + ["</w>"]
+    while len(syms) > 1:
+        best_i, best_rank = -1, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_i, best_rank = i, r
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_words, n_bpe_tokens) per document under the learned
+    merge table. The merge ranks ride the UDF closure (a few dozen
+    string pairs); encoding memoizes per distinct word inside each
+    Arrow batch, so the per-row cost is a dict hit for all but the
+    first occurrence — this is the one corpus-wide Python pass, and
+    it is batch-vectorized."""
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+
+    @F.pandas_udf("long")
+    def n_bpe(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def count(text):
+            total = 0
+            for w in text.lower().split():
+                if not w:
+                    continue
+                if w not in memo:
+                    memo[w] = len(encode_word(w, ranks))
+                total += memo[w]
+            return total
+
+        return texts.map(count)
+
+    words = F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    return docs.select(
+        id_col,
+        words.cast("long").alias("n_words"),
+        n_bpe(text_col).alias("n_bpe_tokens"),
+    )

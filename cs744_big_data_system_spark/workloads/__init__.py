@@ -61,6 +61,8 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
         "topk_per_group_salted",
         "timeseries_gapfill",
         "zorder_layout",
+        "incremental_agg_merge",
+        "skew_diagnostics",
         "tpch_q4",
         "tpch_q6",
         "tpch_q9",

@@ -1052,6 +1052,19 @@ def q_text_bpe_merges(spark, sf_dir):
     return bpe_merges_df(spark, bpe_train(docs, num_merges=8))
 
 
+def q_text_bpe_tokenize(spark, sf_dir):
+    """Tokenize the corpus under the merges just learned: one
+    Arrow-batched pass with per-word memoization (operators/bpe.py).
+    Output per doc: whitespace word count vs BPE token count — the
+    compression signal a tokenizer-aware pipeline samples by."""
+    from cs744_big_data_system_spark.operators.bpe import bpe_tokenize, bpe_train
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=8)
+    return bpe_tokenize(docs, merges)
+
+
 WORKLOADS = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
@@ -1086,4 +1099,5 @@ WORKLOADS = {
     "label_mean_embedding": (q_label_mean_embedding, SQL_LABEL_MEAN_EMBEDDING),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "text_bpe_merges": (q_text_bpe_merges, None),  # iterative driver loop
+    "text_bpe_tokenize": (q_text_bpe_tokenize, None),  # depends on learned merges
 }

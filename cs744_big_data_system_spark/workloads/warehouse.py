@@ -233,6 +233,65 @@ FROM lineitem CROSS JOIN stats
 """
 
 
+# --- Key-distribution skew diagnostics ---
+def q_skew_diagnostics(spark, sf_dir):
+    """Shuffle-planning lens over candidate join/agg keys: per-key-
+    column cardinality, hot-key share, exact p50/p99 of per-key row
+    counts, and key entropy. At 100 TB you run THIS before choosing
+    salting / broadcast / AQE-skew thresholds — two aggregations per
+    key column, no data movement beyond the key counts."""
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def profile(df, col, label):
+        counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        # entropy via the merge-friendly identity
+        # -Σ (c/N)·ln(c/N) = ln N − (Σ c·ln c)/N  — every term is a
+        # plain distributive aggregate, no second pass over the counts
+        a = counts.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.max("c").alias("max_c"),
+            F.expr("percentile(c, 0.5)").alias("p50_raw"),
+            F.expr("percentile(c, 0.99)").alias("p99_raw"),
+            F.sum(F.col("c") * F.log("c")).alias("clnc"),
+        )
+        return a.select(
+            F.lit(label).alias("key_col"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.col("max_c") / F.col("n_rows"), 6).alias("max_key_share"),
+            F.round("p50_raw", 4).alias("p50"),
+            F.round("p99_raw", 4).alias("p99"),
+            F.round(F.log("n_rows") - F.col("clnc") / F.col("n_rows"), 6).alias("entropy"),
+        )
+
+    return (
+        profile(ev, "user_id", "events.user_id")
+        .unionByName(profile(ev, "event_type", "events.event_type"))
+        .unionByName(profile(li, "l_orderkey", "lineitem.l_orderkey"))
+    )
+
+
+SQL_SKEW_DIAGNOSTICS = """
+WITH p AS (
+  SELECT 'events.user_id' AS key_col, count(*) AS c FROM events GROUP BY user_id
+  UNION ALL
+  SELECT 'events.event_type', count(*) FROM events GROUP BY event_type
+  UNION ALL
+  SELECT 'lineitem.l_orderkey', count(*) FROM lineitem GROUP BY l_orderkey
+)
+SELECT key_col,
+       count(*) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       round(max(c) / sum(c), 6) AS max_key_share,
+       round(quantile_cont(c, 0.5), 4) AS p50,
+       round(quantile_cont(c, 0.99), 4) AS p99,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+FROM p GROUP BY key_col
+"""
+
+
 # --- Mergeable-sketch rollup: HLL union across grain levels ---
 def q_hll_rollup(spark, sf_dir):
     """Fine-grain (lang, source) HLL sketches of doc_id unioned up to
@@ -304,5 +363,6 @@ WORKLOADS = {
     "timeseries_gapfill": (q_timeseries_gapfill, SQL_TIMESERIES_GAPFILL),
     "zorder_layout": (q_zorder_layout, _sql_zorder()),
     "incremental_agg_merge": (q_incremental_agg_merge, SQL_INCREMENTAL_AGG),
+    "skew_diagnostics": (q_skew_diagnostics, SQL_SKEW_DIAGNOSTICS),
     "hll_rollup": (q_hll_rollup, None),  # sketch estimates are engine-specific
 }

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from collections import Counter
 
+from pyspark.sql import functions as F
+
 
 def _ref_bpe(word_counts: dict[str, int], k: int):
     """Dictionary-based reference implementation."""
@@ -69,3 +71,24 @@ def test_bpe_matches_reference_on_fixture_sample(spark):
     got = bpe_train(docs, num_merges=5)
     want = _ref_bpe(counts, 5)
     assert got == want
+
+
+def test_bpe_tokenize_matches_reference_encode(spark):
+    from cs744_big_data_system_spark.operators.bpe import (
+        bpe_tokenize,
+        bpe_train,
+        encode_word,
+    )
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(40)
+    merges = bpe_train(docs, num_merges=6)
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens) for r in bpe_tokenize(docs, merges).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        words = [w for w in r.text.lower().split() if w]
+        want = sum(len(encode_word(w, ranks)) for w in words)
+        assert got[r.doc_id] == (len(words), want)
+    # merges compress: BPE tokens strictly fewer than raw characters
+    chars = {r.doc_id: r.n for r in docs.select("doc_id", F.length("text").alias("n")).collect()}
+    assert all(got[d][1] < chars[d] for d in got)

@@ -63,6 +63,8 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
         "zorder_layout",
         "incremental_agg_merge",
         "skew_diagnostics",
+        "window_dist",
+        "table_profile",
         "tpch_q4",
         "tpch_q6",
         "tpch_q9",

@@ -798,8 +798,93 @@ LEFT JOIN pa USING (user_id)
 """
 
 
+# --- Distribution window functions: percent_rank / cume_dist / nth_value ---
+def q_window_dist(spark, sf_dir):
+    """The §2.9 window-family stragglers: relative-position functions
+    over the per-priority price ordering. nth_value uses the default
+    running frame (unbounded preceding → current row) in both engines;
+    the unique o_orderkey tie-break makes RANGE ≡ ROWS."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
+
+
+SQL_WINDOW_DIST = """
+SELECT o_orderpriority, o_orderkey,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       nth_value(o_orderkey, 2) OVER w AS second_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+# --- Column-level data profiling ---
+def q_table_profile(spark, sf_dir):
+    """Per-column profile (rows, nulls, distincts, min/max) over a mix
+    of string and integer columns — the pre-ingest sanity report every
+    pipeline runs; one aggregation per column, unioned. Numeric
+    min/max are surfaced as strings so one schema fits all columns."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+
+    def prof(df, col, label):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_val"),
+            F.max(col).cast("string").alias("max_val"),
+        ).select(F.lit(label).alias("column"), "*")
+
+    return (
+        prof(orders, "o_orderstatus", "orders.o_orderstatus")
+        .unionByName(prof(orders, "o_orderpriority", "orders.o_orderpriority"))
+        .unionByName(prof(orders, "o_custkey", "orders.o_custkey"))
+        .unionByName(prof(events, "event_type", "events.event_type"))
+        .unionByName(prof(events, "user_id", "events.user_id"))
+    )
+
+
+SQL_TABLE_PROFILE = """
+SELECT 'orders.o_orderstatus' AS "column", count(*) AS n_rows,
+       CAST(count(*) - count(o_orderstatus) AS BIGINT) AS n_nulls,
+       count(DISTINCT o_orderstatus) AS n_distinct,
+       CAST(min(o_orderstatus) AS VARCHAR) AS min_val, CAST(max(o_orderstatus) AS VARCHAR) AS max_val
+FROM orders
+UNION ALL
+SELECT 'orders.o_orderpriority', count(*), CAST(count(*) - count(o_orderpriority) AS BIGINT),
+       count(DISTINCT o_orderpriority), CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'orders.o_custkey', count(*), CAST(count(*) - count(o_custkey) AS BIGINT),
+       count(DISTINCT o_custkey), CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'events.event_type', count(*), CAST(count(*) - count(event_type) AS BIGINT),
+       count(DISTINCT event_type), CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'events.user_id', count(*), CAST(count(*) - count(user_id) AS BIGINT),
+       count(DISTINCT user_id), CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+FROM events
+"""
+
+
 WORKLOADS = {
     "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
+    "window_dist": (q_window_dist, SQL_WINDOW_DIST),
+    "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
     "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
     "join_full_outer": (q_join_full_outer, SQL_JOIN_FULL_OUTER),
     "join_cross": (q_join_cross, SQL_JOIN_CROSS),

@@ -67,6 +67,11 @@ HEADLINE = [
     "zorder_layout",
     "graph_bfs_hops",
     "tpch_q9",
+    # the reference's own headline metric family is training s/iter
+    # (BASELINE.md: DDP 0.870 s/iter on VGG-11/4 nodes); ml_mlp_fit is
+    # the engine's data-parallel analogue — 10 supersteps per run, so
+    # bench-time/10 gives the comparable per-iteration figure.
+    "ml_mlp_fit",
 ]
 
 

@@ -306,3 +306,19 @@ def test_topk_salted_windows_partition_by_salt_first(spark):
     # Spark's rank-limit pushdown caps each window sort at k rows per
     # partition group — the salted stage never fully sorts a hot group.
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The engine exposes Catalyst's join-strategy hints: SHUFFLE_HASH
+    skips the sort entirely (the right call when one side is modest
+    and sorting a huge side would dominate), MERGE forces SMJ. Both
+    plans must also keep the pushed filters."""
+    from cs744_big_data_system_spark.plans.explain import formatted_plan
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    li = load_table(spark, SF_SMALL, "lineitem")
+    shj = li.join(orders.hint("SHUFFLE_HASH"), li.l_orderkey == orders.o_orderkey)
+    assert "ShuffledHashJoin" in formatted_plan(shj), formatted_plan(shj)
+    smj = li.join(orders.hint("MERGE"), li.l_orderkey == orders.o_orderkey)
+    assert "SortMergeJoin" in formatted_plan(smj), formatted_plan(smj)

@@ -65,6 +65,8 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
         "skew_diagnostics",
         "window_dist",
         "table_profile",
+        "join_null_safe",
+        "fk_orphans",
         "tpch_q4",
         "tpch_q6",
         "tpch_q9",

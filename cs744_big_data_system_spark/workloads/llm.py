@@ -1052,6 +1052,35 @@ def q_text_bpe_merges(spark, sf_dir):
     return bpe_merges_df(spark, bpe_train(docs, num_merges=8))
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/validation/test assignment by key
+    hash — the split every training pipeline needs: reproducible on
+    any engine/cluster (no rand()), disjoint and complete by
+    construction, and stable under re-runs so downstream shards never
+    leak across splits. Same md5-bucket idiom as hash_sample (D1/D7
+    reproducible-sharding parity)."""
+    from cs744_big_data_system_spark.operators.dedup import md5_int60
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.pmod(md5_int60(F.col("doc_id").cast("string")), F.lit(100))
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
+
+
+SQL_DATASET_SPLIT = """
+SELECT doc_id, lang,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+            WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'validation'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def q_text_bpe_tokenize(spark, sf_dir):
     """Tokenize the corpus under the merges just learned: one
     Arrow-batched pass with per-word memoization (operators/bpe.py).
@@ -1098,6 +1127,7 @@ WORKLOADS = {
     "llm_clean_corpus": (q_llm_clean_corpus, SQL_LLM_CLEAN_CORPUS),
     "label_mean_embedding": (q_label_mean_embedding, SQL_LABEL_MEAN_EMBEDDING),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
+    "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "text_bpe_merges": (q_text_bpe_merges, None),  # iterative driver loop
     "text_bpe_tokenize": (q_text_bpe_tokenize, None),  # depends on learned merges
 }

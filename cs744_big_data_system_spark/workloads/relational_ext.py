@@ -798,6 +798,104 @@ LEFT JOIN pa USING (user_id)
 """
 
 
+# --- NULL-safe equi-join (<=> / IS NOT DISTINCT FROM) ---
+def q_join_null_safe(spark, sf_dir):
+    """Join on a nullable key with NULL-matches-NULL semantics
+    (eqNullSafe — the §2.9 join variant a plain equi-join silently
+    drops rows on). The key is props.k nullified on a deterministic
+    slice so both engines see identical NULLs; the NULL dim row must
+    collect every nullified event."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    knull = F.when(k % 7 == 0, F.lit(None).cast("long")).otherwise(k)
+    fact = ev.select(F.col("event_id"), knull.alias("k"))
+    dim = (
+        fact.select("k")
+        .distinct()
+        .select(
+            "k",
+            F.concat(
+                F.lit("k="), F.coalesce(F.col("k").cast("string"), F.lit("null"))
+            ).alias("k_label"),
+        )
+    )
+    return (
+        fact.join(dim, fact.k.eqNullSafe(dim.k))
+        .groupBy("k_label")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+SQL_JOIN_NULL_SAFE = """
+WITH fact AS (
+  SELECT event_id,
+         CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0 THEN NULL
+              ELSE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+  FROM events
+), dim AS (
+  SELECT k, 'k=' || coalesce(CAST(k AS VARCHAR), 'null') AS k_label
+  FROM (SELECT DISTINCT k FROM fact)
+)
+SELECT d.k_label, count(*) AS n_events
+FROM fact f JOIN dim d ON f.k IS NOT DISTINCT FROM d.k
+GROUP BY 1
+"""
+
+
+# --- Referential-integrity audit: FK orphan counts via anti-joins ---
+def q_fk_orphans(spark, sf_dir):
+    """Orphan counts for every foreign-key edge of the star schema —
+    the data-quality gate run before trusting any join: each check is
+    one left-anti join (broadcast dim where small), emitting one row
+    per relationship."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    ev = load_table(spark, sf_dir, "events")
+
+    def audit(child, ckey, parent, pkey, label):
+        orphans = child.join(
+            parent.select(F.col(pkey).alias("_pk")),
+            child[ckey] == F.col("_pk"),
+            "left_anti",
+        )
+        return orphans.agg(F.count(F.lit(1)).cast("long").alias("n_orphans")).select(
+            F.lit(label).alias("fk"), "n_orphans"
+        )
+
+    return (
+        audit(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders")
+        .unionByName(audit(orders, "o_custkey", cust, "c_custkey", "orders->customer"))
+        .unionByName(audit(cust, "c_nationkey", nation, "n_nationkey", "customer->nation"))
+        .unionByName(audit(ev, "user_id", cust, "c_custkey", "events->customer"))
+        .unionByName(audit(cust, "c_custkey", orders, "o_custkey", "customer<-orders(reverse)"))
+    )
+
+
+SQL_FK_ORPHANS = """
+SELECT 'lineitem->orders' AS fk,
+       CAST(count(*) AS BIGINT) AS n_orphans
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders->customer', CAST(count(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'customer->nation', CAST(count(*) AS BIGINT)
+FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+UNION ALL
+SELECT 'events->customer', CAST(count(*) AS BIGINT)
+FROM events e WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+UNION ALL
+SELECT 'customer<-orders(reverse)', CAST(count(*) AS BIGINT)
+FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
 # --- Distribution window functions: percent_rank / cume_dist / nth_value ---
 def q_window_dist(spark, sf_dir):
     """The §2.9 window-family stragglers: relative-position functions
@@ -885,6 +983,8 @@ WORKLOADS = {
     "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
     "window_dist": (q_window_dist, SQL_WINDOW_DIST),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
+    "join_null_safe": (q_join_null_safe, SQL_JOIN_NULL_SAFE),
+    "fk_orphans": (q_fk_orphans, SQL_FK_ORPHANS),
     "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
     "join_full_outer": (q_join_full_outer, SQL_JOIN_FULL_OUTER),
     "join_cross": (q_join_cross, SQL_JOIN_CROSS),

@@ -240,3 +240,31 @@ def test_hll_rollup_merge_is_lossless_and_close_to_exact(spark):
     assert rolled == direct
     for lang, n in exact.items():
         assert abs(rolled[lang] - n) <= max(2, 0.05 * n), (lang, rolled[lang], n)
+
+
+def test_dataset_split_disjoint_complete_deterministic(spark):
+    from cs744_big_data_system_spark.workloads.llm import q_dataset_split
+
+    sf = "/root/testdata/sf0.001"
+    a = {r.doc_id: r.split for r in q_dataset_split(spark, sf).collect()}
+    b = {r.doc_id: r.split for r in q_dataset_split(spark, sf).collect()}
+    assert a == b  # deterministic across runs
+    n = len(a)
+    assert n == spark.read.parquet(f"{sf}/documents.parquet").count()  # complete
+    from collections import Counter
+
+    shares = Counter(a.values())
+    assert 0.7 <= shares["train"] / n <= 0.9
+    assert 0.04 <= shares["validation"] / n <= 0.16
+    assert 0.04 <= shares["test"] / n <= 0.16
+
+
+def test_fk_orphans_detects_planted_orphans(spark):
+    from cs744_big_data_system_spark.workloads.relational_ext import q_fk_orphans
+
+    # fixture integrity on the real tables: lineitem/orders/customer
+    # chains must be clean
+    got = {r.fk: r.n_orphans for r in q_fk_orphans(spark, "/root/testdata/sf0.001").collect()}
+    assert got["lineitem->orders"] == 0
+    assert got["orders->customer"] == 0
+    assert got["customer->nation"] == 0

@@ -67,6 +67,8 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
         "table_profile",
         "join_null_safe",
         "fk_orphans",
+        "basket_affinity",
+        "dataset_split",
         "tpch_q4",
         "tpch_q6",
         "tpch_q9",

@@ -798,6 +798,80 @@ LEFT JOIN pa USING (user_id)
 """
 
 
+# --- Market-basket affinity: co-purchase pairs with support + lift ---
+def q_basket_affinity(spark, sf_dir):
+    """Part pairs co-occurring in the same order, with support and
+    lift — the classic affinity/recommendation workload. The pair
+    generator is a self-join on l_orderkey with p1 < p2, so fan-out
+    per order is C(order_size, 2) — bounded by basket size, never by
+    catalog or order count; per-part totals join back as broadcasts.
+    Filtered to pairs seen ≥ 3 times to keep the result stable."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    # order total as a broadcast 1-row aggregate, not a driver count —
+    # the whole query stays one lazy plan
+    total = items.agg(F.countDistinct("l_orderkey").cast("double").alias("_n_orders"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 3)
+    )
+    part_cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        pairs.join(
+            F.broadcast(part_cnt.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1"))),
+            "p1",
+        )
+        .join(
+            F.broadcast(part_cnt.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2"))),
+            "p2",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "p1",
+            "p2",
+            "n_co",
+            F.round(
+                F.col("n_co") * F.col("_n_orders") / (F.col("c1") * F.col("c2")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+SQL_BASKET_AFFINITY = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_co
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), part_cnt AS (
+  SELECT l_partkey, count(*) AS c FROM items GROUP BY 1
+), total AS (
+  SELECT count(DISTINCT l_orderkey) AS n FROM items
+)
+SELECT p.p1, p.p2, p.n_co,
+       round(p.n_co * (SELECT CAST(n AS DOUBLE) FROM total) / (c1.c * c2.c), 6) AS lift
+FROM pairs p
+JOIN part_cnt c1 ON c1.l_partkey = p.p1
+JOIN part_cnt c2 ON c2.l_partkey = p.p2
+"""
+
+
 # --- NULL-safe equi-join (<=> / IS NOT DISTINCT FROM) ---
 def q_join_null_safe(spark, sf_dir):
     """Join on a nullable key with NULL-matches-NULL semantics
@@ -985,6 +1059,7 @@ WORKLOADS = {
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
     "join_null_safe": (q_join_null_safe, SQL_JOIN_NULL_SAFE),
     "fk_orphans": (q_fk_orphans, SQL_FK_ORPHANS),
+    "basket_affinity": (q_basket_affinity, SQL_BASKET_AFFINITY),
     "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
     "join_full_outer": (q_join_full_outer, SQL_JOIN_FULL_OUTER),
     "join_cross": (q_join_cross, SQL_JOIN_CROSS),

@@ -69,6 +69,9 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
         "fk_orphans",
         "basket_affinity",
         "dataset_split",
+        "fuzzy_match",
+        "quantile_bins",
+        "feature_scale",
         "tpch_q4",
         "tpch_q6",
         "tpch_q9",

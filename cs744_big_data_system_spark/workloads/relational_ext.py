@@ -798,6 +798,108 @@ LEFT JOIN pa USING (user_id)
 """
 
 
+# --- Blocked fuzzy matching (entity resolution) ---
+def q_fuzzy_match(spark, sf_dir):
+    """Candidate duplicate entities: customer-name pairs within edit
+    distance ≤ 2, blocked by nation so the self-join is
+    O(block²·blocks), never O(n²) — the classic blocking+distance
+    entity-resolution shape (same blocking discipline as the dedup
+    family's lang blocks). levenshtein is identical in Spark and
+    DuckDB, so the whole match set is hash-checked."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("b.c_custkey").alias("cust_b"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
+
+
+SQL_FUZZY_MATCH = """
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
+# --- Equi-depth binning (feature bucketization) ---
+def q_quantile_bins(spark, sf_dir):
+    """Decile assignment of orders by price within each priority via
+    ntile — the feature-bucketization op (equi-depth histograms, rank
+    features); one window pass, bins carry equal row counts by
+    construction."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    binned = orders.select(
+        "o_orderpriority", F.ntile(10).over(w).alias("decile"), "o_totalprice"
+    )
+    return binned.groupBy("o_orderpriority", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+SQL_QUANTILE_BINS = """
+SELECT o_orderpriority, decile, count(*) AS n,
+       round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+FROM (
+  SELECT o_orderpriority, o_totalprice,
+         ntile(10) OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+GROUP BY 1, 2
+"""
+
+
+# --- Feature scaling: min-max + z-score within group ---
+def q_feature_scale(spark, sf_dir):
+    """Per-group feature normalization — min-max to [0,1] and z-score
+    of order price within each priority, the standard pre-model
+    transforms. Group stats ride ONE window partitioning (no second
+    scan); sample stddev matches DuckDB's stddev_samp."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    mn, mx = F.min("o_totalprice").over(w), F.max("o_totalprice").over(w)
+    mu, sd = F.avg("o_totalprice").over(w), F.stddev_samp("o_totalprice").over(w)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round((F.col("o_totalprice") - mn) / (mx - mn), 6).alias("minmax"),
+        F.round((F.col("o_totalprice") - mu) / sd, 6).alias("zscore"),
+    )
+
+
+SQL_FEATURE_SCALE = """
+SELECT o_orderkey, o_orderpriority,
+       round((o_totalprice - min(o_totalprice) OVER w)
+             / (max(o_totalprice) OVER w - min(o_totalprice) OVER w), 6) AS minmax,
+       round((o_totalprice - avg(o_totalprice) OVER w)
+             / stddev_samp(o_totalprice) OVER w, 6) AS zscore
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority)
+"""
+
+
 # --- Market-basket affinity: co-purchase pairs with support + lift ---
 def q_basket_affinity(spark, sf_dir):
     """Part pairs co-occurring in the same order, with support and
@@ -1060,6 +1162,9 @@ WORKLOADS = {
     "join_null_safe": (q_join_null_safe, SQL_JOIN_NULL_SAFE),
     "fk_orphans": (q_fk_orphans, SQL_FK_ORPHANS),
     "basket_affinity": (q_basket_affinity, SQL_BASKET_AFFINITY),
+    "fuzzy_match": (q_fuzzy_match, SQL_FUZZY_MATCH),
+    "quantile_bins": (q_quantile_bins, SQL_QUANTILE_BINS),
+    "feature_scale": (q_feature_scale, SQL_FEATURE_SCALE),
     "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
     "join_full_outer": (q_join_full_outer, SQL_JOIN_FULL_OUTER),
     "join_cross": (q_join_cross, SQL_JOIN_CROSS),

@@ -72,6 +72,9 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
         "fuzzy_match",
         "quantile_bins",
         "feature_scale",
+        "latest_by_key",
+        "cumulative_reach",
+        "funnel_latency",
         "tpch_q4",
         "tpch_q6",
         "tpch_q9",

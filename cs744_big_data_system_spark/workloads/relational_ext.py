@@ -798,6 +798,124 @@ LEFT JOIN pa USING (user_id)
 """
 
 
+# --- CDC log compaction: latest record per key ---
+def q_latest_by_key(spark, sf_dir):
+    """Upsert-log compaction: keep each user's LATEST event (by ts,
+    event_id tie-break) — the materialization step of every CDC/changelog
+    consumer. One window shuffle; Spark 4's WindowGroupLimit caps the
+    per-key sort at 1 row."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+
+
+SQL_LATEST_BY_KEY = """
+SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# --- Cumulative reach (growth accounting) ---
+def q_cumulative_reach(spark, sf_dir):
+    """Daily active users + cumulative distinct users by day. The
+    cumulative column uses the first-seen-day trick — reduce each user
+    to ONE row (their first day), then a running sum over the daily
+    new-user counts — instead of a windowed COUNT(DISTINCT), which
+    Spark disallows and which would re-scan every prefix at scale."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    dau = ev.groupBy(day.alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    first_seen = (
+        ev.groupBy("user_id")
+        .agg(F.min(day).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined = dau.join(first_seen, "day", "left")
+    return joined.select(
+        "day",
+        "dau",
+        F.sum(F.coalesce("new_users", F.lit(0))).over(w).cast("long").alias("cumulative_users"),
+    )
+
+
+SQL_CUMULATIVE_REACH = """
+WITH dau AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, count(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1
+), first_seen AS (
+  SELECT day, count(*) AS new_users FROM (
+    SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS day FROM events GROUP BY 1
+  ) GROUP BY 1
+)
+SELECT d.day, d.dau,
+       CAST(sum(coalesce(f.new_users, 0)) OVER (ORDER BY d.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_users
+FROM dau d LEFT JOIN first_seen f ON d.day = f.day
+"""
+
+
+# --- Funnel latency: time-to-convert percentiles per step pair ---
+def q_funnel_latency(spark, sf_dir):
+    """Median and p90 seconds from each user's first 'view' to their
+    first 'purchase' (ordered conversion only) — the latency half of
+    the funnel family (events_funnel counts conversions; this measures
+    them). Two tiny per-user aggregates joined on the user key."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    lat = firsts.filter(
+        F.col("t_view").isNotNull() & (F.col("t_buy") > F.col("t_view"))
+    ).select(
+        ((F.unix_micros("t_buy") - F.unix_micros("t_view")) / 1e6).alias("sec")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(sec, 0.5)"), 4).alias("p50_sec"),
+        F.round(F.expr("percentile(sec, 0.9)"), 4).alias("p90_sec"),
+    )
+
+
+SQL_FUNNEL_LATENCY = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM events GROUP BY 1
+), lat AS (
+  SELECT (epoch_us(t_buy) - epoch_us(t_view)) / 1e6 AS sec
+  FROM firsts WHERE t_view IS NOT NULL AND t_buy > t_view
+)
+SELECT count(*) AS n_converted,
+       round(quantile_cont(sec, 0.5), 4) AS p50_sec,
+       round(quantile_cont(sec, 0.9), 4) AS p90_sec
+FROM lat
+"""
+
+
 # --- Blocked fuzzy matching (entity resolution) ---
 def q_fuzzy_match(spark, sf_dir):
     """Candidate duplicate entities: customer-name pairs within edit
@@ -1165,6 +1283,9 @@ WORKLOADS = {
     "fuzzy_match": (q_fuzzy_match, SQL_FUZZY_MATCH),
     "quantile_bins": (q_quantile_bins, SQL_QUANTILE_BINS),
     "feature_scale": (q_feature_scale, SQL_FEATURE_SCALE),
+    "latest_by_key": (q_latest_by_key, SQL_LATEST_BY_KEY),
+    "cumulative_reach": (q_cumulative_reach, SQL_CUMULATIVE_REACH),
+    "funnel_latency": (q_funnel_latency, SQL_FUNNEL_LATENCY),
     "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
     "join_full_outer": (q_join_full_outer, SQL_JOIN_FULL_OUTER),
     "join_cross": (q_join_cross, SQL_JOIN_CROSS),

@@ -75,6 +75,9 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
         "latest_by_key",
         "cumulative_reach",
         "funnel_latency",
+        "event_transitions",
+        "pareto_abc",
+        "weighted_sample",
         "tpch_q4",
         "tpch_q6",
         "tpch_q9",

@@ -798,6 +798,128 @@ LEFT JOIN pa USING (user_id)
 """
 
 
+# --- Clickstream transition matrix (Markov edges with probabilities) ---
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition counts and probabilities over
+    each user's time-ordered event sequence (lag within user, then
+    one aggregation) — clickstream path analysis; the same edge
+    derivation feeds pagerank_events, here surfaced as an analytics
+    table with row-normalized probabilities."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wsrc = Window.partitionBy("src")
+    return edges.select(
+        "src", "dst", "n", F.round(F.col("n") / F.sum("n").over(wsrc), 6).alias("p")
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), edges AS (
+  SELECT prev AS src, event_type AS dst, count(*) AS n
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+)
+SELECT src, dst, n, round(n / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
+FROM edges
+"""
+
+
+# --- Pareto / ABC analysis ---
+def q_pareto_abc(spark, sf_dir):
+    """Classify parts by cumulative revenue share (A ≤ 80 %, B ≤ 95 %,
+    C rest) — the classic Pareto inventory segmentation: one revenue
+    aggregation, one ordered running sum over the part totals (|parts|
+    rows, not |lineitem|), broadcast-joined total."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    total = rev.agg(F.sum("revenue").alias("_total"))
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.crossJoin(F.broadcast(total)).select(
+        "l_partkey",
+        "revenue",
+        (F.sum("revenue").over(w) / F.col("_total")).alias("cum_share"),
+    )
+    cls = (
+        F.when(F.col("cum_share") <= 0.80, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return ranked.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        # cent-level rounding of a ~1e9 float sum is not stable across
+        # accumulation orders; report millions instead
+        F.round(F.sum("revenue") / 1e6, 4).alias("class_revenue_m"),
+    )
+
+
+SQL_PARETO_ABC = """
+WITH rev AS (
+  SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT l_partkey, revenue,
+         sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / (SELECT sum(revenue) FROM rev) AS cum_share
+  FROM rev
+)
+SELECT CASE WHEN cum_share <= 0.80 THEN 'A'
+            WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class,
+       count(*) AS n_parts,
+       round(sum(revenue) / 1e6, 4) AS class_revenue_m
+FROM ranked GROUP BY 1
+"""
+
+
+# --- Deterministic weighted sampling ---
+def q_weighted_sample(spark, sf_dir):
+    """Sample documents with probability proportional to length
+    (quality-weighted corpus sampling) — deterministically: keep doc
+    iff md5-uniform(doc_id) < n_chars / max_chars. Reproducible on any
+    engine (no rand()), expected rate ∝ weight, and oracle-checkable —
+    the properties rand()-based samplers can't give a 100 TB pipeline."""
+    from cs744_big_data_system_spark.operators.dedup import md5_int60
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.agg(F.max("n_chars").cast("double").alias("_max_chars"))
+    u = (md5_int60(F.col("doc_id").cast("string")) % 1_000_000) / 1_000_000.0
+    kept = docs.crossJoin(F.broadcast(stats)).filter(
+        u < F.col("n_chars") / F.col("_max_chars")
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH stats AS (SELECT CAST(max(n_chars) AS DOUBLE) AS max_chars FROM documents)
+SELECT lang, count(*) AS n_sampled, round(avg(n_chars), 4) AS avg_chars
+FROM documents, stats
+WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000) / 1000000.0
+      < n_chars / max_chars
+GROUP BY lang
+"""
+
+
 # --- CDC log compaction: latest record per key ---
 def q_latest_by_key(spark, sf_dir):
     """Upsert-log compaction: keep each user's LATEST event (by ts,
@@ -1286,6 +1408,9 @@ WORKLOADS = {
     "latest_by_key": (q_latest_by_key, SQL_LATEST_BY_KEY),
     "cumulative_reach": (q_cumulative_reach, SQL_CUMULATIVE_REACH),
     "funnel_latency": (q_funnel_latency, SQL_FUNNEL_LATENCY),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "pareto_abc": (q_pareto_abc, SQL_PARETO_ABC),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
     "join_full_outer": (q_join_full_outer, SQL_JOIN_FULL_OUTER),
     "join_cross": (q_join_cross, SQL_JOIN_CROSS),

@@ -78,6 +78,7 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
         "event_transitions",
         "pareto_abc",
         "weighted_sample",
+        "stream_outer_join_replay",
         "tpch_q4",
         "tpch_q6",
         "tpch_q9",

@@ -200,6 +200,90 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+# --- Stream-stream LEFT OUTER join: null-matches emitted by watermark ---
+def q_stream_outer_join_replay(spark, sf_dir):
+    """Left-outer stream⋈stream interval join — the outer variant's
+    null-matches only materialize when the watermark closes a left
+    row's join window, so this exercises state-eviction emission, not
+    just match emission. Determinism recipe: two ordered real waves
+    plus THREE far-future sentinel waves (one synthetic row per side,
+    filtered out of the output). The first sentinel batch evicts rows
+    below the pre-sentinel watermark; the watermark raised by it only
+    takes effect in the NEXT batch, and eviction of the last slice
+    needs one more — so two extra sentinel batches guarantee every
+    real unmatched purchase emits (verified per-batch). The streaming
+    result then equals the plain batch left join, bit for bit."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    wave0 = ev.filter(F.col("ts") < F.lit("2024-01-10"))
+    wave1 = ev.filter(F.col("ts") >= F.lit("2024-01-10"))
+    sentinels = [
+        spark.createDataFrame(
+            [(-(1 + 10 * i), "purchase"), (-(2 + 10 * i), "click")],
+            ["event_id", "event_type"],
+        ).select(
+            "event_id",
+            F.lit(f"{2030 + i}-01-01 00:00:00").cast("timestamp").alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            "event_type",
+            F.lit(0.0).alias("value"),
+        )
+        for i in range(3)
+    ]
+
+    def tf(s):
+        p = (
+            s.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("purchase_id"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        c = (
+            s.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("click_id"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        j = p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+            "left_outer",
+        )
+        # NOTE: do NOT filter the sentinels out here — Catalyst pushes
+        # the filter below the EventTimeWatermark operator, removing
+        # the sentinel before it can advance the purchase-side
+        # watermark, which silently un-closes the last real row's join
+        # window (observed; the filter belongs on the batch result).
+        return j.select(
+            "purchase_id", "click_id", F.col("p_user").alias("user_id")
+        )
+
+    from cs744_big_data_system_spark.streaming.windows import replay_waves_to_batch
+
+    out = replay_waves_to_batch(
+        spark, [wave0, wave1, *sentinels], tf, output_mode="append"
+    )
+    return out.filter(F.col("purchase_id") >= 0)
+
+
+SQL_STREAM_OUTER_JOIN = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTES
+"""
+
+
 # --- Watermark late-data drop: TIGHT watermark, deterministic batches ---
 #: wave boundaries and hold-back rule for the late-data replay
 #: (mirrored verbatim in the oracle SQL).
@@ -583,6 +667,7 @@ WORKLOADS = {
     "stream_session_replay": (q_stream_session_replay, SQL_STREAM_SESSION),
     "stream_dedup_replay": (q_stream_dedup_replay, SQL_STREAM_DEDUP),
     "stream_stream_join_replay": (q_stream_stream_join_replay, SQL_STREAM_STREAM_JOIN),
+    "stream_outer_join_replay": (q_stream_outer_join_replay, SQL_STREAM_OUTER_JOIN),
     "stream_stateful_counts": (q_stream_stateful_counts, SQL_STREAM_STATEFUL),
     "stream_late_data_drop": (q_stream_late_drop, SQL_STREAM_LATE_DROP),
     "multimodal_doc_features": (q_multimodal_doc_features, SQL_MULTIMODAL_DOC_FEATURES),

@@ -79,6 +79,9 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
         "pareto_abc",
         "weighted_sample",
         "stream_outer_join_replay",
+        "graph_two_hop",
+        "histogram_width",
+        "embedding_norms",
         "tpch_q4",
         "tpch_q6",
         "tpch_q9",

@@ -798,6 +798,71 @@ LEFT JOIN pa USING (user_id)
 """
 
 
+# --- Equi-width histogram (fixed-bin value distribution) ---
+def q_histogram_width(spark, sf_dir):
+    """Fixed-width value histogram of order totals (bin = floor(x/w))
+    — the equi-WIDTH counterpart of quantile_bins' equi-depth deciles;
+    integer bin math, one aggregation."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    width = 20_000
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / width).cast("long").alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.col("bin") * width).cast("long").alias("bin_lo"),
+            "n",
+        )
+    )
+
+
+SQL_HISTOGRAM_WIDTH = """
+SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bin,
+       CAST(CAST(floor(o_totalprice / 20000) AS BIGINT) * 20000 AS BIGINT) AS bin_lo,
+       count(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+# --- Vector norms over the embedding column (higher-order array fns) ---
+def q_embedding_norms(spark, sf_dir):
+    """L1/L2/L∞ norms per embedding — all computed with JVM-side
+    higher-order array functions (transform + aggregate + array_max),
+    zero Python, zero shuffle. Elements are cast to double BEFORE
+    multiplication in both engines so the float32 storage cannot
+    diverge the accumulation."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq = F.aggregate(
+        F.transform(as_double, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    l1 = F.aggregate(
+        F.transform(as_double, lambda x: F.abs(x)), F.lit(0.0), lambda a, x: a + x
+    )
+    linf = F.array_max(F.transform(as_double, lambda x: F.abs(x)))
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(sq), 4).alias("l2"),
+        F.round(l1, 4).alias("l1"),
+        F.round(linf, 4).alias("linf"),
+    )
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2,
+       round(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 4) AS l1,
+       round(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 4) AS linf
+FROM embeddings
+"""
+
+
 # --- Clickstream transition matrix (Markov edges with probabilities) ---
 def q_event_transitions(spark, sf_dir):
     """First-order Markov transition counts and probabilities over
@@ -1411,6 +1476,8 @@ WORKLOADS = {
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "pareto_abc": (q_pareto_abc, SQL_PARETO_ABC),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "histogram_width": (q_histogram_width, SQL_HISTOGRAM_WIDTH),
+    "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
     "join_full_outer": (q_join_full_outer, SQL_JOIN_FULL_OUTER),
     "join_cross": (q_join_cross, SQL_JOIN_CROSS),

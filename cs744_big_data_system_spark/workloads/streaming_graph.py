@@ -476,6 +476,43 @@ SELECT (SELECT count(DISTINCT node) FROM (
 """
 
 
+def q_graph_two_hop(spark, sf_dir):
+    """Distinct two-hop (friend-of-friend) neighborhood size per node
+    on the hash graph: one self-join on the edge table, anti-joined
+    against direct edges and self-loops — the FoF recommendation
+    primitive. Fan-out is out-degree², bounded by the generator's
+    fixed degree (at web scale you'd cap or sample hub out-neighbor
+    lists first)."""
+    g = _hash_graph(spark).filter(F.col("src") != F.col("dst")).distinct()
+    a, b = g.alias("a"), g.alias("b")
+    two = (
+        a.join(b, F.col("a.dst") == F.col("b.src"))
+        .select(F.col("a.src").alias("src"), F.col("b.dst").alias("n2"))
+        .filter(F.col("src") != F.col("n2"))
+        .distinct()
+        .join(
+            g.select(F.col("src"), F.col("dst").alias("n2")),
+            ["src", "n2"],
+            "left_anti",
+        )
+    )
+    return two.groupBy("src").agg(F.count(F.lit(1)).alias("n_two_hop"))
+
+
+SQL_GRAPH_TWO_HOP = f"""
+WITH g AS (SELECT DISTINCT src, dst FROM ({_SQL_HASH_GRAPH}) WHERE src <> dst),
+two AS (
+  SELECT DISTINCT a.src, b.dst AS n2
+  FROM g a JOIN g b ON a.dst = b.src
+  WHERE a.src <> b.dst
+)
+SELECT t.src, count(*) AS n_two_hop
+FROM two t
+WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.src = t.src AND g.dst = t.n2)
+GROUP BY t.src
+"""
+
+
 def q_graph_bfs_hops(spark, sf_dir):
     """Minimum hop counts from node 0 on the hash graph via the
     frontier-expansion BSP loop (graph/bfs.py — edges cached and
@@ -674,6 +711,7 @@ WORKLOADS = {
     "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "graph_degree_histogram": (q_graph_degree_histogram, SQL_GRAPH_DEGREE_HISTOGRAM),
     "graph_bfs_hops": (q_graph_bfs_hops, SQL_GRAPH_BFS_HOPS),
+    "graph_two_hop": (q_graph_two_hop, SQL_GRAPH_TWO_HOP),
     "stream_static_join_replay": (q_stream_static_join_replay, SQL_STREAM_STATIC_JOIN),
     # --- rows-only tail (iterative / approximate / stubbed-decode) ---
     "pagerank_events": (q_pagerank_events, None),  # iterative fixed-point

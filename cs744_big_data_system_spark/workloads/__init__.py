@@ -31,14 +31,14 @@ from cs744_big_data_system_spark.workloads import (
 
 
 def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
-    # Registration order matters: the driver's correctness harness verifies a
-    # bounded window (50 entries in r01) in registry order.  Only
-    # CORRECTNESS_r01 exists, and it covered the relational/relational_ext
-    # prefix — so the LLM-pipeline, streaming, and graph families (the
-    # differentiating operators) have never received a driver-attested row.
-    # This round they go first, oracle-backed entries ahead of rows-only
-    # ones, padded to exactly 50 with the strongest never-attested TPC-H /
-    # relational additions.  The r01-attested relational core follows.
+    # ORDERING INVARIANT (keep this rule every round): the driver's
+    # correctness harness verifies only the FIRST ~50 registry entries in
+    # order.  Rounds r01+r02 attested 100 distinct entries (see
+    # CORRECTNESS_r01/r02.json); the 51 entries never inside a window go
+    # first this round — oracle-backed ahead of rows-only.  Any NEW query
+    # added mid-round must be APPENDED AFTER the never-attested block (never
+    # inserted before it) until it has a driver-attested green row, so each
+    # round's window retires the oldest unattested prefix.
     reg: dict = {}
     reg.update(llm.WORKLOADS)
     reg.update(streaming_graph.WORKLOADS)
@@ -47,17 +47,20 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     reg.update(tpch.WORKLOADS)
     reg.update(relational_ext.WORKLOADS)
 
-    oracle_llm_sg = [
-        name
-        for fam in (llm.WORKLOADS, streaming_graph.WORKLOADS)
-        for name, (_, sql) in fam.items()
-        if sql is not None
-    ]
-    pad = [
-        "flagship_q18",
-        "approx_percentile",
-        "merge_upsert",
-        "scd2_history",
+    # Slots 1-37: oracle-backed, never driver-attested (selfcheck-green).
+    never_attested_oracle = [
+        "tpch_q4",
+        "tpch_q6",
+        "tpch_q7",
+        "tpch_q8",
+        "tpch_q9",
+        "tpch_q10",
+        "tpch_q13",
+        "tpch_q14",
+        "tpch_q15",
+        "tpch_q17",
+        "tpch_q19",
+        "tpch_q22",
         "topk_per_group_salted",
         "timeseries_gapfill",
         "zorder_layout",
@@ -68,7 +71,6 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
         "join_null_safe",
         "fk_orphans",
         "basket_affinity",
-        "dataset_split",
         "fuzzy_match",
         "quantile_bins",
         "feature_scale",
@@ -78,29 +80,37 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
         "event_transitions",
         "pareto_abc",
         "weighted_sample",
-        "stream_outer_join_replay",
-        "graph_two_hop",
         "histogram_width",
         "embedding_norms",
-        "tpch_q4",
-        "tpch_q6",
-        "tpch_q9",
-        "tpch_q10",
-        "tpch_q14",
-        "tpch_q19",
-        "tpch_q22",
-        # beyond slot 50: the rest of the never-attested additions
-        "tpch_q7",
-        "tpch_q8",
-        "tpch_q13",
-        "tpch_q15",
-        "tpch_q17",
         "jsonl_roundtrip_sort",
         "orc_roundtrip_sort",
         "partitioned_prune_agg",
         "salted_join_agg",
     ]
-    ordered = {name: reg[name] for name in oracle_llm_sg + pad if name in reg}
+    # Slots 38+: never-attested rows-only entries (LSH recall paths, BPE,
+    # ML/graph iteratives).  Oracle-upgraded ones (this round) hash-match;
+    # the rest record the weaker rows-only check.
+    never_attested_rest = [
+        "dedup_minhash_lsh",
+        "dedup_embedding_cosine_lsh",
+        "sim_cosine_topk_lsh",
+        "text_bpe_merges",
+        "text_bpe_tokenize",
+        "pagerank_events",
+        "graph_kcore",
+        "ml_kmeans_fit",
+        "ml_mlp_fit",
+        "ml_linear_fit",
+        "multimodal_features",
+        "hll_rollup",
+        "pagerank_synthetic",
+        "pagerank_synthetic_broadcast",
+    ]
+    ordered = {
+        name: reg[name]
+        for name in never_attested_oracle + never_attested_rest
+        if name in reg
+    }
     ordered.update(reg)
     return ordered
 

@@ -146,11 +146,68 @@ FROM hashed GROUP BY doc_id
 """
 
 
-# --- MinHash-LSH candidate pairs (banded) — approximate, rows-only ---
+# --- MinHash-LSH candidate pairs (banded) — oracle-checked exactly ---
 def q_minhash_lsh(spark, sf_dir):
+    """The banding construction is pure integer + md5 math (universal
+    hashes mod a fixed prime, band key = md5 of the band's signature
+    slice), so despite being an *approximate* near-dup algorithm it is
+    fully deterministic and the oracle mirrors it hash-for-hash."""
     return minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), n=3, num_hashes=32, bands=8, threshold=0.4
     )
+
+
+def _sql_minhash_lsh(num_hashes: int = 32, bands: int = 8, threshold: float = 0.4) -> str:
+    """DuckDB mirror of operators/dedup.minhash_lsh_pairs: the same 32
+    universal-hash minima, the same md5 band keys over 4-element
+    signature slices, the same agreement fraction."""
+    from cs744_big_data_system_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
+    rows_per_band = num_hashes // bands
+    members = ",\n       ".join(
+        f"min(({minhash_params(i)[0]} * x + {minhash_params(i)[1]}) % {MINHASH_PRIME}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(concat_ws(',', "
+        + ", ".join(
+            f"CAST(h{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        + ")) AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    agree = "\n         + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_CANON_TOKS} AS tk FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest({_SQL_NGRAM3}) AS shingle FROM toks
+), hashed AS (
+  SELECT doc_id, {_sql_md5_int60("shingle")} % {MINHASH_PRIME} AS x FROM sh
+), sig AS (
+  SELECT doc_id,
+       {members}
+  FROM hashed GROUP BY doc_id
+), bands AS (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(({agree}) / {float(num_hashes)}, 6) AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE round(({agree}) / {float(num_hashes)}, 6) >= {threshold}
+"""
+
+
+SQL_MINHASH_LSH = _sql_minhash_lsh()
 
 
 # --- SimHash fingerprint (60-bit), oracle-checked bit-for-bit ---
@@ -280,14 +337,68 @@ WHERE round({_SQL_COS}, 6) >= 0.4
 def q_embedding_neardup_lsh(spark, sf_dir):
     """Scale twin of dedup_embedding_cosine: banded sign-pattern LSH
     candidates + exact cosine verify, no blocked all-pairs join.
-    Approximate by design (rows-only); recall vs the exact pairs is
-    asserted in tests/test_dedup.py on planted near-dups."""
+    The hyperplane family is md5-derived (similarity._plane_coeff), so
+    the bucket math is deterministic and mirrored exactly in the
+    oracle; sign margins on the fixture are ≥1.6e-5, far above any
+    float-summation-order noise (≈1e-15), so the two engines cannot
+    disagree on a single bucket bit. Recall vs the exact pairs is
+    additionally asserted in tests/test_dedup.py on planted near-dups."""
     from cs744_big_data_system_spark.operators.dedup import embedding_cosine_neardup_lsh
 
     return embedding_cosine_neardup_lsh(
         load_table(spark, sf_dir, "embeddings"),
         dim=64, threshold=0.4, num_bands=8, planes_per_band=10,
     )
+
+
+def _sql_plane_values(plane_indices, dim: int = 64) -> str:
+    """VALUES rows ``(plane_idx, coeffs)`` for the deterministic
+    hyperplane family — the literal doubles round-trip exactly
+    (repr → parse) so DuckDB sees the same planes as the JVM/numpy."""
+    from cs744_big_data_system_spark.operators.similarity import _plane_coeff
+
+    return ",\n  ".join(
+        f"({p}, [" + ", ".join(repr(_plane_coeff(p, j)) for j in range(dim)) + "])"
+        for p in plane_indices
+    )
+
+
+def _sql_embedding_lsh_buckets(num_bands: int, planes_per_band: int) -> str:
+    """CTE fragment computing ``bkt(vec_id, band_idx, bucket)`` — the
+    sign-pattern bucket per (vector, band), mirroring
+    similarity.lsh_band_buckets_udf: plane p belongs to band
+    p // planes_per_band with bit weight 2^(p % planes_per_band)."""
+    n_planes = num_bands * planes_per_band
+    return f"""planes(plane_idx, coeffs) AS (
+  VALUES {_sql_plane_values(range(n_planes))}
+), dots AS (
+  SELECT e.vec_id,
+         p.plane_idx // {planes_per_band} AS band_idx,
+         p.plane_idx % {planes_per_band} AS bit,
+         list_sum(list_transform(range(1, 65),
+                  j -> CAST(e.embedding[j] AS DOUBLE) * p.coeffs[j])) AS d
+  FROM embeddings e CROSS JOIN planes p
+), bkt AS (
+  SELECT vec_id, band_idx,
+         CAST(sum(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+                       ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, band_idx
+)"""
+
+
+SQL_EMBEDDING_NEARDUP_LSH = f"""
+WITH {_sql_embedding_lsh_buckets(num_bands=8, planes_per_band=10)}, cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM bkt x
+  JOIN bkt y ON x.band_idx = y.band_idx AND x.bucket = y.bucket
+            AND x.vec_id < y.vec_id
+)
+SELECT c.vec_a, c.vec_b, round({_SQL_COS}, 6) AS cosine
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.vec_a
+JOIN embeddings b ON b.vec_id = c.vec_b
+WHERE round({_SQL_COS}, 6) >= 0.4
+"""
 
 
 # --- Brute-force cosine top-k (exact ANN baseline) ---
@@ -388,11 +499,33 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
 """
 
 
-# --- LSH-bucketed approximate top-k (scale path) — rows-only ---
+# --- LSH-bucketed approximate top-k (scale path) — oracle-checked ---
 def q_cosine_topk_lsh(spark, sf_dir):
+    """Approximate by construction, deterministic by derivation: the 8
+    hyperplanes are md5-derived literals, so the bucket assignment —
+    and therefore the candidate set and ranking — is exactly
+    reproducible and mirrored in the oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return cosine_topk_lsh(queries, emb, dim=64, k=5, num_planes=8)
+
+
+# Single band of 8 planes → bkt(vec_id, band_idx=0, bucket) mirrors
+# similarity.lsh_bucket (bit i ← plane i, d >= 0).
+SQL_COSINE_TOPK_LSH = f"""
+WITH {_sql_embedding_lsh_buckets(num_bands=1, planes_per_band=8)}
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round({_SQL_COS}, 6) AS cosine,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_SQL_COS}, 6) DESC, b.vec_id ASC) AS rnk
+  FROM embeddings a
+  JOIN bkt ba ON ba.vec_id = a.vec_id
+  JOIN bkt bb ON bb.bucket = ba.bucket
+  JOIN embeddings b ON b.vec_id = bb.vec_id AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < 20
+) WHERE rnk <= 5
+"""
 
 
 # --- Language-ID heuristic ---
@@ -1098,16 +1231,16 @@ WORKLOADS = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_minhash_sig": (q_minhash_sig, SQL_MINHASH_SIG),
-    "dedup_minhash_lsh": (q_minhash_lsh, None),  # approximate by design
+    "dedup_minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
     "dedup_simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_embedding_cosine": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
-    "dedup_embedding_cosine_lsh": (q_embedding_neardup_lsh, None),  # approximate by design
+    "dedup_embedding_cosine_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP_LSH),
     "sim_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "sim_cosine_topk_ivf": (q_cosine_topk_ivf, SQL_COSINE_TOPK_IVF),
     "sim_cosine_topk_ivf2": (q_cosine_topk_ivf2, SQL_COSINE_TOPK_IVF2),
-    "sim_cosine_topk_lsh": (q_cosine_topk_lsh, None),  # approximate by design
+    "sim_cosine_topk_lsh": (q_cosine_topk_lsh, SQL_COSINE_TOPK_LSH),
     "text_lang_id": (q_lang_id, SQL_LANG_ID),
     "text_quality": (q_quality, SQL_QUALITY),
     "text_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),

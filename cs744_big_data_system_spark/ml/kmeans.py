@@ -21,7 +21,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cs744_big_data_system_spark.ml.superstep import synchronized_superstep
+from cs744_big_data_system_spark.ml.superstep import arrow_superstep, list_matrix
 
 
 def fit_kmeans(
@@ -50,24 +50,23 @@ def fit_kmeans(
     centroids = np.asarray([list(r[1]) for r in init_rows], dtype=np.float64)
     dim = centroids.shape[1]
     sc = df.sparkSession.sparkContext
-    # Cache the CONVERTED RDD (not the DataFrame) — the loop's real
-    # per-iteration cost is JVM→Python row conversion (see
-    # linear_sgd.py:49 for why this layer).
-    data_rdd = df.select(feature_col).rdd.persist()
+    # JVM-side columnar cache + per-iteration Arrow streaming — Python
+    # cost scales with bytes, not rows (superstep.arrow_superstep).
+    data = df.select(feature_col).cache()
     curve: list[float] = []
 
     try:
         for _ in range(iterations):
             bc = sc.broadcast(centroids)
 
-            def local_stats(rows, _bc=bc):
+            def local_stats(batches, _bc=bc):
                 C = _bc.value
                 sums = np.zeros_like(C)
                 counts = np.zeros(C.shape[0], dtype=np.int64)
                 sq_err = 0.0
-                X_rows = [r[0] for r in rows]
-                if X_rows:
-                    X = np.asarray(X_rows, dtype=np.float64)
+                X_parts = [list_matrix(rb.column(0)) for rb in batches if rb.num_rows]
+                if X_parts:
+                    X = np.vstack(X_parts)
                     # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin over c
                     d2 = (
                         (X * X).sum(axis=1, keepdims=True)
@@ -80,8 +79,8 @@ def fit_kmeans(
                     np.add.at(counts, asn, 1)
                 return sums, counts, sq_err
 
-            sums, counts, sq_err = synchronized_superstep(
-                data_rdd,
+            sums, counts, sq_err = arrow_superstep(
+                data,
                 local_stats,
                 lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]),
                 (np.zeros((k, dim)), np.zeros(k, dtype=np.int64), 0.0),
@@ -95,7 +94,7 @@ def fit_kmeans(
             centroids = centroids.copy()
             centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
     finally:
-        data_rdd.unpersist()
+        data.unpersist()
     return centroids, curve
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 
-from cs744_big_data_system_spark.ml.superstep import synchronized_superstep
+from cs744_big_data_system_spark.ml.superstep import arrow_superstep, list_matrix
 
 
 def fit_linear(
@@ -39,6 +39,12 @@ def fit_linear(
     iteration is ONE Spark job whose only cross-node traffic is the
     broadcast of w down and the log-depth gradient merge up — the
     all-reduce communication pattern, sized |w|, independent of rows.
+
+    The shard pass is Arrow-transported (superstep.arrow_superstep):
+    the dataset stays cached JVM-side in columnar Tungsten form and
+    each epoch streams it to numpy as Arrow batches — per-epoch Python
+    cost scales with bytes, not rows, and no pickled Row copy of the
+    corpus lives in the Python workers.
     """
     first = df.select(feature_col).first()
     if first is None or first[0] is None:
@@ -46,36 +52,29 @@ def fit_linear(
     dim = len(first[0]) + 1  # + bias
     w = np.zeros(dim, dtype=np.float64)
     sc = df.sparkSession.sparkContext
-    # Cache the CONVERTED RDD, not the DataFrame: the loop's per-
-    # iteration cost is the JVM→Python row conversion, which caching a
-    # DataFrame would re-pay every epoch (df.rdd converts on each
-    # walk); caching post-conversion pays it once — the task3.py:37
-    # cache-the-loop-invariant lesson applied at the right layer.
-    data_rdd = df.select(feature_col, label_col).rdd.persist()
+    data = df.select(feature_col, label_col).cache()
 
     try:
         for _ in range(iterations):
             bw = sc.broadcast(w)
 
-            def local_grad(rows, _bw=bw):
+            def local_grad(batches, _bw=bw):
                 wv = _bw.value
-                g = np.zeros_like(wv)
-                n = 0
-                X_rows, y_rows = [], []
-                for r in rows:
-                    X_rows.append(r[0])
-                    y_rows.append(r[1])
-                if X_rows:
-                    X = np.asarray(X_rows, dtype=np.float64)
-                    X = np.hstack([X, np.ones((X.shape[0], 1))])  # bias
-                    y = np.asarray(y_rows, dtype=np.float64)
-                    resid = X @ wv - y
-                    g = X.T @ resid
-                    n = X.shape[0]
-                return g, n
+                X_parts, y_parts = [], []
+                for rb in batches:
+                    if rb.num_rows:
+                        X_parts.append(list_matrix(rb.column(0)))
+                        y_parts.append(np.asarray(rb.column(1), dtype=np.float64))
+                if not X_parts:
+                    return np.zeros_like(wv), 0
+                X = np.vstack(X_parts)
+                X = np.hstack([X, np.ones((X.shape[0], 1))])  # bias
+                y = np.concatenate(y_parts)
+                resid = X @ wv - y
+                return X.T @ resid, X.shape[0]
 
-            grad, n = synchronized_superstep(
-                data_rdd, local_grad, lambda a, b: (a[0] + b[0], a[1] + b[1]), (np.zeros(dim), 0)
+            grad, n = arrow_superstep(
+                data, local_grad, lambda a, b: (a[0] + b[0], a[1] + b[1]), (np.zeros(dim), 0)
             )
             # Each epoch's weights are superseded — release the
             # broadcast deterministically instead of waiting on GC.
@@ -84,7 +83,7 @@ def fit_linear(
                 break
             w = w - lr * (grad / n + l2 * w)
     finally:
-        data_rdd.unpersist()  # w is a materialized ndarray; safe to release
+        data.unpersist()  # w is a materialized ndarray; safe to release
     return w
 
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 
-from cs744_big_data_system_spark.ml.superstep import synchronized_superstep
+from cs744_big_data_system_spark.ml.superstep import arrow_superstep, list_matrix
 
 
 def _init_params(dim: int, hidden: int, seed: int = 744) -> np.ndarray:
@@ -86,28 +86,31 @@ def fit_mlp(
     dim = len(first[0])
     theta = _init_params(dim, hidden)
     sc = df.sparkSession.sparkContext
-    # Cache post-conversion (not the DataFrame): the per-epoch cost is
-    # the JVM→Python row conversion — pay it once (linear_sgd lesson).
-    data_rdd = df.select(feature_col, label_col).rdd.persist()
+    # JVM-side columnar cache + per-epoch Arrow streaming: the Python
+    # cost per epoch scales with bytes, not rows, and no pickled Row
+    # copy of the dataset sits in the Python workers (superstep
+    # .arrow_superstep; the linear_sgd lesson, one layer lower).
+    data = df.select(feature_col, label_col).cache()
     losses: list[float] = []
 
     try:
         for _ in range(iterations):
             bt = sc.broadcast(theta)
 
-            def local_grad(rows, _bt=bt):
-                X_rows, y_rows = [], []
-                for r in rows:
-                    X_rows.append(r[0])
-                    y_rows.append(r[1])
-                if not X_rows:
+            def local_grad(batches, _bt=bt):
+                X_parts, y_parts = [], []
+                for rb in batches:
+                    if rb.num_rows:
+                        X_parts.append(list_matrix(rb.column(0)))
+                        y_parts.append(np.asarray(rb.column(1), dtype=np.float64))
+                if not X_parts:
                     return np.zeros_like(_bt.value), 0.0, 0
-                X = np.asarray(X_rows, dtype=np.float64)
-                y = np.asarray(y_rows, dtype=np.float64)
+                X = np.vstack(X_parts)
+                y = np.concatenate(y_parts)
                 return _forward_backward(X, y, _bt.value, dim, hidden)
 
-            grad, sq_err, n = synchronized_superstep(
-                data_rdd,
+            grad, sq_err, n = arrow_superstep(
+                data,
                 local_grad,
                 lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]),
                 (np.zeros_like(theta), 0.0, 0),
@@ -118,7 +121,7 @@ def fit_mlp(
             losses.append(sq_err / n)
             theta = theta - lr * grad / n
     finally:
-        data_rdd.unpersist()
+        data.unpersist()
     return theta, losses
 
 

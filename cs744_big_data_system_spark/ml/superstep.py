@@ -57,6 +57,48 @@ def synchronized_superstep(
     return rdd.treeAggregate(zero, merge_fn, merge_fn, depth=depth)
 
 
+def arrow_superstep(df: DataFrame, local_fn: Callable, merge_fn, zero, depth: int = 2):
+    """One BSP superstep with Arrow transport: ``local_fn(batches) ->
+    partial`` consumes the partition's ``pyarrow.RecordBatch`` iterator;
+    partials travel back as single pickled rows merged via log-depth
+    ``treeAggregate``.
+
+    Versus the Row-RDD path (synchronized_superstep over df.rdd): the
+    JVM→Python cost per superstep is the columnar Arrow stream — it
+    scales with BYTES, not with per-row pickling — so iterative callers
+    cache the input DataFrame JVM-side (columnar, compressed) and
+    re-stream it each epoch instead of materializing a Python-object
+    copy of the dataset in executor memory. At 100 TB that is the
+    difference between caching the corpus once in Tungsten format and
+    holding a second, several-×-larger pickled copy in every Python
+    worker.
+    """
+    import pickle
+
+    import pyarrow as pa
+
+    def per_partition(batches):
+        payload = pickle.dumps(local_fn(batches))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([payload], type=pa.binary())], names=["partial"]
+        )
+
+    partials = df.mapInArrow(per_partition, "partial binary")
+    return (
+        partials.rdd.map(lambda r: pickle.loads(bytes(r[0])))
+        .treeAggregate(zero, merge_fn, merge_fn, depth=depth)
+    )
+
+
+def list_matrix(arr) -> "Any":
+    """(n, dim) float64 matrix from an Arrow list<float> array —
+    one vectorized copy off the Arrow buffer (no per-row Python)."""
+    import numpy as np
+
+    flat = np.asarray(arr.flatten(), dtype=np.float64)
+    return flat.reshape(len(arr), -1) if len(arr) else flat.reshape(0, 0)
+
+
 def distributed_vector_mean(
     embeddings: DataFrame, vec_col: str = "embedding", group_col: str | None = None
 ) -> DataFrame:

@@ -246,6 +246,37 @@ def test_mlp_loss_merge_is_partition_invariant(spark):
     np.testing.assert_allclose(l1, l7, rtol=1e-9)
 
 
+def test_mlp_arrow_path_matches_driver_numpy(spark):
+    """Equivalence gate for the Arrow-transported shard pass: the
+    distributed fit (JVM columnar cache → mapInArrow batches → numpy →
+    treeAggregate merge) must reproduce a single-process numpy
+    reference running the identical full-batch update, epoch for
+    epoch, to float-merge tolerance."""
+    import numpy as np
+
+    from cs744_big_data_system_spark.ml.mlp import (
+        _forward_backward,
+        _init_params,
+        fit_mlp,
+    )
+
+    rng = np.random.RandomState(3)
+    X = rng.uniform(-1, 1, size=(150, 5))
+    y = np.tanh(X[:, 0]) - 0.5 * X[:, 3]
+    rows = [(x.tolist(), float(t)) for x, t in zip(X, y)]
+    df = spark.createDataFrame(rows, ["embedding", "label"]).repartition(6)
+
+    _, losses = fit_mlp(df, hidden=4, lr=0.3, iterations=10)
+
+    theta = _init_params(5, 4)
+    expected = []
+    for _ in range(10):
+        grad, sq_err, n = _forward_backward(X, y, theta, 5, 4)
+        expected.append(sq_err / n)
+        theta = theta - 0.3 * grad / n
+    np.testing.assert_allclose(losses, expected, rtol=1e-9)
+
+
 def test_kmeans_recovers_separated_clusters(spark):
     """Three well-separated 2-d blobs: Lloyd's must place one centroid
     per blob (within the blob's spread) and the MSE curve must be

@@ -92,7 +92,8 @@ def assets_from_documents(documents: DataFrame) -> DataFrame:
 
 
 def _decode_stub(payload: bytes, modality: str) -> list[float]:
-    """Deterministic fake 'decode + feature-extract'.
+    """Deterministic fake 'decode + feature-extract' for payloads in
+    formats the container can't parse (JPEG/MP3/H.264 — no codec libs).
 
     A real deployment replaces this with PIL/torchaudio/ffmpeg frame
     sampling; everything around it (Arrow batching, schema, partition
@@ -107,6 +108,149 @@ def _decode_stub(payload: bytes, modality: str) -> list[float]:
     return [float(payload[i % len(payload)]) / 255.0 for i in range(8)]
 
 
+def _decode_ppm(data: bytes):
+    """Parse binary PPM (P6) / PGM (P5): (width, height, pixel ndarray
+    [h, w, channels] in 0..1) or None if not a parseable PPM/PGM."""
+    import numpy as np
+
+    if len(data) < 10 or data[:2] not in (b"P6", b"P5"):
+        return None
+    channels = 3 if data[:2] == b"P6" else 1
+    # Header: magic, width, height, maxval — whitespace/comment separated.
+    fields, pos = [], 2
+    while len(fields) < 3 and pos < len(data):
+        c = data[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":
+            pos = data.find(b"\n", pos)
+            if pos < 0:
+                return None
+        elif c.isdigit():
+            end = pos
+            while end < len(data) and data[end : end + 1].isdigit():
+                end += 1
+            fields.append(int(data[pos:end]))
+            pos = end
+        else:
+            return None
+    if len(fields) < 3 or not data[pos : pos + 1].isspace():
+        return None
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if not (0 < w and 0 < h and 0 < maxval < 256):
+        return None
+    need = w * h * channels
+    if len(data) - pos < need:
+        return None
+    px = np.frombuffer(data, dtype=np.uint8, count=need, offset=pos)
+    return w, h, px.reshape(h, w, channels).astype(np.float64) / maxval
+
+
+def _decode_bmp(data: bytes):
+    """Parse uncompressed 24-bit BMP (BITMAPINFOHEADER): (width,
+    height, pixels [h, w, 3] RGB in 0..1) or None."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    try:
+        pixel_off = struct.unpack_from("<I", data, 10)[0]
+        hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+        planes, bpp = struct.unpack_from("<HH", data, 26)
+        compression = struct.unpack_from("<I", data, 30)[0]
+    except struct.error:
+        return None
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        return None
+    bottom_up = h > 0
+    h = abs(h)
+    if w <= 0 or h <= 0:
+        return None
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    if len(data) < pixel_off + stride * h:
+        return None
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * h, offset=pixel_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return w, h, rows[:, :, ::-1].astype(np.float64) / 255.0  # BGR → RGB
+
+
+def _decode_wav(data: bytes):
+    """Parse PCM WAV via the stdlib ``wave`` module: (n_channels,
+    sample_rate, samples ndarray in [-1, 1]) or None."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(data)) as wf:
+            nch, sw, rate, nframes = (
+                wf.getnchannels(), wf.getsampwidth(), wf.getframerate(), wf.getnframes(),
+            )
+            raw = wf.readframes(nframes)
+    except (wave.Error, EOFError):
+        return None
+    if sw == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        return None
+    return nch, rate, samples
+
+
+def decode_media(payload: bytes, modality: str) -> list[float] | None:
+    """REAL stdlib decode → 8 features, or None when the payload isn't
+    one of the container-parseable formats (PPM/PGM, 24-bit BMP, PCM
+    WAV — none need codec libraries; JPEG/PNG/MP3/video fall back to
+    the documented stub in extract_features).
+
+    Image features: [1, w/4096, h/4096, mean R, mean G, mean B,
+    grayscale std, aspect w/h]. Audio features: [2, channels,
+    rate/48000, duration s, RMS, mean, zero-crossing rate, peak].
+    The leading tag separates decoded-image/audio from stub vectors
+    (whose entries are all byte fractions)."""
+    import numpy as np
+
+    if payload is None or modality not in ("image", "audio", "video"):
+        return None
+    if modality == "image":
+        img = _decode_ppm(bytes(payload)) or _decode_bmp(bytes(payload))
+        if img is None:
+            return None
+        w, h, px = img
+        if px.shape[2] == 1:
+            px = np.repeat(px, 3, axis=2)
+        gray = px.mean(axis=2)
+        return [
+            1.0, w / 4096.0, h / 4096.0,
+            float(px[:, :, 0].mean()), float(px[:, :, 1].mean()),
+            float(px[:, :, 2].mean()), float(gray.std()), w / h,
+        ]
+    if modality == "audio":
+        wav = _decode_wav(bytes(payload))
+        if wav is None:
+            return None
+        nch, rate, s = wav
+        if len(s) == 0:
+            return [2.0, float(nch), rate / 48000.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        zcr = float(np.mean(np.signbit(s[:-1]) != np.signbit(s[1:]))) if len(s) > 1 else 0.0
+        return [
+            2.0, float(nch), rate / 48000.0, len(s) / nch / rate,
+            float(np.sqrt(np.mean(s * s))), float(s.mean()), zcr,
+            float(np.abs(s).max()),
+        ]
+    return None  # video containers need real demuxers — always stubbed
+
+
 def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 
@@ -117,8 +261,10 @@ def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # Real stdlib decode where the format allows (PPM/PGM, BMP,
+            # PCM WAV); deterministic stub for codec-library formats.
             feats = [
-                _decode_stub(p, m)
+                decode_media(p, m) or _decode_stub(p, m)
                 for p, m in zip(pdf["payload"], pdf["modality"])
             ]
             yield pd.DataFrame(

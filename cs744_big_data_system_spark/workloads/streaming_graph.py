@@ -629,6 +629,23 @@ def q_ml_mlp_fit(spark, sf_dir):
     return loss_curve_df(spark, losses)
 
 
+# --- Convolutional training loop — closer to VGG-11, same schema ---
+def q_ml_cnn_fit(spark, sf_dir):
+    """Train a conv net (embedding as 8×8 image → 3×3 conv → tanh →
+    linear head) with the identical broadcast-θ / shard-backward /
+    single-treeAggregate superstep (ml/cnn.py — the reference's VGG-11
+    convolutional stack, assignment2/part1/model.py:30-46, one layer
+    at a time; the distribution schema is unchanged, which is the
+    DDP lesson). Rows-only (iterative); decreasing-loss and
+    beats-nothing-baseline properties are unit-tested."""
+    from cs744_big_data_system_spark.ml.cnn import fit_cnn
+    from cs744_big_data_system_spark.ml.mlp import loss_curve_df
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, losses = fit_cnn(emb, n_filters=4, lr=0.05, iterations=10)
+    return loss_curve_df(spark, losses)
+
+
 # --- Unsupervised superstep: k-means via the same all-reduce schema ---
 def q_ml_kmeans_fit(spark, sf_dir):
     """Lloyd's k-means over the embeddings fixture with the broadcast-
@@ -718,6 +735,7 @@ WORKLOADS = {
     "graph_kcore": (q_graph_kcore, None),  # iterative peeling fixpoint
     "ml_kmeans_fit": (q_ml_kmeans_fit, None),  # iterative unsupervised superstep
     "ml_mlp_fit": (q_ml_mlp_fit, None),  # iterative nonlinear training loop
+    "ml_cnn_fit": (q_ml_cnn_fit, None),  # iterative convolutional training loop
     "multimodal_features": (q_multimodal_features, None),  # decode stubbed
     "pagerank_synthetic": (q_pagerank_synthetic, None),  # iterative, co-partitioned regime
     "pagerank_synthetic_broadcast": (q_pagerank_synthetic_broadcast, None),  # broadcast regime

@@ -329,6 +329,54 @@ def test_mlp_arrow_path_matches_driver_numpy(spark):
     np.testing.assert_allclose(losses, expected, rtol=1e-9)
 
 
+def test_cnn_backward_matches_finite_differences():
+    """The conv layer's analytic gradient must agree with central
+    finite differences on a tiny batch — the standard conv-backward
+    correctness check, no Spark involved."""
+    import numpy as np
+
+    from cs744_big_data_system_spark.ml.cnn import _forward_backward, _init_params
+
+    rng = np.random.RandomState(5)
+    X = rng.uniform(-1, 1, size=(6, 64))
+    y = rng.uniform(-1, 1, size=6)
+    theta = _init_params(2, seed=11)
+    grad, _, _ = _forward_backward(X, y, theta, 2)
+
+    eps = 1e-6
+    for idx in [0, 5, 17, len(theta) // 2, len(theta) - 2, len(theta) - 1]:
+        tp, tm = theta.copy(), theta.copy()
+        tp[idx] += eps
+        tm[idx] -= eps
+        _, lp, _ = _forward_backward(X, y, tp, 2)
+        _, lm, _ = _forward_backward(X, y, tm, 2)
+        num = (lp - lm) / (2 * eps) / 2.0  # loss is ½·Σ resid²
+        assert abs(num - grad[idx]) < 1e-4 * max(1.0, abs(num)), (idx, num, grad[idx])
+
+
+def test_cnn_fit_loss_decreases(spark):
+    """Distributed conv training through the Arrow superstep: the
+    full-batch loss curve must decrease substantially and beat the
+    predict-the-mean baseline (i.e. the conv stack actually learns)."""
+    import numpy as np
+
+    from cs744_big_data_system_spark.ml.cnn import fit_cnn
+
+    rng = np.random.RandomState(9)
+    X = rng.uniform(-1, 1, size=(300, 64))
+    # Target with local spatial structure a conv can capture:
+    # mean of each image's 3x3 top-left patch minus bottom-right patch.
+    imgs = X.reshape(-1, 8, 8)
+    y = imgs[:, :3, :3].mean(axis=(1, 2)) - imgs[:, 5:, 5:].mean(axis=(1, 2))
+    rows = [(x.tolist(), float(t)) for x, t in zip(X, y)]
+    df = spark.createDataFrame(rows, ["embedding", "label"]).repartition(5)
+
+    _, losses = fit_cnn(df, n_filters=4, lr=0.5, iterations=40)
+    assert len(losses) == 40
+    assert losses[-1] < 0.35 * losses[0]
+    assert losses[-1] < 0.5 * float(np.var(y))  # beats predicting the mean
+
+
 def test_kmeans_recovers_separated_clusters(spark):
     """Three well-separated 2-d blobs: Lloyd's must place one centroid
     per blob (within the blob's spread) and the MSE curve must be

@@ -12,8 +12,14 @@ Scale design:
     between rounds; it is localCheckpoint'd periodically to truncate
     the growing lineage (the pagerank.py lesson);
   * the frontier is `left_anti`-joined against visited before
-    expanding — each node is expanded exactly once, so total work is
-    O(|E|) across all rounds regardless of graph diameter;
+    expanding — each node is EXPANDED exactly once regardless of graph
+    diameter (the cached edge table is still re-scanned each round, so
+    total scan work is O(rounds·|E|) against memory-resident cache);
+  * frontier/visited ride broadcast joins only while small: past
+    ``broadcast_threshold`` rows the hints are dropped and the joins
+    fall back to shuffles that reuse the edge cache's ``src``
+    partitioning — a monotonically growing visited set must not be
+    broadcast at |V| scale;
   * termination: the loop stops when the frontier is empty (one cheap
     `isEmpty`-style limit(1) probe per round) or after ``max_iters``.
 
@@ -34,6 +40,7 @@ def bfs_hops(
     source,
     max_iters: int = 20,
     num_partitions: int | None = None,
+    broadcast_threshold: int = 8_000_000,
 ) -> DataFrame:
     """edges(src, dst) → (node, hop) — minimum hop count from
     ``source`` for every reachable node (hop 0 = the source itself).
@@ -55,26 +62,33 @@ def bfs_hops(
         src_lit.cast(node_type).alias("node"), F.lit(0).alias("hop")
     )
     frontier = visited.select("node")
+    visited_rows = 1
 
     for hop in range(1, max_iters + 1):
-        # Expand: neighbors of the frontier not yet visited. Broadcast
-        # the frontier/visited sides — they are bounded by the node
-        # set, which in the BFS regime (hop-limited exploration) is
-        # far smaller than the edge table; the cached links therefore
-        # never re-shuffle.
+        # Expand: neighbors of the frontier not yet visited. While the
+        # visited set is small, broadcast both small sides so the
+        # cached links never re-shuffle; past broadcast_threshold rows
+        # (the visited count is known exactly from the per-round
+        # frontier counts — no extra job) drop the hints and let the
+        # joins shuffle, reusing the edge cache's src partitioning.
+        small = visited_rows <= broadcast_threshold
+        f_side = F.broadcast(frontier) if small else frontier
+        v_side = F.broadcast(visited) if small else visited
         neighbors = (
-            links.join(F.broadcast(frontier), links.src == frontier.node, "left_semi")
+            links.join(f_side, links.src == frontier.node, "left_semi")
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(F.broadcast(visited), "node", "left_anti")
+            .join(v_side, "node", "left_anti")
         )
         # One action per round: count() both materializes the lazy
         # checkpoint (truncating lineage) and answers the emptiness
         # probe — an eager checkpoint plus a separate limit(1) probe
         # would schedule two jobs per superstep.
         frontier = neighbors.localCheckpoint(eager=False)
-        if frontier.count() == 0:
+        n_new = frontier.count()
+        if n_new == 0:
             break
+        visited_rows += n_new
         visited = visited.unionByName(
             frontier.select("node", F.lit(hop).alias("hop"))
         )

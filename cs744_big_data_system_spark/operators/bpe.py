@@ -38,7 +38,12 @@ def _word_vocab(docs: DataFrame, text_col: str) -> DataFrame:
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
     ).filter(F.col("word") != "")
     vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
-    # chars + '</w>' marker, all JVM-side
+    # chars + '</w>' marker, all JVM-side. Caveat: the Java regex
+    # '(?!$)' splits on UTF-16 code units, so non-BMP characters
+    # (emoji, rare CJK) become surrogate-pair halves here while the
+    # pure-Python reference sees whole code points — merge tables
+    # learned over non-BMP text diverge from Sennrich-reference output
+    # (BMP text, the tested domain, is identical).
     return vocab.select(
         F.concat(
             F.split(F.col("word"), "(?!$)"), F.array(F.lit("</w>"))
@@ -169,7 +174,13 @@ def bpe_tokenize(
 
         return texts.map(count)
 
-    words = F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    # F.split on an empty string yields one empty element ("" → [""]),
+    # which would count 1 word where the Python-side token count sees 0
+    # — guard whitespace-only text to 0 so the two columns agree.
+    trimmed = F.trim(F.lower(F.col(text_col)))
+    words = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
     return docs.select(
         id_col,
         words.cast("long").alias("n_words"),

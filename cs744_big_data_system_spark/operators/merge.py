@@ -28,6 +28,7 @@ def merge_upsert(
     matched_set: dict[str, Column],
     not_matched_insert: dict[str, Column],
     action_col: str = "merge_action",
+    validate: bool = True,
 ) -> DataFrame:
     """SQL ``MERGE INTO`` semantics via one full-outer join.
 
@@ -42,7 +43,34 @@ def merge_upsert(
 
     Expressions in both dicts refer to columns as ``t.<col>`` /
     ``s.<col>`` (the join sides are aliased).
+
+    Key contract (SQL MERGE cardinality rules): the source must have at
+    most one row per key and no NULL keys. ``validate=True`` (default)
+    enforces both with one tiny aggregate over the source — the same
+    error a warehouse MERGE raises at runtime; with ``validate=False``
+    the check is skipped and the degenerate inputs behave as the join
+    dictates: duplicate source keys fan their matched target row out
+    into multiple updated rows, and NULL-key source rows never match
+    anything (NULL != NULL) so each becomes an ``inserted`` row with a
+    NULL key.
     """
+    if validate:
+        stats = source.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(key).alias("n_keys"),
+            F.countDistinct(key).alias("n_distinct"),
+        ).first()
+        if stats["n_keys"] != stats["n_distinct"]:
+            raise ValueError(
+                "merge_upsert: source has duplicate merge keys "
+                f"({stats['n_keys']} non-null rows, {stats['n_distinct']} distinct) — "
+                "SQL MERGE cardinality violation"
+            )
+        if stats["n_rows"] != stats["n_keys"]:
+            raise ValueError(
+                f"merge_upsert: source has {stats['n_rows'] - stats['n_keys']} NULL merge "
+                "key(s); pass validate=False to insert them unmatched"
+            )
     t, s = target.alias("t"), source.alias("s")
     tk, sk = F.col(f"t.{key}"), F.col(f"s.{key}")
     joined = t.join(s, tk == sk, "full_outer")

@@ -919,7 +919,11 @@ def q_pareto_abc(spark, sf_dir):
     ranked = rev.crossJoin(F.broadcast(total)).select(
         "l_partkey",
         "revenue",
-        (F.sum("revenue").over(w) / F.col("_total")).alias("cum_share"),
+        # round before thresholding: the two engines accumulate the
+        # running sum in different orders (sequential vs segment tree),
+        # so an unrounded share within float noise of 0.80/0.95 could
+        # flip class between engine and oracle.
+        F.round(F.sum("revenue").over(w) / F.col("_total"), 9).alias("cum_share"),
     )
     cls = (
         F.when(F.col("cum_share") <= 0.80, "A")
@@ -940,9 +944,9 @@ WITH rev AS (
   FROM lineitem GROUP BY 1
 ), ranked AS (
   SELECT l_partkey, revenue,
-         sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+         round(sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           / (SELECT sum(revenue) FROM rev) AS cum_share
+           / (SELECT sum(revenue) FROM rev), 9) AS cum_share
   FROM rev
 )
 SELECT CASE WHEN cum_share <= 0.80 THEN 'A'

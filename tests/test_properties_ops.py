@@ -1,0 +1,190 @@
+"""Property-based tests (hypothesis), operator-vs-brute-force module:
+operators must agree with plain
+Python brute force on arbitrary small inputs — the cases a fixed
+fixture never covers (ties, empties, single-element groups, extreme
+gaps)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=8,  # each example spins Spark jobs — keep the suite fast
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # user_id
+            st.integers(min_value=0, max_value=7200),   # seconds offset
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    gap_minutes=st.sampled_from([1, 5, 30]),
+)
+@settings(**_SETTINGS)
+def test_sessionize_matches_bruteforce(spark, events, gap_minutes):
+    from cs744_big_data_system_spark.operators.relational import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + dt.timedelta(seconds=s)) for i, (u, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    got = {
+        (r.event_id): r.session_id
+        for r in sessionize(df, gap_minutes=gap_minutes).collect()
+    }
+
+    # brute force: per user, sorted by (ts, event_id), new session when
+    # gap strictly exceeds gap_minutes
+    expected = {}
+    by_user: dict[int, list] = {}
+    for i, u, ts in rows:
+        by_user.setdefault(u, []).append((ts, i))
+    for u, evs in by_user.items():
+        evs.sort()
+        sid = 0
+        prev = None
+        for ts, i in evs:
+            if prev is None or (ts - prev).total_seconds() > gap_minutes * 60:
+                sid += 1
+            expected[i] = sid
+            prev = ts
+    assert got == expected
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "hot"]), st.integers(-100, 100)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_salted_sum_property(spark, vals):
+    from cs744_big_data_system_spark.operators.skew import salted_sum
+
+    df = spark.createDataFrame([(k, float(v)) for k, v in vals], ["k", "v"])
+    got = {r.k: r.s for r in salted_sum(df, ["k"], "v", buckets=4, out_col="s").collect()}
+    expected: dict[str, float] = {}
+    for k, v in vals:
+        expected[k] = expected.get(k, 0.0) + v
+    assert got == expected
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**_SETTINGS)
+def test_connected_components_property(spark, edges):
+    from cs744_big_data_system_spark.graph.connected_components import connected_components
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.component for r in connected_components(df, max_iterations=25).collect()}
+
+    # brute force union-find
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+    # canonicalize union-find roots to component minimum
+    comp_min: dict[int, int] = {}
+    for n, r in expected.items():
+        comp_min[find(r)] = min(comp_min.get(find(r), n), n)
+    expected = {n: comp_min[find(n)] for n in expected}
+    assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.integers(min_value=0, max_value=40),  # token count per doc
+        min_size=1,
+        max_size=20,
+    ),
+    budget=st.sampled_from([4, 16, 64]),
+)
+@settings(**_SETTINGS)
+def test_pack_sequences_conserves_tokens(spark, docs, budget):
+    """Packing is a bijection onto the token stream: per (lang, shard)
+    offsets are the prefix sums of token counts in doc_id order, and
+    chunk spans cover exactly [offset, offset + n_tokens)."""
+    from cs744_big_data_system_spark.operators.text_analysis import pack_sequences
+
+    rows = [(i, " ".join(["w"] * n), "en", "s", 1) for i, n in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = sorted(pack_sequences(df, budget=budget, n_shards=3).collect(),
+                 key=lambda r: r.doc_id)
+    pos = {}
+    for r in out:
+        key = (r.lang, r.shard)
+        assert r.tok_offset == pos.get(key, 0)
+        lo, hi = r.tok_offset, r.tok_offset + max(r.n_tokens, 1) - 1
+        assert r.chunk_first == lo // budget
+        assert r.n_chunks == hi // budget - lo // budget + 1
+        pos[key] = r.tok_offset + r.n_tokens
+    assert sum(docs) == sum(pos.values())
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc @.-+0123456789\n", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_pii_redact_idempotent(spark, texts):
+    """Redaction is idempotent on arbitrary near-PII soup: a second
+    pass over redacted text finds nothing and changes nothing."""
+    from cs744_big_data_system_spark.operators.text_analysis import (
+        PII_EMAIL,
+        PII_IP,
+        PII_PHONE,
+    )
+    from cs744_big_data_system_spark.operators.text_analysis import pii_redact
+
+    rows = [(i, t, "en", "s", 1) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    first = {r.doc_id: r for r in pii_redact(df).collect()}
+    scrubbed = df.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", PII_EMAIL, "<EMAIL>"),
+                PII_PHONE,
+                "<PHONE>",
+            ),
+            PII_IP,
+            "<IP>",
+        ).alias("text"),
+    )
+    second = {r.doc_id: r for r in pii_redact(scrubbed).collect()}
+    for d in first:
+        assert second[d].n_emails == second[d].n_phones == second[d].n_ips == 0
+        assert second[d].redacted_fp == first[d].redacted_fp

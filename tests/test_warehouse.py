@@ -29,6 +29,36 @@ def test_merge_upsert_all_three_branches(spark):
     assert rows[4].merge_action == "inserted" and rows[4].bal == 7.0 and rows[4].tag == "new"
 
 
+def test_merge_upsert_rejects_degenerate_source_keys(spark):
+    """SQL MERGE cardinality rules: duplicate source keys and NULL
+    source keys are runtime errors unless validate=False, in which
+    case the documented join-dictated behavior applies."""
+    import pytest
+
+    from cs744_big_data_system_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([(1, 10.0)], ["k", "bal"])
+    kwargs = dict(
+        key="k",
+        matched_set={"bal": F.col("s.delta")},
+        not_matched_insert={"bal": F.col("s.delta")},
+    )
+
+    dup_src = spark.createDataFrame([(1, 5.0), (1, 6.0)], ["k", "delta"])
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        merge_upsert(target, dup_src, **kwargs)
+    # validate=False: the matched target row fans out per source row.
+    assert merge_upsert(target, dup_src, validate=False, **kwargs).count() == 2
+
+    null_src = spark.createDataFrame([(None, 7.0)], "k int, delta double")
+    with pytest.raises(ValueError, match="NULL merge key"):
+        merge_upsert(target, null_src, **kwargs)
+    rows = {r.merge_action: r for r in merge_upsert(
+        target, null_src, validate=False, **kwargs).collect()}
+    assert rows["inserted"].k is None and rows["inserted"].bal == 7.0
+    assert rows["kept"].k == 1
+
+
 def test_scd2_intervals_tile_without_overlap(spark):
     from cs744_big_data_system_spark.operators.merge import scd2_history
 
@@ -79,6 +109,21 @@ def test_bfs_hops_golden_graph(spark):
     got = {r.node: r.hop for r in hops.collect()}
     hops.cached_links.unpersist()
     assert got == {0: 0, 1: 1, 2: 1, 3: 2}  # 4 unreachable; cycle stops
+
+
+def test_bfs_shuffle_fallback_matches_broadcast_path(spark):
+    """broadcast_threshold=0 forces the shuffle-join regime from round
+    one; results must be identical to the broadcast path (the |V|-scale
+    fallback is a plan change, not a semantics change)."""
+    from cs744_big_data_system_spark.graph.bfs import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 2), (3, 0), (4, 4)], ["src", "dst"]
+    )
+    hops = bfs_hops(edges, source=0, max_iters=10, broadcast_threshold=0)
+    got = {r.node: r.hop for r in hops.collect()}
+    hops.cached_links.unpersist()
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}
 
 
 def test_bfs_respects_max_iters(spark):

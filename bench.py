@@ -67,6 +67,17 @@ HEADLINE = [
     "zorder_layout",
     "graph_bfs_hops",
     "tpch_q9",
+    # round-3: the remaining heavy never-benched queries (multi-shuffle
+    # market-basket, five-scan profile, windowed reach/transitions, HLL
+    # sketch rollup) + the new conv-training and LSH-oracle paths
+    "basket_affinity",
+    "table_profile",
+    "cumulative_reach",
+    "event_transitions",
+    "hll_rollup",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk_lsh",
+    "ml_cnn_fit",
     # the reference's own headline metric family is training s/iter
     # (BASELINE.md: DDP 0.870 s/iter on VGG-11/4 nodes); ml_mlp_fit is
     # the engine's data-parallel analogue — 10 supersteps per run, so

@@ -194,6 +194,42 @@ def test_pagerank_copartitioned_links_never_reshuffle(spark):
                 df.cached_links.unpersist()
 
 
+def test_pagerank_partition_sweep_no_reshuffle(spark):
+    """The reference's task2 experiment swept num_partitions
+    (task2.sh:4); the engine's invariant under that sweep: at EVERY
+    partition setting (matched to the session shuffle width, as a real
+    deployment would), the cached links table is partitioned once on
+    src and no superstep inserts an ENSURE_REQUIREMENTS exchange over
+    the links columns — the no-reshuffle property is a structural
+    consequence of the plan, not a lucky constant."""
+    from cs744_big_data_system_spark.graph.pagerank import pagerank
+    from cs744_big_data_system_spark.graph.synthetic import synthetic_graph
+    from cs744_big_data_system_spark.plans.explain import formatted_plan
+
+    edges = synthetic_graph(spark, num_nodes=400, avg_out_degree=4)
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for m in (4, 8, 16):
+            spark.conf.set("spark.sql.shuffle.partitions", str(m))
+            ranks = pagerank(edges, iterations=2, broadcast_ranks=False, num_partitions=m)
+            try:
+                plan = formatted_plan(ranks)
+                links_reshuffles = [
+                    b for b in _exchange_input_blocks(plan)
+                    if "n_para" in b and "out_degree" in b
+                ]
+                assert links_reshuffles == [], (m, plan)
+            finally:
+                if ranks.cached_links is not None:
+                    ranks.cached_links.unpersist()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_pagerank_broadcast_regime_broadcasts_ranks(spark):
     """Small-graph regime: every superstep joins the rank vector as an
     explicit broadcast; the cached links table never shuffles at all."""

@@ -561,7 +561,295 @@ ORDER BY cntry
 """
 
 
+# --- Q2: minimum-cost supplier (adapted: no partsupp table — the
+#     part-supplier supply relation is DERIVED from lineitem, with the
+#     average unit price as the supply cost) ---
+def q_tpch_q2(spark, sf_dir):
+    """For every STANDARD size-15 part supplied from EUROPE, the
+    supplier(s) offering it at the minimum derived supply cost.
+
+    Scale shape: the derived supply table shuffles lineitem once on
+    (partkey, suppkey); nation/region broadcast; the per-part minimum
+    is a window over the part key riding the join's partitioning — no
+    second shuffle of the fact-derived rows. The correlated-min
+    subquery of the original becomes that window."""
+    supply = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("supplycost"))
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cand = (
+        supply.join(p, supply.l_partkey == p.p_partkey)
+        .join(s, supply.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("_min_cost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("_min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q2 = """
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         round(avg(l_extendedprice / l_quantity), 4) AS supplycost
+  FROM lineitem GROUP BY 1, 2
+), cand AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supplycost,
+         min(supplycost) OVER (PARTITION BY p_partkey) AS min_cost
+  FROM part
+  JOIN supply ON l_partkey = p_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+  WHERE p_size = 15 AND p_type = 'STANDARD'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supplycost
+FROM cand WHERE supplycost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# --- Q11: important stock identification (adapted: value = shipped
+#     extendedprice x quantity from lineitem; no partsupp) ---
+def q_tpch_q11(spark, sf_dir):
+    """Parts whose shipped value through NATION_7's suppliers exceeds
+    0.2 % of that nation's total shipped value.
+
+    Scale shape: one lineitem shuffle on partkey after the broadcast
+    supplier/nation filter; the HAVING scalar subquery is a 1-row
+    broadcast cross join against the same aggregate — the fact table
+    is read once (ReuseExchange collapses the two consumers)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    v = (
+        li.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+                li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias("value"))
+    )
+    total = v.agg(F.round(F.sum("value") * 0.002, 2).alias("_thr"))
+    return (
+        v.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("_thr"))
+        .select("l_partkey", "value")
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+SQL_TPCH_Q11 = """
+WITH v AS (
+  SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_7'
+  GROUP BY 1
+)
+SELECT l_partkey, value FROM v
+WHERE value > (SELECT round(sum(value) * 0.002, 2) FROM v)
+ORDER BY value DESC, l_partkey
+"""
+
+
+# --- Q12: shipping-mode priority histogram (adapted: no l_shipmode /
+#     l_commitdate — the class is the ship-after-order delay bucket) ---
+def q_tpch_q12(spark, sf_dir):
+    """High- vs low-priority line counts per delay class (SLOW = shipped
+    more than 90 days after the order date) for 1997 shipments.
+
+    Scale shape: one orderkey join (AQE picks the strategy), conditional
+    sums ride the 2-row group-by; the date predicate is pushed to the
+    lineitem scan. Interval arithmetic (not datediff) so both engines
+    compare identical timestamp semantics."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    slow = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.groupBy(F.when(slow, "SLOW").otherwise("FAST").alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 'SLOW'
+            ELSE 'FAST' END AS ship_class,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- Q16: supplier counts by part attributes (adapted: the
+#     part-supplier relation is the DISTINCT pairs observed in lineitem) ---
+def q_tpch_q16(spark, sf_dir):
+    """Distinct supplier counts per (brand, type, size) for the selected
+    sizes, excluding one brand and one type family.
+
+    Scale shape: lineitem projected to its two key columns and
+    distinct'd (one shuffle, 8-byte keys), part filter broadcast-joined
+    in, countDistinct over small group keys."""
+    pairs = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    return (
+        pairs.join(p, pairs.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --- Q20: potential part promotion (adapted: no partsupp availqty —
+#     the surplus test is a fixed shipped-quantity threshold) ---
+def q_tpch_q20(spark, sf_dir):
+    """Suppliers who shipped more than 400 units of 'small%' parts
+    during 1997 — the q20 semi-join chain (parts → qualifying supply →
+    suppliers) without the availqty correlation the schema lacks.
+
+    Scale shape: part filter broadcasts into the date-pruned lineitem
+    scan; the HAVING aggregate shuffles on suppkey only; suppliers
+    arrive by left-semi join (no duplication)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    qualifying = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 400)
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+SQL_TPCH_Q20 = """
+SELECT s_name, s_acctbal FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  JOIN part ON p_partkey = l_partkey AND p_name LIKE 'small%'
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey HAVING sum(l_quantity) > 400
+)
+ORDER BY s_name
+"""
+
+
+# --- Q21: suppliers who kept orders waiting (adapted: "late" =
+#     shipped >30 days after the order date; no l_receiptdate) ---
+def q_tpch_q21(spark, sf_dir):
+    """Per-supplier count of late lines on finished multi-supplier
+    orders where they were the ONLY late supplier — q21's double
+    correlated EXISTS / NOT EXISTS as a left-semi + left-anti pair.
+
+    Scale shape: the late set is computed once (orderkey join, scan
+    predicates pushed); both correlation probes join on orderkey with
+    a supplier-inequality residual — semi/anti joins, so no row
+    explosion however many sibling lines an order has."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    all_lines = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    late_other = late.select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    l1 = (
+        late.join(
+            all_lines,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_other,
+            (F.col("l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l_suppkey") != F.col("l3_suppkey")),
+            "left_anti",
+        )
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        l1.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q21 = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+)
+SELECT s_name, CAST(numwait AS BIGINT) AS numwait FROM (
+  SELECT l1.l_suppkey, count(*) AS numwait FROM late l1
+  WHERE EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM late l3
+                    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+  GROUP BY 1
+) JOIN supplier ON s_suppkey = l_suppkey
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 WORKLOADS = {
+    "tpch_q2": (q_tpch_q2, SQL_TPCH_Q2),
     "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
     "tpch_q7": (q_tpch_q7, SQL_TPCH_Q7),
@@ -572,6 +860,11 @@ WORKLOADS = {
     "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
     "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
     "tpch_q17": (q_tpch_q17, SQL_TPCH_Q17),
+    "tpch_q11": (q_tpch_q11, SQL_TPCH_Q11),
+    "tpch_q12": (q_tpch_q12, SQL_TPCH_Q12),
+    "tpch_q16": (q_tpch_q16, SQL_TPCH_Q16),
     "tpch_q19": (q_tpch_q19, SQL_TPCH_Q19),
+    "tpch_q20": (q_tpch_q20, SQL_TPCH_Q20),
+    "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
     "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
 }

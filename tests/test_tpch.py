@@ -10,7 +10,13 @@ from cs744_big_data_system_spark.workloads import tpch
 from tests.conftest import SF_SMALL
 
 EXPECTED_COLS = {
+    "tpch_q2": ["s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supplycost"],
     "tpch_q4": ["o_orderpriority", "order_count"],
+    "tpch_q11": ["l_partkey", "value"],
+    "tpch_q12": ["ship_class", "high_line_count", "low_line_count"],
+    "tpch_q16": ["p_brand", "p_type", "p_size", "supplier_cnt"],
+    "tpch_q20": ["s_name", "s_acctbal"],
+    "tpch_q21": ["s_name", "numwait"],
     "tpch_q6": ["revenue"],
     "tpch_q7": ["supp_nation", "cust_nation", "l_year", "revenue"],
     "tpch_q8": ["o_year", "mkt_share"],
@@ -62,6 +68,26 @@ def test_q22_is_left_anti_with_broadcast_scalar(spark):
     plan = formatted_plan(tpch.q_tpch_q22(spark, SF_SMALL))
     assert "LeftAnti" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_q21_correlations_are_semi_and_anti_joins(spark):
+    """The double correlated EXISTS / NOT EXISTS must lower to one
+    LeftSemi and one LeftAnti join — never a row-exploding inner join
+    over sibling lines."""
+    from cs744_big_data_system_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(tpch.q_tpch_q21(spark, SF_SMALL))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_q16_distinct_pairs_before_join(spark):
+    """The derived part-supplier relation must deduplicate on the two
+    key columns only (8-byte shuffle rows), not after the part join."""
+    from cs744_big_data_system_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(tpch.q_tpch_q16(spark, SF_SMALL))
+    assert "l_partkey" in plan and "HashAggregate" in plan, plan
 
 
 def test_q10_broadcasts_nation_and_takes_ordered(spark):

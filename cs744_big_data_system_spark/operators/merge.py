@@ -138,3 +138,44 @@ def scd2_history(
         F.coalesce(F.date_format(nxt, "yyyy-MM-dd"), F.lit(open_end)).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare: list[str] | None = None,
+    class_col: str = "diff_class",
+) -> DataFrame:
+    """Snapshot diff: classify every key across two table versions as
+    ``added`` (key only in new), ``removed`` (only in old), ``changed``
+    (present in both, any compared column differs, null-safely), or
+    ``unchanged`` — the audit primitive behind CDC validation, backfill
+    verification, and replication drift checks.
+
+    One full-outer shuffle join on the key (AQE broadcasts the smaller
+    snapshot); the comparison is a null-safe equality conjunction over
+    ``compare`` (default: every shared non-key column). Output: key +
+    each compared column's old/new values (``<col>_old`` / ``<col>_new``)
+    + the class — project before writing if only counts are needed.
+    """
+    if compare is None:
+        compare = [c for c in old.columns if c != key and c in new.columns]
+    o, n = old.alias("o"), new.alias("n")
+    ok, nk = F.col(f"o.{key}"), F.col(f"n.{key}")
+    joined = o.join(n, ok == nk, "full_outer")
+
+    same = F.lit(True)
+    for c in compare:
+        same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    cls = (
+        F.when(ok.isNull(), F.lit("added"))
+        .when(nk.isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    cols = [F.coalesce(ok, nk).alias(key)]
+    for c in compare:
+        cols.append(F.col(f"o.{c}").alias(f"{c}_old"))
+        cols.append(F.col(f"n.{c}").alias(f"{c}_new"))
+    return joined.select(*cols, cls.alias(class_col))

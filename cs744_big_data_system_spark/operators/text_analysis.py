@@ -539,6 +539,48 @@ def perplexity_score(
     )
 
 
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking with overlap: each document's token
+    sequence is cut into ``chunk_tokens``-sized windows advancing by
+    ``chunk_tokens - overlap`` — the standard retrieval/embedding prep
+    step (every chunk shares ``overlap`` tokens with its predecessor so
+    no semantic boundary is lost to a hard cut).
+
+    Pure per-row restructuring: tokenize once, one ``sequence`` of
+    chunk starts, one explode, ``slice`` + ``array_join`` per chunk —
+    no shuffle, no Python; at 100 TB the scan is the whole cost and
+    the 1→N explode parallelizes with the partition. Empty documents
+    yield no chunks. Deterministic and fully SQL-expressible (oracle:
+    workloads/llm.py::SQL_CHUNK_DOCUMENTS).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("chunk_documents: overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    tk = documents.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk")).select(
+        id_col, "_tk", F.size("_tk").alias("_n")
+    )
+    starts = F.sequence(F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride))
+    chunks = tk.filter(F.col("_n") > 0).select(
+        id_col,
+        "_tk",
+        "_n",
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+    )
+    piece = F.slice("_tk", F.col("_start") + 1, chunk_tokens)
+    return chunks.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 def repetition_features(
     documents: DataFrame, n: int = 3, threshold: float = 0.2
 ) -> DataFrame:

@@ -751,6 +751,35 @@ FROM grams
 """
 
 
+# --- Context-window chunking with overlap (retrieval/embedding prep) ---
+def q_chunk_documents(spark, sf_dir):
+    """64-token chunks advancing by 48 (16-token overlap) per document
+    (operators/text_analysis.chunk_documents): tokenize once, one
+    sequence+posexplode, slice+array_join per chunk — a pure scan-side
+    1→N restructuring with zero shuffle."""
+    from cs744_big_data_system_spark.operators.text_analysis import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH tk AS (
+  SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+), sized AS (
+  SELECT doc_id, tk, len(tk) AS n FROM tk WHERE len(tk) > 0
+), chunks AS (
+  SELECT doc_id, tk, unnest(range(0, n, 48)) AS start FROM sized
+)
+SELECT doc_id,
+       CAST(start // 48 AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(tk, start + 1, start + 64)) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(tk, start + 1, start + 64), ' ') AS chunk_text
+FROM chunks
+"""
+
+
 # --- Benchmark decontamination: eval-leakage check before shipping ---
 def q_text_decontaminate(spark, sf_dir):
     """Per training doc, the fraction of its distinct 6-gram shingles
@@ -1249,6 +1278,7 @@ WORKLOADS = {
     "text_pmi_cooccurrence": (q_pmi, SQL_PMI),
     "text_boilerplate": (q_boilerplate, SQL_BOILERPLATE),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
     "corpus_sample_stratified": (q_corpus_sample_stratified, SQL_CORPUS_SAMPLE_STRATIFIED),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

@@ -356,8 +356,60 @@ FROM events GROUP BY 1
 """
 
 
+# --- Snapshot diff: CDC / replication-drift audit ---
+def q_table_diff(spark, sf_dir):
+    """Diff two deterministic snapshots of the customer dimension
+    (operators/merge.table_diff): 'old' drops custkey % 11 == 3
+    (→ added in new) and 'new' drops % 13 == 5 (→ removed) and bumps
+    acctbal for % 7 == 2 (→ changed); everything else is unchanged.
+    One full-outer join on the key, null-safe column compare; only the
+    non-unchanged rows are returned (the audit's actionable set)."""
+    from cs744_big_data_system_spark.operators.merge import table_diff
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    old = cust.filter(F.col("c_custkey") % 11 != 3)
+    new = cust.filter(F.col("c_custkey") % 13 != 5).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 7 == 2, F.round(F.col("c_acctbal") + 100.0, 2)
+        ).otherwise(F.col("c_acctbal")),
+    )
+    diff = table_diff(old, new, key="c_custkey")
+    return diff.filter(F.col("diff_class") != "unchanged").orderBy("c_custkey")
+
+
+SQL_TABLE_DIFF = """
+WITH old AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 11 <> 3
+), new AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 2 THEN round(c_acctbal + 100.0, 2)
+              ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 13 <> 5
+)
+SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+       o.c_acctbal AS c_acctbal_old, n.c_acctbal AS c_acctbal_new,
+       o.c_mktsegment AS c_mktsegment_old, n.c_mktsegment AS c_mktsegment_new,
+       CASE WHEN o.c_custkey IS NULL THEN 'added'
+            WHEN n.c_custkey IS NULL THEN 'removed'
+            WHEN o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+             AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment THEN 'unchanged'
+            ELSE 'changed' END AS diff_class
+FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+WHERE NOT (o.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL
+           AND o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+           AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment)
+ORDER BY c_custkey
+"""
+
+
 WORKLOADS = {
     "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
+    "table_diff": (q_table_diff, SQL_TABLE_DIFF),
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
     "topk_per_group_salted": (q_topk_per_group_salted, SQL_TOPK_PER_GROUP),
     "timeseries_gapfill": (q_timeseries_gapfill, SQL_TIMESERIES_GAPFILL),

@@ -29,6 +29,38 @@ def test_merge_upsert_all_three_branches(spark):
     assert rows[4].merge_action == "inserted" and rows[4].bal == 7.0 and rows[4].tag == "new"
 
 
+def test_table_diff_classifies_all_four_cases(spark):
+    from cs744_big_data_system_spark.operators.merge import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(2, "B"), (3, None), (4, "d"), (5, "e")], "k int, v string"
+    )
+    got = {r.k: r.diff_class for r in table_diff(old, new, key="k").collect()}
+    # 1 removed, 2 changed, 3 unchanged (null-safe compare), 4 unchanged, 5 added
+    assert got == {1: "removed", 2: "changed", 3: "unchanged", 4: "unchanged", 5: "added"}
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from cs744_big_data_system_spark.operators.text_analysis import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "one"), (3, "   ")],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=2)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # doc 1: starts 0,2,4,6,8 (stride 2 over 10 tokens)
+    assert [rows[(1, i)].chunk_text for i in range(5)] == [
+        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8 w9", "w8 w9",
+    ]
+    assert rows[(1, 4)].n_tokens == 2          # short tail chunk
+    assert rows[(2, 0)].chunk_text == "one"    # single-token doc: one chunk
+    assert not any(k[0] == 3 for k in rows)    # whitespace-only doc: no chunks
+
+
 def test_merge_upsert_rejects_degenerate_source_keys(spark):
     """SQL MERGE cardinality rules: duplicate source keys and NULL
     source keys are runtime errors unless validate=False, in which

@@ -538,6 +538,49 @@ SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM walk GROUP BY node
 """
 
 
+# --- BFS via WITH RECURSIVE through the Spark SQL text front end ---
+def q_graph_bfs_sql(spark, sf_dir):
+    """The SAME single-source BFS as graph_bfs_hops, but declared as a
+    recursive CTE through Spark's SQL front end (WITH RECURSIVE, new in
+    Spark 4) — the declarative twin of the BSP loop, proving the SQL
+    surface handles iteration too.
+
+    Spark supports only UNION ALL recursion (no dedup between steps),
+    so on a cyclic graph the step bound must be tight: hop < 6 covers
+    node 0's eccentricity (6, measured) at ~56k path rows, and the
+    trailing min(hop) GROUP BY collapses paths to true hop counts. The
+    oracle mirrors the identical UNION ALL + bound semantics. At real
+    graph scale the BSP loop (each node expanded once) is the right
+    plan; this entry exists for front-end parity, like
+    flagship_q3_sql."""
+    return spark.sql(f"""
+WITH RECURSIVE walk(node, hop) AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS hop
+  UNION ALL
+  SELECT g.dst AS node, walk.hop + 1 AS hop
+  FROM walk JOIN (
+    SELECT CAST(t.id AS BIGINT) AS src,
+           CAST((t.id * t.id * {TRI_A} + s.id * {TRI_B}) % {TRI_N} AS BIGINT) AS dst
+    FROM range({TRI_N}) t, range(1, {TRI_D + 1}) s
+  ) g ON g.src = walk.node
+  WHERE walk.hop < 6
+)
+SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM walk GROUP BY node
+""")
+
+
+SQL_GRAPH_BFS_SQL = f"""
+WITH RECURSIVE walk(node, hop) AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS hop
+  UNION ALL
+  SELECT g.dst AS node, walk.hop + 1 AS hop
+  FROM walk JOIN ({_SQL_HASH_GRAPH}) g ON g.src = walk.node
+  WHERE walk.hop < 6
+)
+SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM walk GROUP BY node
+"""
+
+
 # --- Stream-static join: per-micro-batch dimension enrichment ---
 def q_stream_static_join_replay(spark, sf_dir):
     """The events stream joined per micro-batch against the STATIC
@@ -728,6 +771,7 @@ WORKLOADS = {
     "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "graph_degree_histogram": (q_graph_degree_histogram, SQL_GRAPH_DEGREE_HISTOGRAM),
     "graph_bfs_hops": (q_graph_bfs_hops, SQL_GRAPH_BFS_HOPS),
+    "graph_bfs_sql": (q_graph_bfs_sql, SQL_GRAPH_BFS_SQL),
     "graph_two_hop": (q_graph_two_hop, SQL_GRAPH_TWO_HOP),
     "stream_static_join_replay": (q_stream_static_join_replay, SQL_STREAM_STATIC_JOIN),
     # --- rows-only tail (iterative / approximate / stubbed-decode) ---

@@ -158,6 +158,21 @@ def test_bfs_shuffle_fallback_matches_broadcast_path(spark):
     assert got == {0: 0, 1: 1, 2: 1, 3: 2}
 
 
+def test_bfs_bsp_loop_equals_recursive_cte(spark):
+    """The imperative BSP frontier loop and the declarative WITH
+    RECURSIVE form must compute identical hop counts on the shared
+    hash graph — two independent engines' worth of agreement inside
+    one engine."""
+    from cs744_big_data_system_spark.workloads.streaming_graph import (
+        q_graph_bfs_hops,
+        q_graph_bfs_sql,
+    )
+
+    bsp = {(r.node, r.hop) for r in q_graph_bfs_hops(spark, "unused").collect()}
+    cte = {(r.node, r.hop) for r in q_graph_bfs_sql(spark, "unused").collect()}
+    assert bsp == cte and len(bsp) > 1000
+
+
 def test_bfs_respects_max_iters(spark):
     from cs744_big_data_system_spark.graph.bfs import bfs_hops
 

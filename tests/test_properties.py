@@ -175,3 +175,68 @@ def test_incremental_state_merge_associative(spark, vals, split):
     got = {r.k: (r.n, round(r.s, 6)) for r in merged.collect()}
     want = {r.k: (r.n, round(r.s, 6)) for r in full.collect()}
     assert got == want
+
+
+@given(
+    n_tokens=st.integers(0, 40),
+    chunk=st.integers(2, 12),
+    overlap=st.integers(0, 10),
+)
+@_settings
+def test_chunk_documents_reconstruction_law(spark, n_tokens, chunk, overlap):
+    """Dropping each non-first chunk's overlap prefix and concatenating
+    must reproduce the original token sequence exactly — chunking loses
+    nothing and duplicates only the overlap."""
+    from hypothesis import assume
+
+    from cs744_big_data_system_spark.operators.text_analysis import chunk_documents
+
+    assume(overlap < chunk)
+    toks = [f"t{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    if not toks:
+        assert rows == []
+        return
+    rebuilt = []
+    stride = chunk - overlap
+    for r in rows:
+        piece = r.chunk_text.split(" ")
+        assert len(piece) == r.n_tokens <= chunk
+        start = r.chunk_idx * stride
+        assert piece == toks[start : start + chunk]  # window content law
+        rebuilt.extend(piece if r.chunk_idx == 0 else piece[overlap:] if len(piece) > overlap else [])
+    # Reconstruction: the deduped concatenation covers the sequence.
+    assert rebuilt[: len(toks)] == toks
+
+
+@given(
+    old=st.dictionaries(st.integers(0, 12), st.one_of(st.none(), st.integers(-5, 5)), max_size=10),
+    new=st.dictionaries(st.integers(0, 12), st.one_of(st.none(), st.integers(-5, 5)), max_size=10),
+)
+@_settings
+def test_table_diff_matches_dict_semantics(spark, old, new):
+    """table_diff over arbitrary (possibly null-valued) snapshots must
+    agree with plain dict comparison, null-safely."""
+    from cs744_big_data_system_spark.operators.merge import table_diff
+
+    schema = "k int, v int"
+    o = spark.createDataFrame(list(old.items()) or [(None, None)], schema).filter(
+        F.col("k").isNotNull()
+    )
+    n = spark.createDataFrame(list(new.items()) or [(None, None)], schema).filter(
+        F.col("k").isNotNull()
+    )
+    got = {r.k: r.diff_class for r in table_diff(o, n, key="k").collect()}
+    want = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            want[k] = "added"
+        elif k not in new:
+            want[k] = "removed"
+        else:
+            want[k] = "unchanged" if old[k] == new[k] else "changed"
+    assert got == want

@@ -1,0 +1,90 @@
+"""Custom Python Data Source (Spark 4 ``pyspark.sql.datasource`` API):
+a deterministic synthetic-corpus generator.
+
+At 100 TB the standard way to scale-test a pipeline is a GENERATOR
+source — no files, no copies; every task synthesizes its own split.
+This source is seedless-deterministic (every field is an md5 function
+of the doc id, the same construction as operators/dedup.md5_int60), so
+two runs — or two engines — produce bit-identical corpora: the
+workload reading this source is hash-checked against a DuckDB oracle
+that RE-DERIVES the generation in SQL (workloads/llm.py::
+SQL_SYNTHDOCS_PROFILE), which is only possible because generation is
+pure hashing, not a stateful RNG.
+
+Usage::
+
+    spark.dataSource.register(SynthDocsDataSource)
+    spark.read.format("synthdocs").option("n", 500).option("partitions", 8).load()
+
+Scale shape: ``partitions`` input splits, each generating its disjoint
+id range independently — embarrassingly parallel, zero shuffle, zero
+I/O; cost scales with rows/partition, memory is one row at a time
+(the reader yields).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+#: Fixed 40-word vocabulary; embedded identically in the SQL oracle.
+VOCAB = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+    "victor", "whiskey", "xray", "yankee", "zulu", "amber", "birch",
+    "cedar", "dune", "ember", "fjord", "grove", "harbor", "isle",
+    "jade", "knoll", "lagoon", "mesa", "nectar",
+]
+
+LANGS = ["en", "de", "es", "fr", "zh"]
+
+
+def _md5_int60(s: str) -> int:
+    """Same 60-bit md5 fold as operators/dedup.md5_int60 (and the SQL
+    mirror _sql_md5_int60)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def doc_fields(doc_id: int) -> tuple[int, str, str, int]:
+    """(doc_id, text, lang, n_words) — pure function of the id."""
+    n_words = 5 + _md5_int60(f"len:{doc_id}") % 20
+    words = [VOCAB[_md5_int60(f"w:{doc_id}:{j}") % len(VOCAB)] for j in range(n_words)]
+    lang = LANGS[_md5_int60(f"lang:{doc_id}") % len(LANGS)]
+    return doc_id, " ".join(words), lang, n_words
+
+
+class SynthDocsDataSource(DataSource):
+    """``format("synthdocs")`` — options: n (rows, default 500),
+    partitions (input splits, default 8)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthdocs"
+
+    def schema(self) -> str:
+        return "doc_id bigint, text string, lang string, n_words bigint"
+
+    def reader(self, schema) -> "SynthDocsReader":
+        return SynthDocsReader(
+            n=int(self.options.get("n", 500)),
+            num_partitions=int(self.options.get("partitions", 8)),
+        )
+
+
+class SynthDocsReader(DataSourceReader):
+    def __init__(self, n: int, num_partitions: int):
+        self.n = n
+        self.num_partitions = max(1, min(num_partitions, max(1, n)))
+
+    def partitions(self):
+        return [InputPartition(p) for p in range(self.num_partitions)]
+
+    def read(self, partition):
+        # Disjoint contiguous id ranges per split; yield row-at-a-time
+        # so memory stays O(1) however large the split.
+        p = partition.value
+        per = -(-self.n // self.num_partitions)  # ceil
+        for doc_id in range(p * per, min((p + 1) * per, self.n)):
+            yield doc_fields(doc_id)

@@ -780,6 +780,60 @@ FROM chunks
 """
 
 
+# --- Custom Python Data Source: deterministic corpus generator ---
+def q_synthdocs_profile(spark, sf_dir):
+    """Read the ``synthdocs`` custom Python Data Source (Spark 4
+    ``pyspark.sql.datasource`` API — sources/generator.py: partitioned,
+    zero-I/O, md5-deterministic generation) and profile it per doc.
+    Because generation is pure hashing, the DuckDB oracle re-derives
+    the corpus in SQL and the custom source is hash-checked end-to-end
+    — doc text included (via md5 digest)."""
+    from cs744_big_data_system_spark.sources.generator import SynthDocsDataSource
+
+    try:
+        spark.dataSource.register(SynthDocsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    docs = (
+        spark.read.format("synthdocs")
+        .option("n", 500)
+        .option("partitions", 8)
+        .load()
+    )
+    return docs.select(
+        "doc_id", "lang", "n_words", F.md5("text").alias("text_md5")
+    )
+
+
+def _sql_synthdocs() -> str:
+    from cs744_big_data_system_spark.sources.generator import LANGS, VOCAB
+
+    vocab = "[" + ", ".join(f"'{w}'" for w in VOCAB) + "]"
+    langs = "[" + ", ".join(f"'{lang}'" for lang in LANGS) + "]"
+    return f"""
+WITH ids AS (
+  SELECT CAST(range AS BIGINT) AS doc_id FROM range(500)
+), meta AS (
+  SELECT doc_id,
+         5 + {_sql_md5_int60("'len:' || doc_id")} % 20 AS n_words,
+         {langs}[1 + CAST({_sql_md5_int60("'lang:' || doc_id")} % {len(LANGS)} AS INT)] AS lang
+  FROM ids
+), positions AS (
+  SELECT doc_id, n_words, lang, unnest(range(n_words)) AS j FROM meta
+), words AS (
+  SELECT doc_id, n_words, lang, j,
+         {vocab}[1 + CAST({_sql_md5_int60("'w:' || doc_id || ':' || j")} % {len(VOCAB)} AS INT)] AS word
+  FROM positions
+)
+SELECT doc_id, any_value(lang) AS lang, any_value(n_words) AS n_words,
+       md5(string_agg(word, ' ' ORDER BY j)) AS text_md5
+FROM words GROUP BY doc_id
+"""
+
+
+SQL_SYNTHDOCS_PROFILE = _sql_synthdocs()
+
+
 # --- Benchmark decontamination: eval-leakage check before shipping ---
 def q_text_decontaminate(spark, sf_dir):
     """Per training doc, the fraction of its distinct 6-gram shingles
@@ -1279,6 +1333,7 @@ WORKLOADS = {
     "text_boilerplate": (q_boilerplate, SQL_BOILERPLATE),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "synthdocs_profile": (q_synthdocs_profile, SQL_SYNTHDOCS_PROFILE),
     "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
     "corpus_sample_stratified": (q_corpus_sample_stratified, SQL_CORPUS_SAMPLE_STRATIFIED),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

@@ -198,6 +198,30 @@ def test_binary_assets_source_feeds_feature_extraction(spark, tmp_path):
         assert [round(x, 6) for x in r.feature] == [round(x, 6) for x in expected]
 
 
+def test_synthdocs_custom_source_deterministic_and_partitioned(spark):
+    """The custom Python Data Source must generate exactly n disjoint
+    docs across its input splits, identically on every read and at
+    every partition count (generation is a pure function of doc_id)."""
+    from cs744_big_data_system_spark.sources.generator import (
+        SynthDocsDataSource,
+        doc_fields,
+    )
+
+    try:
+        spark.dataSource.register(SynthDocsDataSource)
+    except Exception:
+        pass
+    read = lambda n, p: (
+        spark.read.format("synthdocs").option("n", n).option("partitions", p).load()
+    )
+    a = {r.doc_id: (r.text, r.lang, r.n_words) for r in read(100, 7).collect()}
+    b = {r.doc_id: (r.text, r.lang, r.n_words) for r in read(100, 3).collect()}
+    assert len(a) == 100 and a == b  # disjoint ids, partition-count invariant
+    did, text, lang, n_words = doc_fields(42)
+    assert a[42] == (text, lang, n_words)  # matches the host-side derivation
+    assert all(len(t[0].split(" ")) == t[2] for t in a.values())
+
+
 def test_real_media_decode_roundtrip(spark, tmp_path):
     """S4 with REAL decoders: the test writes actual PPM / 24-bit BMP /
     PCM-WAV files, reads them through the binaryFile source, and the

@@ -26,7 +26,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: Fixed 40-word vocabulary; embedded identically in the SQL oracle.
 VOCAB = [
@@ -72,6 +77,17 @@ class SynthDocsDataSource(DataSource):
             num_partitions=int(self.options.get("partitions", 8)),
         )
 
+    def simpleStreamReader(self, schema) -> "SynthDocsStreamReader":
+        # Streaming variant: docs arrive in ``batch``-sized waves with a
+        # real offset log — a restarted query resumes from the committed
+        # doc id (readBetweenOffsets replays exactly the gap), the
+        # exactly-once source contract. Under availableNow one wave is
+        # processed per run (what read() reports available at start).
+        return SynthDocsStreamReader(
+            n=int(self.options.get("n", 500)),
+            batch=int(self.options.get("batch", 500)),
+        )
+
 
 class SynthDocsReader(DataSourceReader):
     def __init__(self, n: int, num_partitions: int):
@@ -88,3 +104,24 @@ class SynthDocsReader(DataSourceReader):
         per = -(-self.n // self.num_partitions)  # ceil
         for doc_id in range(p * per, min((p + 1) * per, self.n)):
             yield doc_fields(doc_id)
+
+
+class SynthDocsStreamReader(SimpleDataSourceStreamReader):
+    """Offset = {"next": <first ungenerated doc id>}. Deterministic
+    generation makes replay trivially exact: any offset range maps to
+    the same rows on every call."""
+
+    def __init__(self, n: int, batch: int):
+        self.n = n
+        self.batch = max(1, batch)
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        lo = int(start["next"])
+        hi = min(lo + self.batch, self.n)
+        return iter([doc_fields(i) for i in range(lo, hi)]), {"next": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter([doc_fields(i) for i in range(int(start["next"]), int(end["next"]))])

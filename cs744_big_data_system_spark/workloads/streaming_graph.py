@@ -367,6 +367,62 @@ SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
 """
 
 
+# --- Streaming custom Python data source: offset-tracked generator ---
+def q_synthdocs_stream_profile(spark, sf_dir):
+    """The synthdocs custom source consumed through its STREAMING
+    reader (SimpleDataSourceStreamReader — offset log, exact replay
+    via readBetweenOffsets): availableNow drains the announced wave
+    into a memory sink; per-lang doc counts + word totals equal the
+    oracle's re-derivation of the same md5 corpus. Restart/resume
+    semantics are exercised in tests/test_sources_ml.py."""
+    import uuid
+
+    from cs744_big_data_system_spark.sources.generator import SynthDocsDataSource
+
+    try:
+        spark.dataSource.register(SynthDocsDataSource)
+    except Exception:
+        pass
+    name = f"synthdocs_stream_{uuid.uuid4().hex[:8]}"
+    sdf = (
+        spark.readStream.format("synthdocs")
+        .option("n", 500)
+        .option("batch", 500)
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_synthdocs_stream() -> str:
+    from cs744_big_data_system_spark.workloads.llm import _sql_synthdocs
+
+    return f"""
+WITH docs AS ({_sql_synthdocs()})
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words
+FROM docs GROUP BY lang ORDER BY lang
+"""
+
+
+SQL_SYNTHDOCS_STREAM = _sql_synthdocs_stream()
+
+
 # --- PageRank (reference assignment1/part3 semantics) — iterative, rows-only ---
 def q_pagerank_events(spark, sf_dir):
     """Graph derived from the events fixture (consecutive event types
@@ -772,6 +828,7 @@ WORKLOADS = {
     "graph_degree_histogram": (q_graph_degree_histogram, SQL_GRAPH_DEGREE_HISTOGRAM),
     "graph_bfs_hops": (q_graph_bfs_hops, SQL_GRAPH_BFS_HOPS),
     "graph_bfs_sql": (q_graph_bfs_sql, SQL_GRAPH_BFS_SQL),
+    "synthdocs_stream_profile": (q_synthdocs_stream_profile, SQL_SYNTHDOCS_STREAM),
     "graph_two_hop": (q_graph_two_hop, SQL_GRAPH_TWO_HOP),
     "stream_static_join_replay": (q_stream_static_join_replay, SQL_STREAM_STATIC_JOIN),
     # --- rows-only tail (iterative / approximate / stubbed-decode) ---

@@ -222,6 +222,44 @@ def test_synthdocs_custom_source_deterministic_and_partitioned(spark):
     assert all(len(t[0].split(" ")) == t[2] for t in a.values())
 
 
+def test_synthdocs_stream_resumes_from_committed_offset(spark, tmp_path):
+    """Two availableNow runs against one checkpoint: run 1 drains docs
+    [0, 200); run 2 (source grown to 500) must resume at the COMMITTED
+    offset and deliver exactly [200, 500) — no re-delivery, no gap.
+    This is the exactly-once source contract of the streaming Python
+    Data Source (offset log + readBetweenOffsets replay)."""
+    from cs744_big_data_system_spark.sources.generator import SynthDocsDataSource
+
+    try:
+        spark.dataSource.register(SynthDocsDataSource)
+    except Exception:
+        pass
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run(n):
+        q = (
+            spark.readStream.format("synthdocs")
+            .option("n", n)
+            .option("batch", 1000)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run(200)
+    first = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert first == list(range(200))
+    run(500)
+    second = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert second == list(range(500))  # resumed, not re-delivered
+
+
 def test_real_media_decode_roundtrip(spark, tmp_path):
     """S4 with REAL decoders: the test writes actual PPM / 24-bit BMP /
     PCM-WAV files, reads them through the binaryFile source, and the

@@ -365,6 +365,44 @@ def q_jsonl_roundtrip_sort(spark, sf_dir):
     )
 
 
+def q_jsonl_sink_roundtrip(spark, sf_dir):
+    """Round-trip through the CUSTOM Python Data Source sink
+    (sources/jsonl_sink.py — task-temp files published by one atomic
+    driver-side commit, the two-phase protocol real file committers
+    use), read back with a pinned schema. Same lossless contract as
+    the built-in JSONL round-trip, but exercising the user-defined
+    writer path end-to-end."""
+    import os
+    import tempfile
+
+    from cs744_big_data_system_spark.sources.jsonl_sink import JsonlSinkDataSource
+    from cs744_big_data_system_spark.sources.readers import read_json
+
+    try:
+        spark.dataSource.register(JsonlSinkDataSource)
+    except Exception:
+        pass
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    path = os.path.join(tempfile.gettempdir(), f"jsonl_sink_{os.getpid()}")
+    cust.write.format("jsonlsink").option("path", path).mode("overwrite").save()
+    back = read_json(
+        spark, path,
+        schema="c_custkey long, c_nationkey long, c_acctbal double, c_mktsegment string",
+    )
+    return back.orderBy("c_custkey").select(
+        "c_custkey", "c_nationkey", F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+
+
+SQL_JSONL_SINK_ROUNDTRIP = """
+SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+FROM customer ORDER BY c_custkey
+"""
+
+
 def q_partitioned_prune_agg(spark, sf_dir):
     """Hive-partitioned write + partition-pruned read: events written
     partitioned by event_type, read back with a partition-column filter
@@ -1499,6 +1537,7 @@ WORKLOADS = {
     "unpivot": (q_unpivot, SQL_UNPIVOT),
     "csv_roundtrip_sort": (q_csv_roundtrip_sort, SQL_CSV_ROUNDTRIP_SORT),
     "jsonl_roundtrip_sort": (q_jsonl_roundtrip_sort, SQL_CSV_ROUNDTRIP_SORT),
+    "jsonl_sink_roundtrip": (q_jsonl_sink_roundtrip, SQL_JSONL_SINK_ROUNDTRIP),
     "orc_roundtrip_sort": (q_orc_roundtrip_sort, SQL_CSV_ROUNDTRIP_SORT),
     "partitioned_prune_agg": (q_partitioned_prune_agg, SQL_PARTITIONED_PRUNE_AGG),
     "salted_agg": (q_salted_agg, SQL_SALTED_AGG),

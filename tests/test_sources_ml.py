@@ -222,6 +222,35 @@ def test_synthdocs_custom_source_deterministic_and_partitioned(spark):
     assert all(len(t[0].split(" ")) == t[2] for t in a.values())
 
 
+def test_jsonl_sink_abort_leaves_nothing_visible(spark, tmp_path):
+    """Two-phase commit contract: a write where one task fails must
+    publish NO visible .jsonl file (only possibly-cleaned .tmp trash);
+    a subsequent successful overwrite publishes exactly the data."""
+    import pytest
+
+    from cs744_big_data_system_spark.sources.jsonl_sink import JsonlSinkDataSource
+
+    try:
+        spark.dataSource.register(JsonlSinkDataSource)
+    except Exception:
+        pass
+    out = str(tmp_path / "sink")
+
+    from pyspark.sql import functions as F2
+    poisoned = spark.range(100).repartition(4).select(
+        F2.assert_true(F2.col("id") != 57).alias("boom"), "id"
+    )
+    with pytest.raises(Exception):
+        poisoned.write.format("jsonlsink").option("path", out).mode("append").save()
+    import os
+    visible = [f for f in os.listdir(out)] if os.path.exists(out) else []
+    assert not any(f.endswith(".jsonl") for f in visible), visible
+
+    spark.range(10).write.format("jsonlsink").option("path", out).mode("overwrite").save()
+    rows = spark.read.json(out, schema="id long").collect()
+    assert sorted(r.id for r in rows) == list(range(10))
+
+
 def test_synthdocs_stream_resumes_from_committed_offset(spark, tmp_path):
     """Two availableNow runs against one checkpoint: run 1 drains docs
     [0, 200); run 2 (source grown to 500) must resume at the COMMITTED

@@ -78,6 +78,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_cosine_topk_lsh",
     "ml_cnn_fit",
+    "chunk_documents",
+    "table_diff",
+    "synthdocs_profile",
+    "graph_bfs_sql",
+    "tpch_q21",
     # the reference's own headline metric family is training s/iter
     # (BASELINE.md: DDP 0.870 s/iter on VGG-11/4 nodes); ml_mlp_fit is
     # the engine's data-parallel analogue — 10 supersteps per run, so

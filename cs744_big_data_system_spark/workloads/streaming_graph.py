@@ -728,6 +728,23 @@ def q_ml_mlp_fit(spark, sf_dir):
     return loss_curve_df(spark, losses)
 
 
+# --- Classification training loop with in-collective accuracy ---
+def q_ml_logreg_fit(spark, sf_dir):
+    """Logistic regression on a derived binary label (label % 2) with
+    the same broadcast/treeAggregate superstep; the log-loss sum AND
+    correct-prediction count ride the gradient's collective, so the
+    reference's per-epoch accuracy table (assignment2/part1/main.py's
+    eval loop) costs zero extra jobs. Rows-only (iterative);
+    convergence + accuracy-beats-majority are unit-tested."""
+    from cs744_big_data_system_spark.ml.logreg import fit_logreg, metrics_df
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "embedding", (F.col("label") % 2).cast("double").alias("label")
+    )
+    _, losses, accs = fit_logreg(emb, lr=0.5, iterations=10)
+    return metrics_df(spark, losses, accs)
+
+
 # --- Convolutional training loop — closer to VGG-11, same schema ---
 def q_ml_cnn_fit(spark, sf_dir):
     """Train a conv net (embedding as 8×8 image → 3×3 conv → tanh →
@@ -837,6 +854,7 @@ WORKLOADS = {
     "ml_kmeans_fit": (q_ml_kmeans_fit, None),  # iterative unsupervised superstep
     "ml_mlp_fit": (q_ml_mlp_fit, None),  # iterative nonlinear training loop
     "ml_cnn_fit": (q_ml_cnn_fit, None),  # iterative convolutional training loop
+    "ml_logreg_fit": (q_ml_logreg_fit, None),  # iterative classification loop
     "multimodal_features": (q_multimodal_features, None),  # decode stubbed
     "pagerank_synthetic": (q_pagerank_synthetic, None),  # iterative, co-partitioned regime
     "pagerank_synthetic_broadcast": (q_pagerank_synthetic_broadcast, None),  # broadcast regime

@@ -420,6 +420,38 @@ def test_mlp_arrow_path_matches_driver_numpy(spark):
     np.testing.assert_allclose(losses, expected, rtol=1e-9)
 
 
+def test_logreg_learns_separable_data_and_matches_driver_numpy(spark):
+    """On linearly separable data the distributed logistic fit must
+    reach >95% training accuracy, and its loss/accuracy curves must
+    equal a driver-side numpy reference running the identical update
+    (the Arrow-superstep equivalence gate, classification edition)."""
+    import numpy as np
+
+    from cs744_big_data_system_spark.ml.logreg import _sigmoid, fit_logreg
+
+    rng = np.random.RandomState(11)
+    X = rng.uniform(-1, 1, size=(300, 4))
+    y = (X[:, 0] + 2.0 * X[:, 1] - 0.5 * X[:, 2] > 0.1).astype(np.float64)
+    rows = [(x.tolist(), float(t)) for x, t in zip(X, y)]
+    df = spark.createDataFrame(rows, ["embedding", "label"]).repartition(6)
+
+    _, losses, accs = fit_logreg(df, lr=1.0, iterations=30)
+    assert accs[-1] > 0.95
+    assert losses[-1] < losses[0] * 0.5
+
+    Xb = np.hstack([X, np.ones((300, 1))])
+    w = np.zeros(5)
+    exp_losses, exp_accs = [], []
+    for _ in range(30):
+        z = Xb @ w
+        p = _sigmoid(z)
+        exp_losses.append(float(np.mean(np.logaddexp(0.0, z) - y * z)))
+        exp_accs.append(float(np.mean((p >= 0.5) == (y >= 0.5))))
+        w = w - 1.0 * (Xb.T @ (p - y)) / 300
+    np.testing.assert_allclose(losses, exp_losses, rtol=1e-9)
+    assert accs == exp_accs
+
+
 def test_cnn_backward_matches_finite_differences():
     """The conv layer's analytic gradient must agree with central
     finite differences on a tiny batch — the standard conv-backward

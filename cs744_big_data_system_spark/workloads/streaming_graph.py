@@ -284,6 +284,90 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+# --- FULL outer stream-stream join: null-matches on BOTH eviction paths ---
+def q_stream_full_outer_join_replay(spark, sf_dir):
+    """FULL outer stream⋈stream interval join — completes the join
+    family (inner / left-outer / full-outer): unmatched PURCHASES emit
+    on purchase-state eviction AND unmatched CLICKS on click-state
+    eviction, so both sides' watermark-driven emission paths are
+    exercised. Same sentinel-wave determinism recipe as the left-outer
+    entry (q_stream_outer_join_replay — three far-future waves close
+    every real window on both sides); the replayed result equals the
+    batch full join bit for bit."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    wave0 = ev.filter(F.col("ts") < F.lit("2024-01-10"))
+    wave1 = ev.filter(F.col("ts") >= F.lit("2024-01-10"))
+    sentinels = [
+        spark.createDataFrame(
+            [(-(1 + 10 * i), "purchase"), (-(2 + 10 * i), "click")],
+            ["event_id", "event_type"],
+        ).select(
+            "event_id",
+            F.lit(f"{2030 + i}-01-01 00:00:00").cast("timestamp").alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            "event_type",
+            F.lit(0.0).alias("value"),
+        )
+        for i in range(3)
+    ]
+
+    def tf(s):
+        p = (
+            s.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("purchase_id"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        c = (
+            s.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("click_id"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        j = p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+            "full_outer",
+        )
+        # Sentinel filtering stays OUT of the streaming plan (pushdown
+        # would strip them below EventTimeWatermark — see the left-
+        # outer entry's note).
+        return j.select(
+            "purchase_id", "click_id",
+            F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+        )
+
+    from cs744_big_data_system_spark.streaming.windows import replay_waves_to_batch
+
+    out = replay_waves_to_batch(
+        spark, [wave0, wave1, *sentinels], tf, output_mode="append"
+    )
+    return out.filter(
+        (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
+        & (F.col("click_id").isNull() | (F.col("click_id") >= 0))
+    )
+
+
+SQL_STREAM_FULL_OUTER_JOIN = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       coalesce(p.user_id, c.user_id) AS user_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTES
+"""
+
+
 # --- Watermark late-data drop: TIGHT watermark, deterministic batches ---
 #: wave boundaries and hold-back rule for the late-data replay
 #: (mirrored verbatim in the oracle SQL).
@@ -838,6 +922,10 @@ WORKLOADS = {
     "stream_dedup_replay": (q_stream_dedup_replay, SQL_STREAM_DEDUP),
     "stream_stream_join_replay": (q_stream_stream_join_replay, SQL_STREAM_STREAM_JOIN),
     "stream_outer_join_replay": (q_stream_outer_join_replay, SQL_STREAM_OUTER_JOIN),
+    "stream_full_outer_join_replay": (
+        q_stream_full_outer_join_replay,
+        SQL_STREAM_FULL_OUTER_JOIN,
+    ),
     "stream_stateful_counts": (q_stream_stateful_counts, SQL_STREAM_STATEFUL),
     "stream_late_data_drop": (q_stream_late_drop, SQL_STREAM_LATE_DROP),
     "multimodal_doc_features": (q_multimodal_doc_features, SQL_MULTIMODAL_DOC_FEATURES),

@@ -279,6 +279,61 @@ def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("resized", BinaryType(), True),  # PPM (P6) bytes
+    ]
+)
+
+
+def resize_images(assets: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Decode-and-resize over the payload column: images in the
+    stdlib-decodable formats (PPM/PGM, 24-bit BMP) are nearest-neighbor
+    resampled to (out_w, out_h) and re-encoded as canonical binary PPM;
+    undecodable or non-image payloads yield NULLs (rows are preserved —
+    filter on ``resized IS NOT NULL`` for the usable set).
+
+    Same Arrow-batched mapInPandas shape as extract_features: constant
+    memory per task, decode parallelism = partition count. Nearest
+    neighbor (not area averaging) keeps the op exactly reproducible in
+    integer math — the property every deterministic-pipeline stage here
+    shares.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = {"asset_id": [], "width": [], "height": [], "resized": []}
+            for aid, payload, modality in zip(
+                pdf["asset_id"], pdf["payload"], pdf["modality"]
+            ):
+                img = None
+                if modality == "image" and payload is not None:
+                    img = _decode_ppm(bytes(payload)) or _decode_bmp(bytes(payload))
+                out_rows["asset_id"].append(aid)
+                if img is None:
+                    out_rows["width"].append(None)
+                    out_rows["height"].append(None)
+                    out_rows["resized"].append(None)
+                    continue
+                w, h, px = img
+                if px.shape[2] == 1:
+                    px = np.repeat(px, 3, axis=2)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                small = (px[ys][:, xs] * 255.0 + 0.5).astype(np.uint8)
+                ppm = b"P6\n%d %d\n255\n" % (out_w, out_h) + small.tobytes()
+                out_rows["width"].append(out_w)
+                out_rows["height"].append(out_h)
+                out_rows["resized"].append(ppm)
+            yield pd.DataFrame(out_rows)
+
+    return assets.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling PLAN: one row per sampled frame timestamp
     (sequence + explode, fully native); the actual pixel decode is the

@@ -873,6 +873,39 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+# --- Multimodal resize: REAL pixel decode → resample → re-encode ---
+def q_multimodal_resize(spark, sf_dir):
+    """Decode-and-resize over REAL image bytes: each document yields a
+    deterministic 4×4 binary PPM (header + 48 md5-derived pixel bytes,
+    built entirely JVM-side), which operators/multimodal.resize_images
+    decodes, nearest-neighbor resamples to 2×2, and re-encodes as PPM.
+    Returns the resized digest per asset — deterministic end-to-end;
+    rows-only (mirroring PPM re-encoding in SQL is not practical), with
+    the pixel math itself verified in tests on hand-built images."""
+    from cs744_big_data_system_spark.operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    header = F.lit(b"P6\n4 4\n255\n")
+    pixels = F.concat(*[
+        F.to_binary(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":px{i}"))),
+                    F.lit("hex"))
+        for i in range(3)
+    ])
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.concat(header, pixels).alias("payload"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.lit(4).alias("width"),
+        F.lit(4).alias("height"),
+        F.lit(0).cast("long").alias("duration_ms"),
+    )
+    out = resize_images(assets, out_w=2, out_h=2)
+    return out.select(
+        "asset_id", "width", "height", F.md5("resized").alias("resized_md5")
+    )
+
+
 # --- Multimodal over fixture data: the mapInPandas path, oracle-checked ---
 def q_multimodal_doc_features(spark, sf_dir):
     """Same Arrow-batched decode pipeline as multimodal_features, but
@@ -944,6 +977,7 @@ WORKLOADS = {
     "ml_cnn_fit": (q_ml_cnn_fit, None),  # iterative convolutional training loop
     "ml_logreg_fit": (q_ml_logreg_fit, None),  # iterative classification loop
     "multimodal_features": (q_multimodal_features, None),  # decode stubbed
+    "multimodal_resize": (q_multimodal_resize, None),  # real decode+resample; PPM re-encode not SQL-mirrorable
     "pagerank_synthetic": (q_pagerank_synthetic, None),  # iterative, co-partitioned regime
     "pagerank_synthetic_broadcast": (q_pagerank_synthetic_broadcast, None),  # broadcast regime
     "ml_linear_fit": (q_ml_linear_fit, None),  # iterative training loop

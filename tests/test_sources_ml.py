@@ -341,6 +341,42 @@ def test_real_media_decode_roundtrip(spark, tmp_path):
     assert wav_f[6] == 1.0                      # zero crossing every sample
 
 
+def test_resize_images_real_roundtrip(spark, tmp_path):
+    """resize_images must decode a real 4x2 PPM, nearest-neighbor
+    resample to 2x1, and re-encode decodable PPM output whose pixels
+    are the expected source samples; undecodable payloads yield NULL
+    rows that survive (no row loss)."""
+    import hashlib
+
+    from cs744_big_data_system_spark.operators.multimodal import (
+        _decode_ppm,
+        resize_images,
+    )
+    from cs744_big_data_system_spark.sources.readers import read_binary_assets
+
+    # 4x2: row0 = R R G G, row1 = B B W W
+    px = bytes(
+        [255, 0, 0] * 2 + [0, 255, 0] * 2 + [0, 0, 255] * 2 + [255, 255, 255] * 2
+    )
+    (tmp_path / "img.ppm").write_bytes(b"P6\n4 2\n255\n" + px)
+    (tmp_path / "junk.ppm").write_bytes(b"not an image")
+
+    assets = read_binary_assets(spark, str(tmp_path), glob="*.ppm")
+    rows = {r.asset_id: r for r in resize_images(assets, out_w=2, out_h=1).collect()}
+
+    def aid(name: str) -> int:
+        return int(hashlib.md5(f"file:{tmp_path}/{name}".encode()).hexdigest()[:15], 16)
+
+    good = rows[aid("img.ppm")]
+    assert (good.width, good.height) == (2, 1)
+    w, h, small = _decode_ppm(bytes(good.resized))
+    assert (w, h) == (2, 1)
+    # nearest-neighbor at xs=[0,2], ys=[0] → R, G
+    assert small[0, 0].tolist() == [1.0, 0.0, 0.0]
+    assert small[0, 1].tolist() == [0.0, 1.0, 0.0]
+    assert rows[aid("junk.ppm")].resized is None
+
+
 def test_mlp_learns_nonlinear_target_linear_cannot(spark):
     """y = x0·x1 (pure interaction) has ZERO linear signal — the best
     linear fit is the mean. The MLP, trained through the identical

@@ -56,12 +56,12 @@ def _forward_backward(X: np.ndarray, y: np.ndarray, theta: np.ndarray, n_filters
     n = X.shape[0]
     k, cb, w2, b2 = _split(theta, n_filters)
     img = X.reshape(n, SIDE, SIDE)
-    # Valid conv as 9 shifted slices: z[n,f,i,j] = Σ_ab img[n,i+a,j+b]·k[f,a,b]
-    z = np.zeros((n, n_filters, OUT, OUT))
-    for a in range(KSIZE):
-        for b in range(KSIZE):
-            z += img[:, None, a : a + OUT, b : b + OUT] * k[None, :, a, b, None, None]
-    z += cb[None, :, None, None]
+    # Valid conv as ONE BLAS contraction over im2col patch views:
+    # patches[n,i,j,a,b] is a zero-copy strided view; tensordot folds
+    # the (a,b) axes against the kernel — no 9-pass temporary chain.
+    patches = np.lib.stride_tricks.sliding_window_view(img, (KSIZE, KSIZE), axis=(1, 2))
+    z = np.tensordot(patches, k, axes=([3, 4], [1, 2]))  # (n, OUT, OUT, f)
+    z = np.moveaxis(z, 3, 1) + cb[None, :, None, None]   # (n, f, OUT, OUT)
     h = np.tanh(z)
     flat = h.reshape(n, -1)
     yhat = flat @ w2 + b2
@@ -72,10 +72,9 @@ def _forward_backward(X: np.ndarray, y: np.ndarray, theta: np.ndarray, n_filters
     dflat = np.outer(resid, w2)                       # (n, f·OUT²)
     dz = dflat.reshape(n, n_filters, OUT, OUT) * (1.0 - h * h)
     g_cb = dz.sum(axis=(0, 2, 3))
-    g_k = np.zeros_like(k)
-    for a in range(KSIZE):
-        for b in range(KSIZE):
-            g_k[:, a, b] = np.einsum("nfij,nij->f", dz, img[:, a : a + OUT, b : b + OUT])
+    # g_k[f,a,b] = Σ_nij dz[n,f,i,j]·patches[n,i,j,a,b] — same strided
+    # view, one contraction.
+    g_k = np.tensordot(dz, patches, axes=([0, 2, 3], [0, 1, 2]))  # (f, 3, 3)
     grad = np.concatenate([g_k.ravel(), g_cb, g_w2, [g_b2]])
     return grad, float(resid @ resid), n
 

@@ -490,3 +490,89 @@ def embedding_cosine_neardup_lsh(
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def substring_dup_coverage(
+    documents: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-SPAN coverage via positional shingles —
+    the substring-level exact-dedup signal ("Deduplicating Training
+    Data Makes Language Models Better", Lee et al. 2022) expressed
+    relationally instead of via a monolithic suffix array.
+
+    A token position is *duplicated* when some ``n``-token window
+    covering it occurs ≥ ``min_count`` times corpus-wide. Steps:
+
+      1. positional shingles: (doc_id, pos, hash(gram)) via posexplode
+         — pos is the 0-based start-token index, so the gram covers
+         tokens [pos, pos+n-1];
+      2. duplicated grams: one hash-groupBy on the 60-bit gram hash
+         (well-distributed key, map-side partial count), kept as a
+         left-semi join back onto the positions — never collected;
+      3. span merge: per-doc interval union of the duplicated windows
+         with the classic running-max(end) window trick (new group
+         when start > max end of all earlier intervals), then
+         covered = max(end)−min(start)+1 per merged group;
+      4. per-doc rollup joined back onto ALL docs (zeros for clean
+         docs), dup_share = covered tokens / total tokens.
+
+    Scale shape: one shuffle keyed by gram hash (step 2), one keyed by
+    doc_id for the interval window + rollup (steps 3-4 ride the same
+    partitioning), one doc_id join. No per-pair blowup anywhere — the
+    cost is linear in total corpus positions, which is why this is the
+    substring analogue of the banded-LSH family above. A suffix-array
+    build would find arbitrary-length duplicated substrings; fixing the
+    window at ``n`` tokens is the standard relational relaxation (spans
+    longer than n are unions of overlapping n-windows and merge back
+    together in step 3, so long duplicated runs are still measured at
+    full length).
+    """
+    docs = _with_canon_tokens(documents, "doc_id").select(
+        "doc_id",
+        F.size("_tk").alias("n_tokens"),
+        ngrams_from_tokens("_tk", n).alias("_g"),
+    )
+    pos = docs.select(
+        "doc_id",
+        F.posexplode("_g").alias("pos", "gram"),
+    ).select("doc_id", "pos", md5_int60("gram").alias("gram_hash"))
+    dup_hashes = (
+        pos.groupBy("gram_hash")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("gram_hash")
+    )
+    from pyspark.sql import Window
+
+    spans = pos.join(dup_hashes, "gram_hash", "left_semi").select(
+        "doc_id", F.col("pos").alias("s"), (F.col("pos") + n - 1).alias("e")
+    )
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    grouped = (
+        spans.withColumn(
+            "_newg", (F.col("s") > F.coalesce(prev_max_e, F.lit(-1))).cast("int")
+        )
+        .withColumn("_grp", F.sum("_newg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    merged = grouped.groupBy("doc_id", "_grp").agg(
+        (F.max("e") - F.min("s") + 1).alias("_covered")
+    )
+    cov = merged.groupBy("doc_id").agg(F.sum("_covered").alias("dup_tokens"))
+    ndup = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    return (
+        docs.select("doc_id", "n_tokens")
+        .join(ndup, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("dup_share"),
+        )
+    )

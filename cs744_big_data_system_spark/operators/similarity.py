@@ -267,3 +267,160 @@ def cosine_topk_lsh(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    kc: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebook: (s, code, c_sub) — for each of the
+    ``m`` subspaces, ``kc`` centroid sub-vectors of length dim/m.
+
+    Centroids are the first ``kc`` corpus vectors by id, sliced per
+    subspace — the same training-free, fully-relational quantizer choice
+    as cosine_topk_ivf's coarse centroids, which keeps every downstream
+    code assignment oracle-reproducible (a per-subspace k-means
+    refinement would drop in here without changing the plan). kc·m rows
+    total — broadcast-sized by construction.
+    """
+    dsub = dim // m
+    w = Window.orderBy(F.col(id_col).asc())
+    cent = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(kc)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
+        .withColumn("code", F.row_number().over(w) - 1)
+    )
+    return cent.select(
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        "code",
+        "_cv",
+    ).select(
+        "s", "code", F.slice("_cv", F.col("s") * dsub + 1, dsub).alias("c_sub")
+    )
+
+
+def _pq_subspace_dist_int(v_sub, c_sub) -> "F.Column":
+    """Squared L2 distance between two sub-vectors, scaled to an exact
+    integer (floor(d·1e6 + 0.5)). Integer partials sum EXACTLY, so the
+    ADC distance — a sum of m partials — is identical regardless of
+    accumulation order on either engine; float partials would make the
+    candidate ranking sensitive to summation order."""
+    diffs = F.zip_with(v_sub, c_sub, lambda x, y: (x - y) * (x - y))
+    d = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+    return F.floor(d * 1000000 + F.lit(0.5)).cast("long")
+
+
+def _pq_subspace_partials(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    m: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, s, code, pd): integer sub-distance from every vector's
+    subspace slice to every centroid of that subspace — the shared
+    building block of encoding (argmin over code) and the query LUT
+    (keep all kc rows). Codebook is broadcast; the corpus never
+    shuffles here."""
+    dsub = dim // m
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        "_v",
+    ).select(
+        id_col, "s", F.slice("_v", F.col("s") * dsub + 1, dsub).alias("v_sub")
+    )
+    return v.join(F.broadcast(codebook), "s").select(
+        id_col, "s", "code", _pq_subspace_dist_int("v_sub", "c_sub").alias("pd")
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codes: (id, s, code) — per subspace, the centroid minimizing
+    the integer sub-distance (code asc tiebreak, so assignment is
+    exactly reproducible). m small ints per vector ≈ dim/m × 32-bit
+    compression — the representation that lets a billion-vector shard
+    sit in executor memory."""
+    pd = _pq_subspace_partials(vectors, codebook, dim, m, id_col, vec_col)
+    w = Window.partitionBy(id_col, "s").orderBy(F.col("pd").asc(), F.col("code").asc())
+    return (
+        pd.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "s", "code")
+    )
+
+
+def cosine_topk_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    kc: int = 16,
+    n_candidates: int = 32,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011) — the third scale path next to
+    IVF (coarse pruning) and LSH (bucket collision):
+
+      1. codebook: kc centroid sub-vectors per subspace (broadcast);
+      2. encode the corpus once: m small codes per vector (the 100 TB
+         move — the scan that ranks candidates reads CODES, not raw
+         vectors, an ~m·log2(kc)-bit representation);
+      3. asymmetric distance (ADC): per query, a LUT of kc·m integer
+         sub-distances; candidate distance = Σ_s LUT[s, code_s] via one
+         (s, code) equi-join + sum — map-side combinable, integer-exact;
+      4. exact cosine re-rank of the top ``n_candidates`` only.
+
+    Every step is deterministic relational math (training-free codebook,
+    integer ADC partials, id tiebreaks), so unlike classical PQ this
+    instance is oracle-checked bit-for-bit, while recall vs the
+    brute-force baseline is asserted separately in tests.
+    """
+    book = pq_codebook(corpus, dim, m, kc, id_col, vec_col)
+    codes = pq_encode(corpus, book, dim, m, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    lut = _pq_subspace_partials(queries, book, dim, m, id_col, vec_col).withColumnRenamed(
+        id_col, "query_id"
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pd").alias("adist"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        adc.withColumn("_crn", F.row_number().over(wc))
+        .filter(F.col("_crn") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_emb"))
+    scored = cand.join(F.broadcast(q), "query_id").join(c, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity("q_emb", "c_emb"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

@@ -528,6 +528,80 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
 """
 
 
+# --- Product-quantization ANN (codes + ADC scan) — oracle-checked ---
+def q_cosine_topk_pq(spark, sf_dir):
+    """PQ: corpus encoded as m=8 small codes, candidates ranked by the
+    integer asymmetric-distance LUT sum, exact cosine re-rank of the
+    top 32. Training-free codebook (first-16 corpus rows sliced per
+    subspace) keeps every code assignment deterministic, so the whole
+    ADC pipeline is hash-checked, not just recall-tested."""
+    from cs744_big_data_system_spark.operators.similarity import cosine_topk_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk_pq(queries, emb, dim=64, m=8, kc=16, n_candidates=32, k=5)
+
+
+def _sql_cosine_topk_pq(
+    m: int = 8, kc: int = 16, dsub: int = 8, n_candidates: int = 32, k: int = 5
+) -> str:
+    """Mirror of operators/similarity.cosine_topk_pq: same slices, same
+    integer floor(d·1e6+0.5) partials, same tiebreaks."""
+    sqd = (
+        f"list_sum(list_transform(range(1, {dsub + 1}), i -> "
+        "(CAST(vs.v_sub[i] AS DOUBLE) - b.c_sub[i]) * (CAST(vs.v_sub[i] AS DOUBLE) - b.c_sub[i])))"
+    )
+    return f"""
+WITH cent0 AS (
+  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {kc}
+), cent AS (
+  SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS code FROM cent0
+), book AS (
+  SELECT r.range AS s, c.code,
+         list_slice(c.embedding, r.range * {dsub} + 1, r.range * {dsub} + {dsub}) AS c_sub
+  FROM cent c CROSS JOIN range(0, {m}) r
+), vsub AS (
+  SELECT v.vec_id, r.range AS s,
+         list_slice(v.embedding, r.range * {dsub} + 1, r.range * {dsub} + {dsub}) AS v_sub
+  FROM embeddings v CROSS JOIN range(0, {m}) r
+), pd AS (
+  SELECT vs.vec_id, vs.s, b.code,
+         CAST(floor({sqd} * 1000000 + 0.5) AS BIGINT) AS pd
+  FROM vsub vs JOIN book b ON b.s = vs.s
+), enc AS (
+  SELECT vec_id AS neighbor_id, s, code FROM (
+    SELECT vec_id, s, code,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY pd ASC, code ASC) AS rn
+    FROM pd
+  ) WHERE rn = 1
+), lut AS (
+  SELECT vec_id AS query_id, s, code, pd FROM pd WHERE vec_id < 20
+), adc AS (
+  SELECT l.query_id, e.neighbor_id, sum(l.pd) AS adist
+  FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+  WHERE l.query_id <> e.neighbor_id
+  GROUP BY 1, 2
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS crn
+    FROM adc
+  ) WHERE crn <= {n_candidates}
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT c.query_id, c.neighbor_id, round({{cos}}, 6) AS cosine,
+         row_number() OVER (PARTITION BY c.query_id
+                            ORDER BY round({{cos}}, 6) DESC, c.neighbor_id ASC) AS rnk
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings n ON n.vec_id = c.neighbor_id
+) WHERE rnk <= {k}
+"""
+
+
+SQL_COSINE_TOPK_PQ = _sql_cosine_topk_pq().replace("{cos}", _SQL_COS_QN)
+
+
 # --- Language-ID heuristic ---
 def q_lang_id(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -1310,6 +1384,71 @@ def q_text_bpe_tokenize(spark, sf_dir):
     return bpe_tokenize(docs, merges)
 
 
+# --- Substring-level duplicated-span coverage (Lee et al. 2022) ---
+#: window length (tokens) for the positional-shingle substring dedup.
+SUBSTR_N = 8
+
+
+def q_dedup_substring(spark, sf_dir):
+    """Per-doc duplicated-span token coverage: positional n-gram windows
+    occurring ≥2× corpus-wide, interval-merged per doc (running-max
+    window trick) so long duplicated runs count at full length. The
+    relational relaxation of suffix-array ExactSubstr dedup — linear in
+    corpus positions, no pair blowup."""
+    from cs744_big_data_system_spark.operators.dedup import substring_dup_coverage
+
+    return substring_dup_coverage(load_table(spark, sf_dir, "documents"), n=SUBSTR_N)
+
+
+def _sql_dedup_substring(n: int = SUBSTR_N) -> str:
+    concat = " || ' ' || ".join(f"tk[i+{k}]" if k else "tk[i]" for k in range(n))
+    ngram = (
+        f"CASE WHEN len(tk) >= {n} THEN list_transform(range(1, len(tk) - {n - 2}),"
+        f" i -> {concat}) ELSE [] END"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_CANON_TOKS} AS tk FROM documents
+), docs AS (
+  SELECT doc_id, len(tk) AS n_tokens, {ngram} AS g FROM toks
+), pg AS (
+  SELECT doc_id, unnest(list_transform(g, (x, i) -> struct_pack(pos := i - 1, h := x))) AS u
+  FROM docs
+), ph AS (
+  SELECT doc_id, u.pos AS pos, {_sql_md5_int60("u.h")} AS gram_hash FROM pg
+), dup AS (
+  SELECT gram_hash FROM ph GROUP BY gram_hash HAVING count(*) >= 2
+), dpos AS (
+  SELECT p.doc_id, p.pos AS s, p.pos + {n} - 1 AS e
+  FROM ph p WHERE EXISTS (SELECT 1 FROM dup d WHERE d.gram_hash = p.gram_hash)
+), marked AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS newg
+  FROM dpos
+), grp AS (
+  SELECT doc_id, s, e,
+         sum(newg) OVER (PARTITION BY doc_id ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM marked
+), merged AS (
+  SELECT doc_id, g, max(e) - min(s) + 1 AS covered FROM grp GROUP BY doc_id, g
+), cov AS (
+  SELECT doc_id, CAST(sum(covered) AS BIGINT) AS dup_tokens FROM merged GROUP BY doc_id
+), ndup AS (
+  SELECT doc_id, count(*) AS n_dup_grams FROM dpos GROUP BY doc_id
+)
+SELECT d.doc_id, d.n_tokens,
+       CAST(coalesce(n.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(coalesce(c.dup_tokens, 0) * 1.0 / d.n_tokens, 6) AS dup_share
+FROM docs d LEFT JOIN ndup n USING (doc_id) LEFT JOIN cov c USING (doc_id)
+"""
+
+
+SQL_DEDUP_SUBSTRING = _sql_dedup_substring()
+
+
 WORKLOADS = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
@@ -1348,4 +1487,6 @@ WORKLOADS = {
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "text_bpe_merges": (q_text_bpe_merges, None),  # iterative driver loop
     "text_bpe_tokenize": (q_text_bpe_tokenize, None),  # depends on learned merges
+    "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
+    "sim_cosine_topk_pq": (q_cosine_topk_pq, SQL_COSINE_TOPK_PQ),
 }

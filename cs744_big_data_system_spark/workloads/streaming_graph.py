@@ -678,6 +678,45 @@ SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM walk GROUP BY node
 """
 
 
+# --- Weighted SSSP: Bellman-Ford frontier relaxation, oracle-checked ---
+#: deterministic positive edge weights 1..9 for the hash graph, so the
+#: weighted kernel is exactly reproducible on both engines.
+_SSSP_W = "(src * 7 + dst * 13) % 9 + 1"
+
+
+def q_graph_sssp(spark, sf_dir):
+    """Minimum path WEIGHT from node 0 on the hash graph with
+    deterministic integer weights — the weighted sibling of
+    graph_bfs_hops, run as a Bellman-Ford frontier-relaxation BSP loop
+    (graph/sssp.py: edges cached and partition-reused, only improved
+    nodes re-expand). Oracle-checked against a bounded recursive CTE
+    (states pruned at dist < 48 > the measured max shortest dist 29, so
+    every true shortest path survives the cut), and golden-tested
+    against a driver-side Dijkstra."""
+    from cs744_big_data_system_spark.graph.sssp import sssp
+
+    edges = _hash_graph(spark).select(
+        "src", "dst", F.expr(_SSSP_W).cast("long").alias("w")
+    )
+    out = sssp(edges, source=0, max_iters=30, num_partitions=4)
+    return out.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+SQL_GRAPH_SSSP = f"""
+WITH RECURSIVE g AS (
+  SELECT src, dst, CAST({_SSSP_W} AS BIGINT) AS w
+  FROM ({_SQL_HASH_GRAPH}) WHERE src <> dst
+), walk(node, dist) AS (
+  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+  UNION
+  SELECT g.dst AS node, walk.dist + g.w AS dist
+  FROM walk JOIN g ON g.src = walk.node
+  WHERE walk.dist + g.w < 48
+)
+SELECT node, min(dist) AS dist FROM walk GROUP BY node
+"""
+
+
 # --- BFS via WITH RECURSIVE through the Spark SQL text front end ---
 def q_graph_bfs_sql(spark, sf_dir):
     """The SAME single-source BFS as graph_bfs_hops, but declared as a
@@ -965,6 +1004,7 @@ WORKLOADS = {
     "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "graph_degree_histogram": (q_graph_degree_histogram, SQL_GRAPH_DEGREE_HISTOGRAM),
     "graph_bfs_hops": (q_graph_bfs_hops, SQL_GRAPH_BFS_HOPS),
+    "graph_sssp": (q_graph_sssp, SQL_GRAPH_SSSP),
     "graph_bfs_sql": (q_graph_bfs_sql, SQL_GRAPH_BFS_SQL),
     "synthdocs_stream_profile": (q_synthdocs_stream_profile, SQL_SYNTHDOCS_STREAM),
     "graph_two_hop": (q_graph_two_hop, SQL_GRAPH_TWO_HOP),

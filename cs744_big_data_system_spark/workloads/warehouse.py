@@ -315,6 +315,49 @@ def q_hll_rollup(spark, sf_dir):
     )
 
 
+# --- Count-min sketch heavy hitters — deterministic, oracle-checked ---
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Top-20 users by count-min ESTIMATE with the exact count
+    alongside (est ≥ true visible in the result). The sketch is a
+    ≤ d·w = 1024-row table built by one map-side-combinable groupBy —
+    bounded state regardless of key cardinality, mergeable by sum like
+    the HLL rollup — and unlike HLL the md5-derived buckets make every
+    estimate integer-exact, so this sketch query is hash-checked
+    against the oracle, not just tolerance-tested."""
+    from cs744_big_data_system_spark.operators.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(load_table(spark, sf_dir, "events"), "user_id", k=20)
+
+
+def _sql_cms(depth: int = 4, width: int = 256, k: int = 20) -> str:
+    bucket = (
+        "CAST(('0x' || substr(md5('cms:' || r.range || ':' || CAST({uid} AS VARCHAR)), 1, 15))"
+        f" AS BIGINT) % {width}"
+    )
+    return f"""
+WITH sk AS (
+  SELECT j, bucket, count(*) AS cnt FROM (
+    SELECT r.range AS j, {bucket.format(uid="user_id")} AS bucket
+    FROM events CROSS JOIN range(0, {depth}) r
+  ) GROUP BY 1, 2
+), truth AS (
+  SELECT user_id, count(*) AS true_cnt FROM events GROUP BY 1
+), probes AS (
+  SELECT t.user_id, r.range AS j, {bucket.format(uid="t.user_id")} AS bucket
+  FROM truth t CROSS JOIN range(0, {depth}) r
+), est AS (
+  SELECT p.user_id, min(coalesce(s.cnt, 0)) AS est
+  FROM probes p LEFT JOIN sk s ON s.j = p.j AND s.bucket = p.bucket GROUP BY 1
+)
+SELECT e.user_id, CAST(est AS BIGINT) AS est, CAST(true_cnt AS BIGINT) AS true_cnt
+FROM est e JOIN truth t ON t.user_id = e.user_id
+ORDER BY est DESC, e.user_id ASC LIMIT {k}
+"""
+
+
+SQL_CMS_HEAVY_HITTERS = _sql_cms()
+
+
 # --- Incremental view maintenance: mergeable partial-aggregate refresh ---
 def q_incremental_agg_merge(spark, sf_dir):
     """Refresh a per-user aggregate view from a delta batch WITHOUT
@@ -417,4 +460,5 @@ WORKLOADS = {
     "incremental_agg_merge": (q_incremental_agg_merge, SQL_INCREMENTAL_AGG),
     "skew_diagnostics": (q_skew_diagnostics, SQL_SKEW_DIAGNOSTICS),
     "hll_rollup": (q_hll_rollup, None),  # sketch estimates are engine-specific
+    "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
 }

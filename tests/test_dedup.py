@@ -215,3 +215,24 @@ def test_embedding_neardup_lsh_recall(spark):
     assert lsh <= exact                  # verify step: no false positives
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.9, f"recall {recall:.2f}"
+
+
+def test_substring_coverage_planted_span(spark):
+    from cs744_big_data_system_spark.operators.dedup import substring_dup_coverage
+
+    shared = " ".join(f"s{i}" for i in range(12))  # 12-token duplicated run
+    rows = [
+        (1, "u1 u2 u3 u4 u5 " + shared + " v1 v2 v3 v4 v5"),
+        (2, "w1 w2 w3 w4 w5 " + shared + " x1 x2 x3 x4 x5"),
+        (3, " ".join(f"z{i}" for i in range(22))),  # clean doc, same length
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in substring_dup_coverage(docs, n=8).collect()}
+    # 5 duplicated 8-windows inside the shared run merge back to the
+    # full 12-token span; the clean doc reports zeros but still appears.
+    for d in (1, 2):
+        assert got[d].n_dup_grams == 5
+        assert got[d].dup_tokens == 12
+        assert abs(got[d].dup_share - 12 / 22) < 1e-6
+    assert got[3].dup_tokens == 0 and got[3].dup_share == 0.0
+    assert got[3].n_tokens == 22

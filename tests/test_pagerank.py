@@ -215,3 +215,43 @@ def test_kcore_peeling_golden(spark):
     )
     assert {r.node for r in k_core(k4, k=3).collect()} == {0, 1, 2, 3}
     assert k_core(k4, k=4).count() == 0
+
+
+def test_sssp_matches_driver_dijkstra(spark):
+    """Weighted SSSP BSP loop vs an independent driver-side Dijkstra on
+    a small deterministic graph (same construction as the workload's
+    hash graph, smaller N so the golden run is instant)."""
+    import heapq
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from cs744_big_data_system_spark.graph.sssp import sssp
+
+    N, D, A, B = 200, 4, 17, 29
+    adj = defaultdict(list)
+    rows = []
+    for s in range(N):
+        for j in range(1, D + 1):
+            d = (s * s * A + j * B) % N
+            if d != s:
+                w = (s * 7 + d * 13) % 9 + 1
+                adj[s].append((d, w))
+                rows.append((s, d, w))
+    dist = {0: 0}
+    pq = [(0, 0)]
+    while pq:
+        dd, u = heapq.heappop(pq)
+        if dd > dist.get(u, 1 << 60):
+            continue
+        for v, w in adj[u]:
+            nd = dd + w
+            if nd < dist.get(v, 1 << 60):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+
+    edges = spark.createDataFrame(rows, ["src", "dst", "w"])
+    out = sssp(edges, source=0, max_iters=40, num_partitions=4)
+    got = {r.node: r.dist for r in out.collect()}
+    out.cached_links.unpersist()
+    assert got == dist

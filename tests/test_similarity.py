@@ -144,3 +144,33 @@ def test_ivf_nprobe_recall_monotone(spark, emb_df, vectors):
     r1, r2 = recall(1), recall(2)
     assert r2 >= r1            # widening the probe can only add candidates
     assert r2 >= 0.8           # clustered data: 2 probes ~cover the cluster
+
+
+def test_pq_encode_shape_and_range(spark, emb_df):
+    from cs744_big_data_system_spark.operators.similarity import pq_codebook, pq_encode
+
+    book = pq_codebook(emb_df, dim=8, m=4, kc=8)
+    assert book.count() == 4 * 8
+    codes = pq_encode(emb_df, book, dim=8, m=4)
+    per_vec = codes.groupBy("vec_id").count().collect()
+    assert all(r["count"] == 4 for r in per_vec) and len(per_vec) == 90
+    rng = codes.agg({"code": "min"}).collect()[0][0], codes.agg({"code": "max"}).collect()[0][0]
+    assert 0 <= rng[0] and rng[1] <= 7
+
+
+def test_pq_recall_on_clusters(spark, emb_df, vectors):
+    from pyspark.sql import functions as F
+
+    from cs744_big_data_system_spark.operators.similarity import cosine_topk_pq
+
+    truth = brute_force_topk(vectors, k=3)
+    got_df = cosine_topk_pq(
+        emb_df.filter(F.col("vec_id") < 10), emb_df, dim=8, m=4, kc=8,
+        n_candidates=20, k=3,
+    )
+    got: dict[int, list[int]] = {}
+    for r in got_df.orderBy("query_id", "rnk").collect():
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    hits = sum(len(set(got.get(q, [])) & set(t)) for q, t in truth.items())
+    total = sum(len(t) for t in truth.values())
+    assert hits / total >= 0.8, f"PQ recall {hits}/{total}"

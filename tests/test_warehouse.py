@@ -360,3 +360,38 @@ def test_fk_orphans_detects_planted_orphans(spark):
     assert got["lineitem->orders"] == 0
     assert got["orders->customer"] == 0
     assert got["customer->nation"] == 0
+
+
+def test_cms_sketch_laws(spark):
+    """Count-min: (1) one-sided error — every estimate ≥ the true
+    count; (2) mergeability — sketches of two halves union+sum to the
+    sketch of the whole; (3) the planted hot key tops the ranking."""
+    from pyspark.sql import functions as F
+
+    from cs744_big_data_system_spark.operators.sketches import (
+        cms_heavy_hitters,
+        count_min_build,
+        count_min_estimate,
+    )
+
+    rows = [(i, f"k{i % 37}") for i in range(1000)] + [(9999 + i, "hot") for i in range(400)]
+    df = spark.createDataFrame(rows, ["i", "key"])
+
+    sketch = count_min_build(df, "key", depth=4, width=64)
+    truth = df.groupBy("key").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = count_min_estimate(truth.select("key"), sketch, "key", depth=4, width=64)
+    joined = est.join(truth, "key").collect()
+    assert len(joined) == 38
+    assert all(r.est >= r.true_cnt for r in joined)
+
+    half_a = count_min_build(df.filter(F.col("i") % 2 == 0), "key", depth=4, width=64)
+    half_b = count_min_build(df.filter(F.col("i") % 2 == 1), "key", depth=4, width=64)
+    merged = (
+        half_a.unionByName(half_b)
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, sketch.collect()))
+
+    top = cms_heavy_hitters(df, "key", k=1, depth=4, width=64).collect()
+    assert top[0].key == "hot" and top[0].true_cnt == 400

@@ -88,6 +88,18 @@ HEADLINE = [
     # the engine's data-parallel analogue — 10 supersteps per run, so
     # bench-time/10 gives the comparable per-iteration figure.
     "ml_mlp_fit",
+    # round-3 session additions: substring-span dedup (positional
+    # shingles + interval merge), PQ ANN (code scan + ADC), count-min
+    # heavy hitters (bounded-state sketch), weighted SSSP relaxation
+    "dedup_substring",
+    "sim_cosine_topk_pq",
+    "cms_heavy_hitters",
+    "graph_sssp",
+    "graph_label_propagation",
+    "kmv_distinct",
+    "anomaly_zscore",
+    "stream_cms_replay",
+    "ml_tree_split",
 ]
 
 

@@ -508,27 +508,37 @@ def substring_dup_coverage(
       1. positional shingles: (doc_id, pos, hash(gram)) via posexplode
          — pos is the 0-based start-token index, so the gram covers
          tokens [pos, pos+n-1];
-      2. duplicated grams: one hash-groupBy on the 60-bit gram hash
-         (well-distributed key, map-side partial count), kept as a
-         left-semi join back onto the positions — never collected;
+      2. duplicated grams: a COUNT window partitioned on the 60-bit
+         gram hash, filtered ≥ min_count — one shuffle keyed on the
+         well-distributed hash and, crucially, ONE evaluation of the
+         expensive tokenize→ngram→md5 subtree (the groupBy + semi-join
+         formulation re-derives that subtree once per consumer, which
+         benched 4× slower at sf0.1);
       3. span merge: per-doc interval union of the duplicated windows
          with the classic running-max(end) window trick (new group
          when start > max end of all earlier intervals), then
-         covered = max(end)−min(start)+1 per merged group;
+         covered = max(end)−min(start)+1 per merged group — and the
+         per-group gram count rides the same aggregate, so the per-doc
+         rollup (covered tokens AND duplicated-gram count) folds out of
+         one chain instead of re-scanning the spans;
       4. per-doc rollup joined back onto ALL docs (zeros for clean
          docs), dup_share = covered tokens / total tokens.
 
     Scale shape: one shuffle keyed by gram hash (step 2), one keyed by
-    doc_id for the interval window + rollup (steps 3-4 ride the same
-    partitioning), one doc_id join. No per-pair blowup anywhere — the
-    cost is linear in total corpus positions, which is why this is the
-    substring analogue of the banded-LSH family above. A suffix-array
-    build would find arbitrary-length duplicated substrings; fixing the
-    window at ``n`` tokens is the standard relational relaxation (spans
-    longer than n are unions of overlapping n-windows and merge back
-    together in step 3, so long duplicated runs are still measured at
-    full length).
+    doc_id for the interval windows (the (doc_id, _grp) and doc_id
+    aggregates that follow are hierarchical rollups of that same key),
+    one doc_id join against the cheap (doc_id, n_tokens) side. No
+    per-pair blowup anywhere — the cost is linear in total corpus
+    positions, which is why this is the substring analogue of the
+    banded-LSH family above. A suffix-array build would find
+    arbitrary-length duplicated substrings; fixing the window at ``n``
+    tokens is the standard relational relaxation (spans longer than n
+    are unions of overlapping n-windows and merge back together in
+    step 3, so long duplicated runs are still measured at full
+    length).
     """
+    from pyspark.sql import Window
+
     docs = _with_canon_tokens(documents, "doc_id").select(
         "doc_id",
         F.size("_tk").alias("n_tokens"),
@@ -538,16 +548,11 @@ def substring_dup_coverage(
         "doc_id",
         F.posexplode("_g").alias("pos", "gram"),
     ).select("doc_id", "pos", md5_int60("gram").alias("gram_hash"))
-    dup_hashes = (
-        pos.groupBy("gram_hash")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") >= min_count)
-        .select("gram_hash")
-    )
-    from pyspark.sql import Window
-
-    spans = pos.join(dup_hashes, "gram_hash", "left_semi").select(
-        "doc_id", F.col("pos").alias("s"), (F.col("pos") + n - 1).alias("e")
+    wdf = Window.partitionBy("gram_hash")
+    spans = (
+        pos.withColumn("_df", F.count(F.lit(1)).over(wdf))
+        .filter(F.col("_df") >= min_count)
+        .select("doc_id", F.col("pos").alias("s"), (F.col("pos") + n - 1).alias("e"))
     )
     w = Window.partitionBy("doc_id").orderBy("s")
     prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -558,14 +563,16 @@ def substring_dup_coverage(
         .withColumn("_grp", F.sum("_newg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
     )
     merged = grouped.groupBy("doc_id", "_grp").agg(
-        (F.max("e") - F.min("s") + 1).alias("_covered")
+        (F.max("e") - F.min("s") + 1).alias("_covered"),
+        F.count(F.lit(1)).alias("_n_grams"),
     )
-    cov = merged.groupBy("doc_id").agg(F.sum("_covered").alias("dup_tokens"))
-    ndup = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    per_doc = merged.groupBy("doc_id").agg(
+        F.sum("_covered").alias("dup_tokens"),
+        F.sum("_n_grams").alias("n_dup_grams"),
+    )
     return (
         docs.select("doc_id", "n_tokens")
-        .join(ndup, "doc_id", "left")
-        .join(cov, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",

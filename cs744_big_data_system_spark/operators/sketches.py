@@ -111,3 +111,55 @@ def cms_heavy_hitters(
         .limit(k)
         .select(key_col, "est", "true_cnt")
     )
+
+
+#: 2^60 — the KMV hash space size (md5_int60 values are uniform in
+#: [0, 2^60)); one double constant shared with the oracle.
+_KMV_SPACE = float(1 << 60)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """Distinct-count estimate per group via the K-minimum-values
+    sketch (Bar-Yossef et al. 2002; the theta-sketch core): keep the k
+    smallest 60-bit hashes of the key; if the k-th smallest is m then
+    the keys are ~uniform in [0, m], so n̂ = (k−1)·2^60/m. Exact when a
+    group has < k distinct keys (the sketch IS the key set).
+
+    Like the count-min build, the sketch is bounded state (k hashes per
+    group, vs O(distinct) for exact count-distinct) and mergeable: the
+    k smallest of a union are among the union of each side's k
+    smallest — union + re-take-k, same shape as the HLL rollup. And
+    like count-min, md5 hashing makes every estimate deterministic, so
+    the workload entry is hash-checked against the oracle (Spark's own
+    approx_count_distinct is engine-specific and can't be).
+
+    One distinct (group, hash) shuffle + one per-group window — the
+    window partitions on the group key, so no single-partition funnel.
+    Output: (group, n_exact, kmv_est) with the exact count alongside to
+    make the estimate's error visible, est rounded to 4 dp.
+    """
+    from pyspark.sql import Window
+
+    hashes = df.select(
+        F.col(group_col), md5_int60(F.col(key_col).cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy(group_col).orderBy(F.col("h").asc())
+    topk = hashes.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    sk = topk.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"), F.max("h").alias("_kth")
+    )
+    exact = df.groupBy(group_col).agg(
+        F.countDistinct(key_col).alias("n_exact")
+    )
+    est = F.when(F.col("_n_kept") < k, F.col("_n_kept").cast("double")).otherwise(
+        (k - 1) * F.lit(_KMV_SPACE) / F.col("_kth")
+    )
+    return (
+        sk.join(exact, group_col)
+        .select(group_col, "n_exact", F.round(est, 4).alias("kmv_est"))
+    )

@@ -1384,6 +1384,42 @@ def q_text_bpe_tokenize(spark, sf_dir):
     return bpe_tokenize(docs, merges)
 
 
+# --- Corpus-wide top-k n-grams (vocabulary / boilerplate mining) ---
+def q_ngram_topk(spark, sf_dir):
+    """Top-30 word trigrams corpus-wide with document frequency —
+    the vocabulary-mining companion of text_boilerplate. One explode +
+    one count groupBy (map-side combinable on the high-cardinality
+    gram key) + TakeOrderedAndProject for the final k — no global
+    sort. Ties broken lexicographically so the cut is deterministic."""
+    from cs744_big_data_system_spark.functions.text import ngrams_from_tokens, tokens
+    from cs744_big_data_system_spark.operators.dedup import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", tokens(normalized_text("text")).alias("_tk"))
+        .select("doc_id", F.explode(ngrams_from_tokens("_tk", 3)).alias("gram"))
+    )
+    counts = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("gram").asc()
+    ).limit(30)
+
+
+SQL_NGRAM_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_CANON_TOKS} AS tk FROM documents
+), grams AS (
+  SELECT doc_id, unnest({_SQL_NGRAM3}) AS gram FROM toks
+)
+SELECT gram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM grams GROUP BY gram
+ORDER BY n_occurrences DESC, gram ASC LIMIT 30
+"""
+
+
 # --- Substring-level duplicated-span coverage (Lee et al. 2022) ---
 #: window length (tokens) for the positional-shingle substring dedup.
 SUBSTR_N = 8
@@ -1489,4 +1525,5 @@ WORKLOADS = {
     "text_bpe_tokenize": (q_text_bpe_tokenize, None),  # depends on learned merges
     "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
     "sim_cosine_topk_pq": (q_cosine_topk_pq, SQL_COSINE_TOPK_PQ),
+    "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
 }

@@ -1027,6 +1027,39 @@ GROUP BY lang
 """
 
 
+def q_sample_per_group(spark, sf_dir):
+    """Exactly-k-per-group sample (5 docs per lang), deterministically:
+    rank by md5-uniform(doc_id) inside each group and keep rank ≤ k —
+    the reproducible equivalent of per-stratum reservoir sampling. One
+    window keyed on the group column (no single-partition funnel), and
+    at scale the rank can ride a pre-bucketed layout. Unlike rand()
+    reservoirs, re-running yields the same sample — the property a
+    100 TB eval-holdout pipeline needs."""
+    from cs744_big_data_system_spark.operators.dedup import md5_int60
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = md5_int60(F.concat(F.lit("samp:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(u.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", "rn")
+    )
+
+
+SQL_SAMPLE_PER_GROUP = """
+SELECT lang, doc_id, rn FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+                    doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+
 # --- CDC log compaction: latest record per key ---
 def q_latest_by_key(spark, sf_dir):
     """Upsert-log compaction: keep each user's LATEST event (by ts,
@@ -1104,6 +1137,44 @@ FROM dau d LEFT JOIN first_seen f ON d.day = f.day
 
 
 # --- Funnel latency: time-to-convert percentiles per step pair ---
+def q_anomaly_zscore(spark, sf_dir):
+    """Trailing-window anomaly detection: each event's value scored
+    against the mean/stddev of the SAME user's previous 20 events
+    (rows frame, strictly before the current row — no leakage), flag
+    |z| ≥ 2. One window pass keyed on user_id — the shuffle is the
+    per-user repartition and nothing else; at scale the frame holds 20
+    rows per position regardless of history length. z is rounded to
+    6 dp BEFORE thresholding on both engines so accumulation-order
+    noise (segment-tree vs streaming frame sums) cannot flip a
+    boundary row."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-20, -1)
+    mean = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = F.round((F.col("value") - mean) / sd, 6)
+    return (
+        ev.select("event_id", "user_id", "value", F.when(sd > 0, z).alias("z"))
+        .filter(F.abs(F.col("z")) >= 2.0)
+        .select("event_id", "user_id", F.round("value", 6).alias("value"), "z")
+    )
+
+
+SQL_ANOMALY_ZSCORE = """
+WITH scored AS (
+  SELECT event_id, user_id, value,
+         round((value - avg(value) OVER w) /
+               nullif(stddev_samp(value) OVER w, 0), 6) AS z
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, round(value, 6) AS value, z
+FROM scored WHERE abs(z) >= 2.0
+"""
+
+
 def q_funnel_latency(spark, sf_dir):
     """Median and p90 seconds from each user's first 'view' to their
     first 'purchase' (ordered conversion only) — the latency half of
@@ -1518,6 +1589,8 @@ WORKLOADS = {
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "pareto_abc": (q_pareto_abc, SQL_PARETO_ABC),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "sample_per_group": (q_sample_per_group, SQL_SAMPLE_PER_GROUP),
+    "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "histogram_width": (q_histogram_width, SQL_HISTOGRAM_WIDTH),
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),

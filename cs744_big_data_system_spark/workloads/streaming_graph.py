@@ -149,6 +149,50 @@ GROUP BY event_type
 """
 
 
+# The streamed sketch is bit-identical to the batch one, so the entry
+# shares the batch oracle (deferred import to avoid a cycle at module
+# load — warehouse imports nothing from this module).
+def _sql_stream_cms() -> str:
+    from cs744_big_data_system_spark.workloads.warehouse import SQL_CMS_HEAVY_HITTERS
+
+    return SQL_CMS_HEAVY_HITTERS
+
+
+_SQL_STREAM_CMS = _sql_stream_cms()
+
+
+# --- TRUE streaming replay: count-min sketch in the state store ---
+def q_stream_cms_replay(spark, sf_dir):
+    """Count-min sketch maintained INCREMENTALLY by the streaming
+    engine: the d·w-row bucket aggregation runs as a streaming groupBy
+    in complete mode, so each micro-batch folds its events into the
+    state store's counters — the sketch-mergeability property exercised
+    through the real incremental path rather than one batch pass. The
+    estimate/rank stage then runs batch-side on the final sketch.
+    Deterministic md5 buckets ⇒ the result is bit-identical to the
+    batch cms_heavy_hitters and shares its oracle."""
+    from cs744_big_data_system_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    sketch = replay_to_batch(
+        spark,
+        f"{sf_dir}/events.parquet",
+        lambda s: count_min_build(s, "user_id"),
+        output_mode="complete",
+    )
+    events = load_table(spark, sf_dir, "events")
+    truth = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = count_min_estimate(truth.select("user_id"), sketch, "user_id")
+    return (
+        est.join(truth, "user_id")
+        .orderBy(F.col("est").desc(), F.col("user_id").asc())
+        .limit(20)
+        .select("user_id", "est", "true_cnt")
+    )
+
+
 # --- TRUE streaming replay: stream-stream interval join ---
 def q_stream_stream_join_replay(spark, sf_dir):
     """Stream⋈stream inner join with an event-time interval condition:
@@ -717,6 +761,51 @@ SELECT node, min(dist) AS dist FROM walk GROUP BY node
 """
 
 
+# --- Label-propagation communities: synchronous, oracle-checked ---
+def q_graph_label_propagation(spark, sf_dir):
+    """Deterministic synchronous LPA on the hash graph (5 rounds,
+    max-vote/min-label relabeling — graph/label_propagation.py). A
+    FIXED iteration count makes the kernel a pure function of the
+    graph, so the oracle mirrors it as 5 unrolled CTE rounds — the
+    third hash-verified iterative graph kernel after BFS and SSSP."""
+    from cs744_big_data_system_spark.graph.label_propagation import label_propagation
+
+    labels = label_propagation(_hash_graph(spark), iterations=5, num_partitions=4)
+    return labels.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+def _sql_label_propagation(iterations: int = 5) -> str:
+    parts = [
+        f"""g AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM ({_SQL_HASH_GRAPH}) WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM ({_SQL_HASH_GRAPH}) WHERE src <> dst
+  )
+), l0 AS (SELECT DISTINCT src AS node, src AS label FROM g)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""v{i} AS (
+  SELECT g.dst AS node, l.label, count(*) AS votes
+  FROM g JOIN l{i - 1} l ON l.node = g.src GROUP BY 1, 2
+), l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY votes DESC, label ASC) AS rn
+    FROM v{i}
+  ) WHERE rn = 1
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, label FROM l{iterations}"
+
+
+SQL_GRAPH_LABEL_PROPAGATION = _sql_label_propagation()
+
+
 # --- BFS via WITH RECURSIVE through the Spark SQL text front end ---
 def q_graph_bfs_sql(spark, sf_dir):
     """The SAME single-source BFS as graph_bfs_hops, but declared as a
@@ -832,6 +921,77 @@ def q_ml_linear_fit(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     w = fit_linear(emb, lr=0.5, iterations=10)
     return weights_df(spark, w)
+
+
+# --- Histogram decision-stump split finding — oracle-checked ML ---
+def q_ml_tree_split(spark, sf_dir):
+    """Top-5 (feature, threshold) stump splits for predicting the
+    embedding label by weighted Gini, via the binned-histogram
+    algorithm distributed tree libraries use (ml/tree.py): two data
+    passes (min/max, histogram) then pure grid math sized
+    dim × bins × classes — row-count independent. Integer histograms +
+    one fixed float layout make it the rare TRAINING operator that is
+    hash-checked against the SQL oracle."""
+    from cs744_big_data_system_spark.ml.tree import best_stump_splits
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return best_stump_splits(emb, dim=64, bins=16, topk=5)
+
+
+def _sql_tree_split(bins: int = 16, topk: int = 5) -> str:
+    return f"""
+WITH ex AS (
+  SELECT label AS y, u.s AS s, u.x AS x FROM (
+    SELECT label, unnest(list_transform(embedding,
+           (e, i) -> struct_pack(s := i - 1, x := CAST(e AS DOUBLE)))) AS u
+    FROM embeddings
+  )
+), stats AS (
+  SELECT s, min(x) AS lo, max(x) AS hi FROM ex GROUP BY s
+), counts AS (
+  SELECT e.s, e.y,
+         CAST(CASE WHEN st.hi - st.lo > 0
+              THEN least(floor((e.x - st.lo) * {bins} / (st.hi - st.lo)), {bins - 1})
+              ELSE 0 END AS INT) AS b,
+         count(*) AS c
+  FROM ex e JOIN stats st ON st.s = e.s
+  GROUP BY 1, 2, 3
+), grid AS (
+  SELECT st.s, y, CAST(r.range AS INT) AS b
+  FROM (SELECT DISTINCT s FROM stats) st
+  CROSS JOIN (SELECT DISTINCT label AS y FROM embeddings)
+  CROSS JOIN range({bins}) r
+), dense AS (
+  SELECT g.s, g.y, g.b, coalesce(c.c, 0) AS c
+  FROM grid g LEFT JOIN counts c ON c.s = g.s AND c.y = g.y AND c.b = g.b
+), cum AS (
+  SELECT s, y, b, c,
+         sum(c) OVER (PARTITION BY s, y ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl
+  FROM dense
+), tot AS (
+  SELECT s, y, sum(c) AS tl FROM dense GROUP BY s, y
+), per_bin AS (
+  SELECT c.s, c.b,
+         sum(cl) AS nl, sum(cl * cl) AS ssl,
+         sum(tl - cl) AS nr, sum((tl - cl) * (tl - cl)) AS ssr
+  FROM cum c JOIN tot t ON t.s = c.s AND t.y = c.y
+  GROUP BY 1, 2
+), scored AS (
+  SELECT p.s, p.b AS split_bin,
+         round(st.lo + (p.b + 1) * (st.hi - st.lo) / {bins}, 6) AS threshold,
+         round(((nl - ssl / nl) + (nr - ssr / nr)) / (nl + nr), 6) AS gini
+  FROM per_bin p JOIN stats st ON st.s = p.s
+  WHERE nl > 0 AND nr > 0
+)
+SELECT s, split_bin, threshold, gini, rnk FROM (
+  SELECT *, row_number() OVER (ORDER BY gini ASC, s ASC, split_bin ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {topk}
+"""
+
+
+SQL_ML_TREE_SPLIT = _sql_tree_split()
 
 
 # --- Nonlinear (MLP) training loop — the VGG-11 data-parallel analogue ---
@@ -1005,14 +1165,17 @@ WORKLOADS = {
     "graph_degree_histogram": (q_graph_degree_histogram, SQL_GRAPH_DEGREE_HISTOGRAM),
     "graph_bfs_hops": (q_graph_bfs_hops, SQL_GRAPH_BFS_HOPS),
     "graph_sssp": (q_graph_sssp, SQL_GRAPH_SSSP),
+    "graph_label_propagation": (q_graph_label_propagation, SQL_GRAPH_LABEL_PROPAGATION),
     "graph_bfs_sql": (q_graph_bfs_sql, SQL_GRAPH_BFS_SQL),
     "synthdocs_stream_profile": (q_synthdocs_stream_profile, SQL_SYNTHDOCS_STREAM),
     "graph_two_hop": (q_graph_two_hop, SQL_GRAPH_TWO_HOP),
     "stream_static_join_replay": (q_stream_static_join_replay, SQL_STREAM_STATIC_JOIN),
+    "stream_cms_replay": (q_stream_cms_replay, _SQL_STREAM_CMS),
     # --- rows-only tail (iterative / approximate / stubbed-decode) ---
     "pagerank_events": (q_pagerank_events, None),  # iterative fixed-point
     "graph_kcore": (q_graph_kcore, None),  # iterative peeling fixpoint
     "ml_kmeans_fit": (q_ml_kmeans_fit, None),  # iterative unsupervised superstep
+    "ml_tree_split": (q_ml_tree_split, SQL_ML_TREE_SPLIT),
     "ml_mlp_fit": (q_ml_mlp_fit, None),  # iterative nonlinear training loop
     "ml_cnn_fit": (q_ml_cnn_fit, None),  # iterative convolutional training loop
     "ml_logreg_fit": (q_ml_logreg_fit, None),  # iterative classification loop

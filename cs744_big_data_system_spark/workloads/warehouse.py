@@ -358,6 +358,40 @@ ORDER BY est DESC, e.user_id ASC LIMIT {k}
 SQL_CMS_HEAVY_HITTERS = _sql_cms()
 
 
+# --- K-minimum-values distinct sketch — deterministic, oracle-checked ---
+def q_kmv_distinct(spark, sf_dir):
+    """Per-event-type distinct-user estimates via the KMV sketch
+    (k = 32 smallest md5 hashes; n̂ = (k−1)·2^60/kth). Bounded state
+    and mergeable like hll_rollup, but md5-deterministic, so this is
+    the approximate-distinct entry that CAN be hash-checked — exact
+    count alongside makes the ~1/√k relative error visible."""
+    from cs744_big_data_system_spark.operators.sketches import kmv_distinct
+
+    return kmv_distinct(load_table(spark, sf_dir, "events"), "user_id", "event_type", k=32)
+
+
+SQL_KMV_DISTINCT = """
+WITH hashes AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+), topk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+  FROM hashes
+), sk AS (
+  SELECT event_type, count(*) AS n_kept, max(h) AS kth
+  FROM topk WHERE rn <= 32 GROUP BY 1
+), exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
+)
+SELECT s.event_type, CAST(n_exact AS BIGINT) AS n_exact,
+       round(CASE WHEN n_kept < 32 THEN CAST(n_kept AS DOUBLE)
+                  ELSE 31 * 1152921504606846976.0 / kth END, 4) AS kmv_est
+FROM sk s JOIN exact e ON e.event_type = s.event_type
+"""
+
+
 # --- Incremental view maintenance: mergeable partial-aggregate refresh ---
 def q_incremental_agg_merge(spark, sf_dir):
     """Refresh a per-user aggregate view from a delta batch WITHOUT
@@ -461,4 +495,5 @@ WORKLOADS = {
     "skew_diagnostics": (q_skew_diagnostics, SQL_SKEW_DIAGNOSTICS),
     "hll_rollup": (q_hll_rollup, None),  # sketch estimates are engine-specific
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
+    "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
 }

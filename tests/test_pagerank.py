@@ -255,3 +255,36 @@ def test_sssp_matches_driver_dijkstra(spark):
     got = {r.node: r.dist for r in out.collect()}
     out.cached_links.unpersist()
     assert got == dist
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 5-cliques joined by one bridge edge: LPA settles each clique
+    on its minimum member id, and determinism holds across reruns."""
+    from cs744_big_data_system_spark.graph.label_propagation import (
+        community_sizes,
+        label_propagation,
+    )
+
+    edges = []
+    for base in (0, 10):
+        for a in range(base, base + 5):
+            for b in range(a + 1, base + 5):
+                edges.append((a, b))
+    edges.append((4, 10))  # bridge
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    labels = label_propagation(df, iterations=5)
+    got = {r.node: r.label for r in labels.collect()}
+    labels.cached_links.unpersist()
+    assert set(got) == set(range(5)) | set(range(10, 15))
+    assert all(got[n] == got[0] for n in range(5))
+    assert all(got[n] == got[10] for n in range(10, 15))
+    assert got[0] != got[10]
+
+    labels2 = label_propagation(df, iterations=5)
+    got2 = {r.node: r.label for r in labels2.collect()}
+    labels2.cached_links.unpersist()
+    assert got == got2
+    sizes = {r.label: r.n_members for r in community_sizes(labels2).collect()}
+    # labels2 is checkpoint-materialized, so sizes can be computed after
+    # unpersisting the edge cache.
+    assert sorted(sizes.values()) == [5, 5]

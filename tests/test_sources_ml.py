@@ -571,3 +571,25 @@ def test_kmeans_deterministic_across_runs(spark):
     c2, k2 = fit_kmeans(df.repartition(13), k=4, iterations=5)
     assert np.allclose(c1, c2)  # merge is order-insensitive in exact sums
     assert k1 == pytest.approx(k2)
+
+
+def test_stump_split_separates_planted_feature(spark):
+    """A dataset where feature 2 perfectly separates the two classes:
+    the best stump must pick feature 2 with a threshold between the
+    class bands and reach (near-)zero Gini."""
+    import random
+
+    from cs744_big_data_system_spark.ml.tree import best_stump_splits
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        label = i % 2
+        vec = [rng.uniform(-1, 1) for _ in range(4)]
+        vec[2] = rng.uniform(0.5, 1.0) if label else rng.uniform(-1.0, -0.5)
+        rows.append((i, vec, label))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    top = best_stump_splits(df, dim=4, bins=16, topk=1).collect()
+    assert top[0].s == 2
+    assert -0.5 <= top[0].threshold <= 0.5
+    assert top[0].gini < 0.05

@@ -395,3 +395,37 @@ def test_cms_sketch_laws(spark):
 
     top = cms_heavy_hitters(df, "key", k=1, depth=4, width=64).collect()
     assert top[0].key == "hot" and top[0].true_cnt == 400
+
+
+def test_kmv_distinct_laws(spark):
+    """KMV: exact below k, within ~2σ above k, and the
+    merge law — re-taking the k smallest of the union of two halves'
+    k-smallest sets equals the k smallest of the whole."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cs744_big_data_system_spark.operators.dedup import md5_int60
+    from cs744_big_data_system_spark.operators.sketches import kmv_distinct
+
+    rows = [(i, "big" if i < 800 else "small") for i in range(820)]
+    df = spark.createDataFrame(rows, ["key", "grp"])
+    # k=128 → relative stderr ≈ 1/sqrt(k-2) ≈ 9%; this deterministic
+    # key set lands at 10.8% (computed offline), so 20% is ~2σ slack.
+    got = {r.grp: r for r in kmv_distinct(df, "key", "grp", k=128).collect()}
+    assert got["small"].n_exact == 20 and got["small"].kmv_est == 20.0
+    assert abs(got["big"].kmv_est - 800) / 800 < 0.20
+
+    def hashes(d):
+        return sorted(
+            r.h
+            for r in d.select(
+                md5_int60(F.col("key").cast("string")).alias("h")
+            ).distinct().collect()
+        )
+
+    big = df.filter(F.col("grp") == "big")
+    whole_topk = hashes(big)[:32]
+    half_a = hashes(big.filter(F.col("key") % 2 == 0))[:32]
+    half_b = hashes(big.filter(F.col("key") % 2 == 1))[:32]
+    merged_topk = sorted(set(half_a) | set(half_b))[:32]
+    assert merged_topk == whole_topk

@@ -87,13 +87,29 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
         "partitioned_prune_agg",
         "salted_join_agg",
     ]
-    # Slots 38+: never-attested rows-only entries (LSH recall paths, BPE,
-    # ML/graph iteratives).  Oracle-upgraded ones (this round) hash-match;
-    # the rest record the weaker rows-only check.
+    # Slots 38-40: the LSH scale paths, oracle-upgraded this round so
+    # they hash-match rather than record the weaker rows-only check.
+    # Slots 41-50: this session's NEW oracle-backed operators — every
+    # window slot now earns a hash-verified green row (rows-only
+    # entries yield only a row-count check, so they queue BEHIND any
+    # oracle-backed never-attested entry; the BPE/ML/pagerank
+    # rows-only family follows in the tail for a later round).
     never_attested_rest = [
         "dedup_minhash_lsh",
         "dedup_embedding_cosine_lsh",
         "sim_cosine_topk_lsh",
+        "dedup_substring",
+        "sim_cosine_topk_pq",
+        "ngram_topk",
+        "cms_heavy_hitters",
+        "kmv_distinct",
+        "stream_cms_replay",
+        "graph_sssp",
+        "graph_label_propagation",
+        "anomaly_zscore",
+        "ml_tree_split",
+        # below the 50-entry window line: queued for the next rotation
+        "sample_per_group",
         "text_bpe_merges",
         "text_bpe_tokenize",
         "pagerank_events",

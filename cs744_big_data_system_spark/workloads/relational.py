@@ -666,6 +666,40 @@ FROM events
 """
 
 
+# --- §2.9: VARIANT semi-structured type (Spark 4) ---
+def q_variant_extract(spark, sf_dir):
+    """props parsed ONCE into Spark 4's binary VARIANT encoding, then
+    field-extracted and aggregated — the modern semi-structured scale
+    path (parse cost paid once per row into a shredded binary form;
+    repeated `get_json_object` string probes re-parse per access).
+    Distinct capability from json_funcs' string-path JSON surface."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("k") > 50).cast("long")).alias("n_high"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_VARIANT_EXTRACT = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       round(avg(k), 6) AS avg_k,
+       max(k) AS max_k
+FROM (SELECT event_type,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
 # --- §2.9: string function family ---
 def q_string_funcs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -814,6 +848,7 @@ WORKLOADS = {
     "lag_lead_ntile": (q_lag_lead_ntile, SQL_LAG_LEAD_NTILE),
     "date_funcs": (q_date_funcs, SQL_DATE_FUNCS),
     "json_funcs": (q_json_funcs, SQL_JSON_FUNCS),
+    "variant_extract": (q_variant_extract, SQL_VARIANT_EXTRACT),
     "string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
     "array_funcs": (q_array_funcs, SQL_ARRAY_FUNCS),
     "asof_join": (q_asof, SQL_ASOF),

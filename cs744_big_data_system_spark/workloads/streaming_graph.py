@@ -73,6 +73,47 @@ def q_stream_tumbling_replay(spark, sf_dir):
     )
 
 
+# --- TRUE streaming replay: per-window top-k downstream of the stream ---
+def q_stream_window_topk(spark, sf_dir):
+    """Top-2 event types per tumbling window: the windowed counts run
+    INSIDE the streaming engine (state store), the rank runs batch-side
+    on the drained result — the standard lambda-free layering (rank is
+    not an incremental operator; the stream maintains the additive
+    aggregate, the consumer ranks the final state). Deterministic
+    (n_events desc, event_type asc) cut, so oracle-exact."""
+    counts = replay_to_batch(
+        spark,
+        f"{sf_dir}/events.parquet",
+        lambda s: tumbling_window_counts(s, window="10 minutes", watermark="365 days"),
+        output_mode="complete",
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("window_start", "event_type", "n_events", "rnk")
+    )
+
+
+SQL_STREAM_WINDOW_TOPK = """
+WITH counts AS (
+  SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY window_start
+                               ORDER BY n_events DESC, event_type ASC) AS rnk
+  FROM counts
+) WHERE rnk <= 2
+"""
+
+
 # --- TRUE streaming replay: sliding windows through the streaming engine ---
 def q_stream_sliding_replay(spark, sf_dir):
     """Sliding (overlapping) windows through the micro-batch engine —
@@ -1171,6 +1212,7 @@ WORKLOADS = {
     "graph_two_hop": (q_graph_two_hop, SQL_GRAPH_TWO_HOP),
     "stream_static_join_replay": (q_stream_static_join_replay, SQL_STREAM_STATIC_JOIN),
     "stream_cms_replay": (q_stream_cms_replay, _SQL_STREAM_CMS),
+    "stream_window_topk": (q_stream_window_topk, SQL_STREAM_WINDOW_TOPK),
     # --- rows-only tail (iterative / approximate / stubbed-decode) ---
     "pagerank_events": (q_pagerank_events, None),  # iterative fixed-point
     "graph_kcore": (q_graph_kcore, None),  # iterative peeling fixpoint

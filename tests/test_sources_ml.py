@@ -593,3 +593,30 @@ def test_stump_split_separates_planted_feature(spark):
     assert top[0].s == 2
     assert -0.5 <= top[0].threshold <= 0.5
     assert top[0].gini < 0.05
+
+
+def test_observation_metrics_ride_the_job(spark):
+    """Spark observation metrics: data-quality counters (row count,
+    empty-text count, char sum) computed DURING a real action — no
+    second pass over the data. The pipeline-telemetry primitive a
+    100 TB job uses instead of re-scanning for stats."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    expected_rows = docs.count()
+    obs = Observation("quality")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum((F.length("text") == 0).cast("long")).alias("empty_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+    kept = observed.filter(F.col("n_chars") >= 0).count()  # the real action
+    metrics = obs.get
+    assert metrics["rows"] == expected_rows == kept
+    assert metrics["empty_docs"] == 0
+    assert metrics["total_chars"] > 0

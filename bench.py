@@ -100,6 +100,8 @@ HEADLINE = [
     "anomaly_zscore",
     "stream_cms_replay",
     "ml_tree_split",
+    "udf_cogroup_asof",
+    "variant_extract",
 ]
 
 

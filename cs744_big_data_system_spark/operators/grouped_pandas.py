@@ -1,0 +1,148 @@
+"""Grouped-map and cogrouped-map Pandas operators — the two
+Arrow-batched UDF surfaces not covered elsewhere in the engine
+(grouped-AGG pandas_udf → workloads/relational_ext.udaf_weighted_mean;
+mapInPandas → operators/multimodal; mapInArrow → ml/superstep;
+applyInPandasWithState → streaming/stateful). Together these complete
+the Spark Pandas-UDF API family (SURVEY.md §2.9 UDF surface).
+
+Both operators here are deliberately chosen so their results are
+closed-form deterministic — the grouped-map one mirrors SQL's
+regr_slope/regr_intercept and the cogrouped one mirrors a window-based
+as-of match — so even these Python-side paths stay oracle-checkable.
+
+Scale note: applyInPandas shuffles each group to one task and holds it
+in memory — correct for per-key model fitting (groups = bounded
+per-key slices), wrong for unbounded groups; both operators key on
+bounded groups (event_type ≈ 5 values but each slice is a fraction of
+the input; per-user for the cogroup). The hot paths elsewhere in the
+engine stay native-Column; these exist where per-group imperative math
+is the genuine semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def per_group_ols(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple linear regression y = a + b·x via grouped-map
+    applyInPandas: each group's slice arrives as ONE pandas DataFrame
+    (Arrow-transferred), the closed-form OLS runs vectorized, one row
+    returns per group. Mirrors SQL regr_slope/regr_intercept/regr_r2,
+    which is exactly what the oracle uses."""
+    import pandas as pd
+
+    out_schema = (
+        f"{group_col} string, n_obs long, slope double, intercept double, r2 double"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        x = pdf[x_col].to_numpy(dtype=float)
+        y = pdf[y_col].to_numpy(dtype=float)
+        n = len(x)
+        mx, my = x.mean(), y.mean()
+        sxx = ((x - mx) ** 2).sum()
+        sxy = ((x - mx) * (y - my)).sum()
+        syy = ((y - my) ** 2).sum()
+        slope = sxy / sxx if sxx > 0 else np.nan
+        intercept = my - slope * mx if sxx > 0 else np.nan
+        r2 = (sxy * sxy) / (sxx * syy) if sxx > 0 and syy > 0 else np.nan
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "n_obs": [n],
+                "slope": [round(slope, 6)],
+                "intercept": [round(intercept, 6)],
+                "r2": [round(r2, 6)],
+            }
+        )
+
+    return df.select(group_col, x_col, y_col).groupBy(group_col).applyInPandas(
+        fit, schema=out_schema
+    )
+
+
+def cogrouped_asof_match(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    left_id: str,
+    right_id: str,
+    max_gap_s: int = 1800,
+) -> DataFrame:
+    """Per-key as-of match via cogroup().applyInPandas: for every left
+    row, the LATEST right row of the same key with right.ts ≤ left.ts
+    and within ``max_gap_s`` seconds. Both sides' per-key slices arrive
+    together as two pandas frames (the cogrouped-map surface); the
+    match is a vectorized searchsorted — the pandas merge_asof
+    algorithm by hand, so no pandas version drift affects results.
+
+    Semantically identical to operators/relational.asof_join's
+    window-based plan; this exists to exercise (and test) the cogroup
+    API path with an oracle-checkable deterministic result.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{key_col} long, {left_id} long, {right_id} long, gap_s long"
+    )
+
+    def match(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(l) == 0:
+            return pd.DataFrame(columns=[key_col, left_id, right_id, "gap_s"])
+        def ns(series: pd.Series) -> "np.ndarray":
+            # Arrow may hand timestamps over as datetime64[us] or [ns]
+            # depending on version — normalize to int64 nanoseconds.
+            return (
+                pd.to_datetime(series)
+                .to_numpy(dtype="datetime64[ns]")
+                .astype("int64")
+            )
+
+        l = l.sort_values([ts_col, left_id]).reset_index(drop=True)
+        lt = ns(l[ts_col])
+        if len(r) == 0:
+            ridx = np.full(len(l), -1)
+            rt = np.empty(0, dtype="int64")
+            rid = np.empty(0, dtype="int64")
+        else:
+            r = r.sort_values([ts_col, right_id]).reset_index(drop=True)
+            rt = ns(r[ts_col])
+            rid = r[right_id].to_numpy()
+            # index of the last right ts <= left ts
+            ridx = np.searchsorted(rt, lt, side="right") - 1
+        rows = []
+        for i in range(len(l)):
+            j = ridx[i] if len(rt) else -1
+            if j >= 0:
+                gap_ns = lt[i] - rt[j]
+                # filter on the EXACT gap (ns), report floor seconds —
+                # flooring first would admit gaps up to max_gap_s+1s
+                # and diverge from the oracle's microsecond compare.
+                if gap_ns <= max_gap_s * 1_000_000_000:
+                    rows.append(
+                        (
+                            int(l[key_col].iloc[0]),
+                            int(l[left_id].iloc[i]),
+                            int(rid[j]),
+                            int(gap_ns // 1_000_000_000),
+                        )
+                    )
+        return pd.DataFrame(rows, columns=[key_col, left_id, right_id, "gap_s"])
+
+    return (
+        left.groupBy(key_col)
+        .cogroup(right.groupBy(key_col))
+        .applyInPandas(match, schema=out_schema)
+    )

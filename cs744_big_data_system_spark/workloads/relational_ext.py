@@ -1137,6 +1137,80 @@ FROM dau d LEFT JOIN first_seen f ON d.day = f.day
 
 
 # --- Funnel latency: time-to-convert percentiles per step pair ---
+def q_udf_grouped_ols(spark, sf_dir):
+    """Per-event-type OLS (value on props.k) via grouped-map
+    applyInPandas — each group's slice crosses to Python as ONE Arrow
+    batch, the closed-form fit runs vectorized, one row returns per
+    group. Completes the Pandas-UDF API family (grouped-agg, mapInPandas,
+    mapInArrow, applyInPandasWithState are exercised elsewhere) while
+    staying oracle-checkable: the closed form IS SQL's
+    regr_slope/regr_intercept/regr_r2."""
+    from cs744_big_data_system_spark.operators.grouped_pandas import per_group_ols
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    return per_group_ols(ev, "event_type", "x", "y")
+
+
+SQL_UDF_GROUPED_OLS = """
+SELECT event_type,
+       count(*) AS n_obs,
+       round(regr_slope(value, k), 6) AS slope,
+       round(regr_intercept(value, k), 6) AS intercept,
+       round(regr_r2(value, k), 6) AS r2
+FROM (SELECT event_type,
+             TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k,
+             value
+      FROM events)
+GROUP BY event_type
+"""
+
+
+def q_udf_cogroup_asof(spark, sf_dir):
+    """Per-user as-of match (each purchase to the user's latest click
+    ≤ 30 min before) via cogroup().applyInPandas — both sides' per-key
+    slices arrive together as two pandas frames, matched by a
+    vectorized searchsorted. The cogrouped-map API surface, with the
+    window-join oracle the as-of family already uses."""
+    from cs744_big_data_system_spark.operators.grouped_pandas import (
+        cogrouped_asof_match,
+    )
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    return cogrouped_asof_match(
+        purchases, clicks, "user_id", "ts", "purchase_id", "click_id", max_gap_s=1800
+    )
+
+
+SQL_UDF_COGROUP_ASOF = """
+WITH p AS (
+  SELECT user_id, ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'
+), m AS (
+  SELECT p.user_id, p.purchase_id, c.click_id,
+         epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+         row_number() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.ts DESC, c.click_id DESC) AS rn
+  FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+)
+SELECT user_id, purchase_id, click_id,
+       CAST(gap_us // 1000000 AS BIGINT) AS gap_s
+FROM m WHERE rn = 1 AND gap_us <= 1800 * 1000000
+"""
+
+
 def q_anomaly_zscore(spark, sf_dir):
     """Trailing-window anomaly detection: each event's value scored
     against the mean/stddev of the SAME user's previous 20 events
@@ -1591,6 +1665,8 @@ WORKLOADS = {
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "sample_per_group": (q_sample_per_group, SQL_SAMPLE_PER_GROUP),
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
+    "udf_grouped_ols": (q_udf_grouped_ols, SQL_UDF_GROUPED_OLS),
+    "udf_cogroup_asof": (q_udf_cogroup_asof, SQL_UDF_COGROUP_ASOF),
     "histogram_width": (q_histogram_width, SQL_HISTOGRAM_WIDTH),
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),

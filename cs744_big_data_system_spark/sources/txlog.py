@@ -1,0 +1,149 @@
+"""A minimal transaction-log table format over plain parquet — the
+lakehouse mechanism (Delta/Iceberg-style) reduced to its core:
+
+  <table>/
+    _txlog/00000000.json   {"version": 0, "add": [files...], "remove": []}
+    _txlog/00000001.json   {"version": 1, "add": [...], "remove": [...]}
+    part-*.parquet         immutable data files
+
+Reads resolve a SNAPSHOT: replay the log up to the requested version,
+accumulating add/remove sets, and scan exactly the live files — which
+gives time travel (read any historical version), atomic commits (the
+log entry is written last, via atomic rename, so a crashed writer
+leaves only invisible orphan data files), and compaction that rewrites
+files without changing the visible rows.
+
+Why this matters at 100 TB: the query layer never lists the data
+directory (object-store LIST is slow and eventually-consistent); the
+log IS the source of truth for which of millions of files are live,
+and each snapshot read plans a scan over just that file set. This
+module keeps the log tiny (JSON per commit, driver-side — the data
+path stays distributed parquet IO through the normal reader).
+
+Single-writer by design (versions are claimed by atomic
+rename-if-absent; a loser raises) — the engine's scope is snapshot
+isolation + time travel, not multi-writer conflict resolution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _log_dir(table_path: str) -> str:
+    return os.path.join(table_path, "_txlog")
+
+
+def _entry_path(table_path: str, version: int) -> str:
+    return os.path.join(_log_dir(table_path), f"{version:08d}.json")
+
+
+def _stage_data_files(df: DataFrame, table_path: str) -> list[str]:
+    """Write df's rows as immutable parquet files inside the table dir
+    (via a temp subdir + move, so half-written files never carry a
+    visible name) and return their relative file names."""
+    os.makedirs(table_path, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix="_stage_", dir=table_path)
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "out"))
+    names = []
+    for p in sorted(os.listdir(os.path.join(tmp, "out"))):
+        if p.startswith("part-") and p.endswith(".parquet"):
+            new_name = f"part-{uuid.uuid4().hex}.parquet"
+            os.rename(os.path.join(tmp, "out", p), os.path.join(table_path, new_name))
+            names.append(new_name)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return names
+
+
+def _commit(table_path: str, version: int, add: list[str], remove: list[str]) -> None:
+    """Atomically publish a log entry: write to a temp name, then
+    link(2) into place — link fails if the version already exists, so
+    two racing writers cannot both claim a version."""
+    os.makedirs(_log_dir(table_path), exist_ok=True)
+    entry = {"version": version, "add": add, "remove": remove}
+    tmp = _entry_path(table_path, version) + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(entry, f)
+    try:
+        os.link(tmp, _entry_path(table_path, version))
+    except FileExistsError:
+        raise RuntimeError(f"txlog version {version} already committed (concurrent writer)")
+    finally:
+        os.unlink(tmp)
+
+
+def latest_version(table_path: str) -> int:
+    """Highest committed version, or -1 for an empty/absent table."""
+    d = _log_dir(table_path)
+    if not os.path.isdir(d):
+        return -1
+    versions = [
+        int(p[:-5]) for p in os.listdir(d) if p.endswith(".json") and p[:-5].isdigit()
+    ]
+    return max(versions, default=-1)
+
+
+def txlog_append(df: DataFrame, table_path: str) -> int:
+    """Append df's rows as a new version; returns the version number."""
+    add = _stage_data_files(df, table_path)
+    v = latest_version(table_path) + 1
+    _commit(table_path, v, add=add, remove=[])
+    return v
+
+
+def txlog_overwrite(df: DataFrame, table_path: str) -> int:
+    """Replace the table contents (logical overwrite): the new version
+    removes every currently-live file and adds the new ones. Old
+    versions remain readable — nothing is deleted from disk."""
+    live = _live_files(table_path, latest_version(table_path))
+    add = _stage_data_files(df, table_path)
+    v = latest_version(table_path) + 1
+    _commit(table_path, v, add=add, remove=sorted(live))
+    return v
+
+
+def txlog_compact(spark: SparkSession, table_path: str, target_files: int = 1) -> int:
+    """Rewrite the live file set into ``target_files`` files without
+    changing visible rows (OPTIMIZE): read the current snapshot,
+    coalesce, commit add+remove in one version."""
+    current = txlog_read(spark, table_path)
+    add = _stage_data_files(current.coalesce(target_files), table_path)
+    live = _live_files(table_path, latest_version(table_path))
+    v = latest_version(table_path) + 1
+    _commit(table_path, v, add=add, remove=sorted(live))
+    return v
+
+
+def _live_files(table_path: str, version: int) -> set[str]:
+    live: set[str] = set()
+    for v in range(version + 1):
+        with open(_entry_path(table_path, v)) as f:
+            entry = json.load(f)
+        live.update(entry["add"])
+        live.difference_update(entry["remove"])
+    return live
+
+
+def txlog_read(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: the table as of ``version`` (default: latest).
+    Plans a parquet scan over exactly the live files of that snapshot —
+    orphaned files from failed writers and files removed by later
+    versions are invisible by construction."""
+    v = latest_version(table_path) if version is None else version
+    if v < 0:
+        raise FileNotFoundError(f"no txlog table at {table_path}")
+    if not os.path.exists(_entry_path(table_path, v)):
+        raise FileNotFoundError(f"txlog version {v} does not exist at {table_path}")
+    live = sorted(_live_files(table_path, v))
+    if not live:
+        raise ValueError(f"txlog version {v} has no live files")
+    return spark.read.parquet(*[os.path.join(table_path, p) for p in live])

@@ -358,6 +358,62 @@ ORDER BY est DESC, e.user_id ASC LIMIT {k}
 SQL_CMS_HEAVY_HITTERS = _sql_cms()
 
 
+# --- Transaction-log table: snapshot isolation + time travel ---
+def q_txlog_time_travel(spark, sf_dir):
+    """Lakehouse-core demo over sources/txlog.py: build a versioned
+    table (v0 append ⅓ of orders, v1 append another ⅓, v2 COMPACT —
+    files rewritten, rows identical, v3 logical OVERWRITE with the
+    last ⅓), then snapshot-read every version and aggregate. Proves
+    time travel (historical reads), compaction invisibility (v2 ≡ v1),
+    and overwrite isolation (v3 sees only the new slice; v0-v2 stay
+    readable). The oracle re-derives each snapshot's expected contents
+    relationally from the base table."""
+    import os
+    import shutil
+    import tempfile
+    from functools import reduce
+
+    from cs744_big_data_system_spark.sources.txlog import (
+        txlog_append,
+        txlog_compact,
+        txlog_overwrite,
+        txlog_read,
+    )
+
+    path = os.path.join(tempfile.gettempdir(), f"txlog_demo_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    txlog_append(orders.filter(F.col("o_orderkey") % 3 == 0), path)
+    txlog_append(orders.filter(F.col("o_orderkey") % 3 == 1), path)
+    txlog_compact(spark, path, target_files=1)
+    txlog_overwrite(orders.filter(F.col("o_orderkey") % 3 == 2), path)
+    parts = [
+        txlog_read(spark, path, v)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(F.lit(v).cast("int").alias("version"), "n_rows", "sum_price")
+        for v in range(4)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+SQL_TXLOG_TIME_TRAVEL = """
+WITH a AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+     b AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 3 = 1),
+     c AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 3 = 2),
+     ab AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+SELECT 0 AS version, count(*) AS n_rows, round(sum(o_totalprice), 2) AS sum_price FROM a
+UNION ALL
+SELECT 1, count(*), round(sum(o_totalprice), 2) FROM ab
+UNION ALL
+SELECT 2, count(*), round(sum(o_totalprice), 2) FROM ab
+UNION ALL
+SELECT 3, count(*), round(sum(o_totalprice), 2) FROM c
+"""
+
+
 # --- K-minimum-values distinct sketch — deterministic, oracle-checked ---
 def q_kmv_distinct(spark, sf_dir):
     """Per-event-type distinct-user estimates via the KMV sketch
@@ -496,4 +552,5 @@ WORKLOADS = {
     "hll_rollup": (q_hll_rollup, None),  # sketch estimates are engine-specific
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "txlog_time_travel": (q_txlog_time_travel, SQL_TXLOG_TIME_TRAVEL),
 }

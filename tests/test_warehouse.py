@@ -429,3 +429,52 @@ def test_kmv_distinct_laws(spark):
     half_b = hashes(big.filter(F.col("key") % 2 == 1))[:32]
     merged_topk = sorted(set(half_a) | set(half_b))[:32]
     assert merged_topk == whole_topk
+
+
+def test_txlog_snapshot_isolation_laws(spark):
+    """Transaction-log table: time travel reads historical versions,
+    compaction changes files but not rows, overwrite isolates, a
+    version claim is single-winner, and orphan data files from a
+    crashed writer stay invisible."""
+    import os
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from cs744_big_data_system_spark.sources.txlog import (
+        _commit,
+        latest_version,
+        txlog_append,
+        txlog_compact,
+        txlog_overwrite,
+        txlog_read,
+    )
+
+    path = tempfile.mkdtemp(prefix="txlog_test_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        df1 = spark.range(10).selectExpr("id", "id * 2 AS v")
+        df2 = spark.range(10, 15).selectExpr("id", "id * 2 AS v")
+        assert txlog_append(df1, path) == 0
+        assert txlog_append(df2, path) == 1
+        # orphan file (crashed writer: data staged, log never committed)
+        with open(os.path.join(path, "part-orphan.parquet"), "wb") as f:
+            f.write(b"garbage")
+        assert txlog_read(spark, path, 0).count() == 10
+        assert txlog_read(spark, path, 1).count() == 15
+        v2 = txlog_compact(spark, path, target_files=1)
+        assert v2 == 2
+        before = sorted(r.id for r in txlog_read(spark, path, 1).collect())
+        after = sorted(r.id for r in txlog_read(spark, path, 2).collect())
+        assert before == after == list(range(15))
+        v3 = txlog_overwrite(spark.range(100, 103).selectExpr("id", "id AS v"), path)
+        assert sorted(r.id for r in txlog_read(spark, path, v3).collect()) == [100, 101, 102]
+        assert txlog_read(spark, path, 1).count() == 15  # history intact
+        assert latest_version(path) == 3
+        with pytest.raises(RuntimeError, match="already committed"):
+            _commit(path, 3, add=[], remove=[])
+        with pytest.raises(FileNotFoundError):
+            txlog_read(spark, path, 9)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

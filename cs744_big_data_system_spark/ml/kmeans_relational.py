@@ -1,0 +1,75 @@
+"""Lloyd's k-means as PURE relational algebra — the oracle-checkable
+sibling of ml/kmeans.py (which runs the same algorithm through the
+Arrow/numpy superstep for throughput).
+
+Why a second k-means: the superstep version is the performance path
+but its float accumulation is engine-private, so its driver-gate check
+is rows-only. This version pins every nondeterminism source —
+training-free init (first-k by id, the IVF/PQ convention), distances
+rounded to 6 dp with centroid-ordinal tie-break, per-dimension means
+rounded to 9 dp (so double summation-order noise at ~1e-15 can never
+leak into the next assignment), empty clusters retaining their
+previous centroid — making the WHOLE 3-iteration Lloyd loop a pure
+function of the data, hash-checked against an unrolled-CTE DuckDB
+oracle (the 4th hash-verified iterative kernel, after BFS, SSSP and
+label propagation).
+
+Scale shape per iteration: one broadcast of k centroids, one
+assignment window keyed on vec_id, one posexplode + (code, dim)
+groupBy for the means (map-side combinable; k·dim groups). The corpus
+never self-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def kmeans_relational(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster) after ``iterations`` Lloyd steps from the first-k
+    init — deterministic and oracle-reproducible by construction."""
+    v = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    w0 = Window.orderBy(F.col(id_col).asc())
+    cent = (
+        v.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .withColumn("code", F.row_number().over(w0) - 1)
+        .select("code", F.col("_v").alias("emb"))
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        diffs = F.zip_with("_v", "emb", lambda x, y: (x - y) * (x - y))
+        d = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+        scored = v.crossJoin(F.broadcast(c)).select(
+            id_col, "code", F.round(d, 6).alias("_d")
+        )
+        wv = Window.partitionBy(id_col).orderBy(F.col("_d").asc(), F.col("code").asc())
+        return (
+            scored.withColumn("_rn", F.row_number().over(wv))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, "code")
+        )
+
+    for _ in range(iterations):
+        a = assign(cent)
+        pts = v.join(a, id_col).select("code", F.posexplode("_v").alias("d", "val"))
+        m = pts.groupBy("code", "d").agg(F.round(F.avg("val"), 9).alias("m"))
+        packed = m.groupBy("code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
+            ).alias("emb")
+        )
+        # empty clusters keep their previous centroid (mirrored in the
+        # oracle as a NOT IN union)
+        cent = packed.unionByName(cent.join(packed, "code", "left_anti"))
+
+    return assign(cent).select(id_col, F.col("code").alias("cluster"))

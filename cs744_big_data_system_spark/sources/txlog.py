@@ -147,3 +147,94 @@ def txlog_read(
     if not live:
         raise ValueError(f"txlog version {v} has no live files")
     return spark.read.parquet(*[os.path.join(table_path, p) for p in live])
+
+
+def _file_stats(table_path: str, names: list[str], stats_cols: list[str]) -> dict:
+    """Per-file min/max of ``stats_cols``, read from the parquet FOOTERS
+    (row-group statistics — no data pages touched). Stored in the log
+    entry so the read path can prune files without opening them."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for name in names:
+        md = pq.ParquetFile(os.path.join(table_path, name)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        col_stats = {}
+        for c in stats_cols:
+            if c not in idx:
+                continue
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    mins, maxs = [], []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                col_stats[c] = [min(mins), max(maxs)]
+        out[name] = col_stats
+    return out
+
+
+def txlog_append_with_stats(
+    df: DataFrame, table_path: str, stats_cols: list[str]
+) -> int:
+    """txlog_append + per-file min/max footer stats recorded in the
+    commit, enabling data skipping on reads (the Delta/Iceberg
+    file-pruning mechanism: the LOG answers 'which files can contain
+    x ∈ [lo, hi]', so a selective query plans a scan over a fraction
+    of the table without any directory or footer I/O at read time)."""
+    add = _stage_data_files(df, table_path)
+    v = latest_version(table_path) + 1
+    entry_stats = _file_stats(table_path, add, stats_cols)
+    os.makedirs(_log_dir(table_path), exist_ok=True)
+    entry = {"version": v, "add": add, "remove": [], "stats": entry_stats}
+    tmp = _entry_path(table_path, v) + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(entry, f)
+    try:
+        os.link(tmp, _entry_path(table_path, v))
+    except FileExistsError:
+        raise RuntimeError(f"txlog version {v} already committed (concurrent writer)")
+    finally:
+        os.unlink(tmp)
+    return v
+
+
+def txlog_read_skipping(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read pruned by the log's per-file min/max: only files
+    whose [min, max] range for ``col`` intersects [lo, hi] enter the
+    scan (files without recorded stats are conservatively kept). The
+    residual filter is still applied — skipping is an optimization,
+    never a semantics change."""
+    v = latest_version(table_path) if version is None else version
+    if v < 0:
+        raise FileNotFoundError(f"no txlog table at {table_path}")
+    live = _live_files(table_path, v)
+    stats: dict = {}
+    for ver in range(v + 1):
+        with open(_entry_path(table_path, ver)) as f:
+            entry = json.load(f)
+        stats.update(entry.get("stats", {}))
+    keep = []
+    for name in sorted(live):
+        s = stats.get(name, {}).get(col)
+        if s is None or (s[0] <= hi and s[1] >= lo):
+            keep.append(name)
+    if not keep:
+        # empty-but-typed result: scan one live file, filter to nothing
+        any_file = sorted(live)[0]
+        base = spark.read.parquet(os.path.join(table_path, any_file))
+        return base.filter("1 = 0")
+    df = spark.read.parquet(*[os.path.join(table_path, p) for p in keep])
+    from pyspark.sql import functions as F
+
+    return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))

@@ -964,6 +964,66 @@ def q_ml_linear_fit(spark, sf_dir):
     return weights_df(spark, w)
 
 
+# --- Relational k-means: the 4th hash-verified iterative kernel ---
+def q_ml_kmeans_relational(spark, sf_dir):
+    """3 Lloyd iterations over the embeddings as pure relational
+    algebra (ml/kmeans_relational.py): first-k init, distances rounded
+    at 6 dp with ordinal tie-break, per-dim means rounded at 9 dp so
+    summation-order noise can't leak into the next assignment — the
+    whole training loop is a pure function of the data and hash-checks
+    against an unrolled-CTE oracle. The Arrow-superstep ml_kmeans_fit
+    remains the throughput path; this entry is its correctness twin."""
+    from cs744_big_data_system_spark.ml.kmeans_relational import kmeans_relational
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_relational(emb, k=8, iterations=3)
+
+
+def _sql_kmeans_relational(k: int = 8, iterations: int = 3, dim: int = 64) -> str:
+    dist = (
+        f"list_sum(list_transform(range(1, {dim + 1}), i -> "
+        "(CAST(v.embedding[i] AS DOUBLE) - c.emb[i]) * (CAST(v.embedding[i] AS DOUBLE) - c.emb[i])))"
+    )
+
+    def assign(ci: str, ai: str) -> str:
+        return f"""{ai} AS (
+  SELECT vec_id, code FROM (
+    SELECT v.vec_id, c.code,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round({dist}, 6) ASC, c.code ASC) AS rn
+    FROM embeddings v CROSS JOIN {ci} c
+  ) WHERE rn = 1
+)"""
+
+    def update(ai: str, ci_prev: str, ci: str) -> str:
+        return f"""m_{ci} AS (
+  SELECT a.code, r.range AS d, round(avg(CAST(v.embedding[r.range] AS DOUBLE)), 9) AS m
+  FROM {ai} a JOIN embeddings v ON v.vec_id = a.vec_id
+  CROSS JOIN range(1, {dim + 1}) r
+  GROUP BY a.code, r.range
+), {ci} AS (
+  SELECT code, list(m ORDER BY d) AS emb FROM m_{ci} GROUP BY code
+  UNION ALL
+  SELECT code, emb FROM {ci_prev} WHERE code NOT IN (SELECT DISTINCT code FROM m_{ci})
+)"""
+
+    parts = [
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+         list_transform(embedding, e -> CAST(e AS DOUBLE)) AS emb
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(assign(f"c{i - 1}", f"a{i}"))
+        parts.append(update(f"a{i}", f"c{i - 1}", f"c{i}"))
+    parts.append(assign(f"c{iterations}", "afinal"))
+    return "WITH " + ",\n".join(parts) + "\nSELECT vec_id, code AS cluster FROM afinal"
+
+
+SQL_ML_KMEANS_RELATIONAL = _sql_kmeans_relational()
+
+
 # --- Histogram decision-stump split finding — oracle-checked ML ---
 def q_ml_tree_split(spark, sf_dir):
     """Top-5 (feature, threshold) stump splits for predicting the
@@ -1218,6 +1278,7 @@ WORKLOADS = {
     "graph_kcore": (q_graph_kcore, None),  # iterative peeling fixpoint
     "ml_kmeans_fit": (q_ml_kmeans_fit, None),  # iterative unsupervised superstep
     "ml_tree_split": (q_ml_tree_split, SQL_ML_TREE_SPLIT),
+    "ml_kmeans_relational": (q_ml_kmeans_relational, SQL_ML_KMEANS_RELATIONAL),
     "ml_mlp_fit": (q_ml_mlp_fit, None),  # iterative nonlinear training loop
     "ml_cnn_fit": (q_ml_cnn_fit, None),  # iterative convolutional training loop
     "ml_logreg_fit": (q_ml_logreg_fit, None),  # iterative classification loop

@@ -620,3 +620,56 @@ def test_observation_metrics_ride_the_job(spark):
     assert metrics["rows"] == expected_rows == kept
     assert metrics["empty_docs"] == 0
     assert metrics["total_chars"] > 0
+
+
+def test_dynamic_partition_overwrite(spark):
+    """INSERT OVERWRITE with partitionOverwriteMode=dynamic replaces
+    ONLY the partitions present in the incoming batch — the idempotent
+    backfill primitive (static mode would wipe the whole table)."""
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="dyn_overwrite_")
+    shutil.rmtree(path, ignore_errors=True)
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        base = spark.createDataFrame(
+            [(i, i % 3, "old") for i in range(9)], ["id", "p", "tag"]
+        )
+        base.write.partitionBy("p").parquet(path)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        patch = spark.createDataFrame([(100, 1, "new"), (101, 1, "new")], ["id", "p", "tag"])
+        patch.write.mode("overwrite").partitionBy("p").parquet(path)
+        got = {(r.p, r.tag) for r in spark.read.parquet(path).collect()}
+        assert (0, "old") in got and (2, "old") in got   # untouched partitions
+        assert (1, "new") in got and (1, "old") not in got  # replaced partition
+        assert spark.read.parquet(path).filter("p = 1").count() == 2
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_parquet_schema_evolution_merge(spark):
+    """mergeSchema reads across files written with evolving schemas:
+    union of columns, NULLs where a file predates a column — the
+    append-only schema-evolution contract a long-lived table needs."""
+    import os
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        spark.createDataFrame([(1, "a")], ["id", "a"]).write.parquet(
+            os.path.join(path, "w1")
+        )
+        spark.createDataFrame([(2, "b", 9.5)], ["id", "a", "score"]).write.parquet(
+            os.path.join(path, "w2")
+        )
+        df = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(path, "w1"), os.path.join(path, "w2")
+        )
+        rows = {r.id: r for r in df.collect()}
+        assert set(df.columns) == {"id", "a", "score"}
+        assert rows[1].score is None and rows[2].score == 9.5
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

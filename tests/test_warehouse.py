@@ -478,3 +478,45 @@ def test_txlog_snapshot_isolation_laws(spark):
             txlog_read(spark, path, 9)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_txlog_data_skipping_prunes_files(spark):
+    """Data skipping: per-file min/max recorded in the commit lets the
+    read path plan a scan over only the files whose range intersects
+    the predicate — verified via inputFiles(), with results identical
+    to the unpruned filter."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cs744_big_data_system_spark.sources.txlog import (
+        txlog_append_with_stats,
+        txlog_read,
+        txlog_read_skipping,
+    )
+
+    path = tempfile.mkdtemp(prefix="txlog_skip_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        # three appends with disjoint id ranges → ≥3 live files whose
+        # stats partition the key space
+        for lo in (0, 100, 200):
+            df = spark.range(lo, lo + 100).coalesce(1).selectExpr("id", "id * 3 AS v")
+            txlog_append_with_stats(df, path, stats_cols=["id"])
+        full = txlog_read(spark, path)
+        assert len(full.inputFiles()) >= 3
+
+        pruned = txlog_read_skipping(spark, path, "id", 120, 150)
+        assert len(pruned.inputFiles()) == 1  # only the middle file
+        got = sorted(r.id for r in pruned.collect())
+        want = sorted(
+            r.id for r in full.filter((F.col("id") >= 120) & (F.col("id") <= 150)).collect()
+        )
+        assert got == want == list(range(120, 151))
+
+        # out-of-range predicate: zero files, empty but correctly typed
+        empty = txlog_read_skipping(spark, path, "id", 10_000, 20_000)
+        assert empty.count() == 0 and set(empty.columns) == {"id", "v"}
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -666,6 +666,103 @@ FROM events
 """
 
 
+# --- §2.9: SQL-defined functions (Spark 4 CREATE FUNCTION) ---
+def q_sql_udf_funcs(spark, sf_dir):
+    """Scalar functions defined IN SQL (CREATE OR REPLACE TEMPORARY
+    FUNCTION ... RETURN expr, new in Spark 4) and used from a query —
+    catalog-resolved, inlined by Catalyst into the plan (no Python
+    boundary; unlike Python UDFs these stay inside codegen). The
+    oracle inlines the same expressions."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_sqludf_lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d) * (1.0 + t)"
+    )
+    return spark.sql("""
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               round(sum(disc_price(l_extendedprice, l_discount)), 2) AS sum_disc,
+               round(sum(charged(l_extendedprice, l_discount, l_tax)), 2) AS sum_charged
+        FROM _sqludf_lineitem
+        GROUP BY l_returnflag
+    """)
+
+
+SQL_SQL_UDF_FUNCS = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc,
+       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charged
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --- §2.9: LATERAL correlated subquery join (Spark 4) ---
+def q_lateral_topn(spark, sf_dir):
+    """Per-customer top-2 orders via a correlated LATERAL subquery —
+    the SQL-front-end spelling of top-k-per-group. Catalyst rewrites
+    the correlated limit into a join + per-key rank, the same physical
+    shape as the window formulation (which is what the oracle uses)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql("""
+        SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        FROM _lat_customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM _lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC
+          LIMIT 2
+        ) l
+        WHERE c.c_custkey < 200
+    """)
+
+
+SQL_LATERAL_TOPN = """
+SELECT c_custkey, o_orderkey, o_totalprice FROM (
+  SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY c.c_custkey
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rn
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE c.c_custkey < 200
+) WHERE rn <= 2
+"""
+
+
+# --- §2.9: error-safe arithmetic (try_* family) ---
+def q_try_funcs(spark, sf_dir):
+    """ANSI-safe arithmetic that yields NULL instead of raising:
+    try_divide (÷0), try_element_at (out-of-bounds), try_cast
+    (malformed string) — the hardened-expression surface a pipeline
+    uses where poisoned rows must not kill a 100 TB job. The oracle
+    mirrors each with explicit CASE/TRY_CAST semantics."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round(F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 5), 6).alias(
+            "safe_div"
+        ),
+        F.try_element_at(F.split("o_orderpriority", "-"), F.lit(3)).alias("oob_elem"),
+        F.expr("try_cast(o_orderpriority AS DOUBLE)").alias("bad_cast"),
+    )
+
+
+SQL_TRY_FUNCS = """
+SELECT o_orderkey,
+       round(CASE WHEN o_custkey % 5 = 0 THEN NULL
+                  ELSE o_totalprice / (o_custkey % 5) END, 6) AS safe_div,
+       string_split(o_orderpriority, '-')[3] AS oob_elem,
+       TRY_CAST(o_orderpriority AS DOUBLE) AS bad_cast
+FROM orders
+"""
+
+
 # --- §2.9: VARIANT semi-structured type (Spark 4) ---
 def q_variant_extract(spark, sf_dir):
     """props parsed ONCE into Spark 4's binary VARIANT encoding, then
@@ -849,6 +946,9 @@ WORKLOADS = {
     "date_funcs": (q_date_funcs, SQL_DATE_FUNCS),
     "json_funcs": (q_json_funcs, SQL_JSON_FUNCS),
     "variant_extract": (q_variant_extract, SQL_VARIANT_EXTRACT),
+    "sql_udf_funcs": (q_sql_udf_funcs, SQL_SQL_UDF_FUNCS),
+    "lateral_topn": (q_lateral_topn, SQL_LATERAL_TOPN),
+    "try_funcs": (q_try_funcs, SQL_TRY_FUNCS),
     "string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
     "array_funcs": (q_array_funcs, SQL_ARRAY_FUNCS),
     "asof_join": (q_asof, SQL_ASOF),

@@ -238,3 +238,38 @@ def txlog_read_skipping(
     from pyspark.sql import functions as F
 
     return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+
+
+def committed_batch_ids(table_path: str) -> set:
+    """Batch ids recorded by txlog_ingest_batch commits so far."""
+    ids = set()
+    for v in range(latest_version(table_path) + 1):
+        with open(_entry_path(table_path, v)) as f:
+            entry = json.load(f)
+        if "batchId" in entry:
+            ids.add(entry["batchId"])
+    return ids
+
+
+def txlog_ingest_batch(df: DataFrame, table_path: str, batch_id: int):
+    """Exactly-once streaming ingestion: append ``df`` as one commit
+    TAGGED with the micro-batch id; a redelivered batch (foreachBatch
+    re-runs after a failure/restart) finds its id already committed
+    and is skipped — the log itself is the idempotence ledger, no
+    side table. Returns the committed version, or None if skipped."""
+    if batch_id in committed_batch_ids(table_path):
+        return None
+    add = _stage_data_files(df, table_path)
+    v = latest_version(table_path) + 1
+    os.makedirs(_log_dir(table_path), exist_ok=True)
+    entry = {"version": v, "add": add, "remove": [], "batchId": batch_id}
+    tmp = _entry_path(table_path, v) + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(entry, f)
+    try:
+        os.link(tmp, _entry_path(table_path, v))
+    except FileExistsError:
+        raise RuntimeError(f"txlog version {v} already committed (concurrent writer)")
+    finally:
+        os.unlink(tmp)
+    return v

@@ -73,6 +73,87 @@ def q_stream_tumbling_replay(spark, sf_dir):
     )
 
 
+# --- Streaming lakehouse ingestion: stream → txlog, exactly-once ---
+def q_stream_txlog_ingest(spark, sf_dir):
+    """End-to-end streaming ingestion into the transaction-log table:
+    events replayed as 3 ordered micro-batches, each committed by
+    foreachBatch via txlog_ingest_batch (the commit carries the batch
+    id, so the LOG is the idempotence ledger — a redelivered batch
+    no-ops, which the query proves by re-ingesting batch 0's data
+    after the stream drains and asserting nothing changed). Output is
+    an aggregate over the final snapshot; since every event lands
+    exactly once, the oracle is the plain batch aggregate."""
+    import os
+    import shutil
+    import tempfile
+
+    from cs744_big_data_system_spark.sources.txlog import (
+        txlog_ingest_batch,
+        txlog_read,
+    )
+
+    table = os.path.join(tempfile.gettempdir(), f"txlog_ingest_{os.getpid()}")
+    shutil.rmtree(table, ignore_errors=True)
+    stage = tempfile.mkdtemp(prefix="txlog_ingest_waves_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        for i in range(3):
+            wave = ev.filter(F.col("event_id") % 3 == i)
+            tmp = os.path.join(stage, f"_stage{i}")
+            wave.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                p for p in os.listdir(tmp)
+                if p.startswith("part-") and p.endswith(".parquet")
+            )
+            dst = os.path.join(stage, f"wave{i}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            mtime = 1_700_000_000 + 100 * i
+            os.utime(dst, (mtime, mtime))
+        schema = spark.read.parquet(os.path.join(stage, "wave0.parquet")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "wave*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(stage)
+        )
+        ckpt = tempfile.mkdtemp(prefix="txlog_ingest_ckpt_")
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: txlog_ingest_batch(bdf, table, bid)
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        # redelivery drill: batch 0 arrives again → must be a no-op
+        assert (
+            txlog_ingest_batch(ev.filter(F.col("event_id") % 3 == 0), table, 0) is None
+        )
+        snap = txlog_read(spark, table)
+        return (
+            snap.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+SQL_STREAM_TXLOG_INGEST = """
+SELECT event_type, count(*) AS n_events,
+       CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 # --- TRUE streaming replay: per-window top-k downstream of the stream ---
 def q_stream_window_topk(spark, sf_dir):
     """Top-2 event types per tumbling window: the windowed counts run
@@ -1273,6 +1354,7 @@ WORKLOADS = {
     "stream_static_join_replay": (q_stream_static_join_replay, SQL_STREAM_STATIC_JOIN),
     "stream_cms_replay": (q_stream_cms_replay, _SQL_STREAM_CMS),
     "stream_window_topk": (q_stream_window_topk, SQL_STREAM_WINDOW_TOPK),
+    "stream_txlog_ingest": (q_stream_txlog_ingest, SQL_STREAM_TXLOG_INGEST),
     # --- rows-only tail (iterative / approximate / stubbed-decode) ---
     "pagerank_events": (q_pagerank_events, None),  # iterative fixed-point
     "graph_kcore": (q_graph_kcore, None),  # iterative peeling fixpoint

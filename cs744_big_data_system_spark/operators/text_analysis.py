@@ -610,3 +610,83 @@ def repetition_features(
         F.round(ratio, 6).alias("repetition_ratio"),
         (ratio > threshold).alias("repetitive"),
     )
+
+
+#: control chars (C0 minus \t\n\r, DEL) + zero-width/space marks — the
+#: bytes a crawl pipeline strips before any tokenization; the same
+#: class literal is mirrored in the DuckDB oracle (RE2 and Java agree
+#: on these escapes).
+_CTRL_ZW_CLASS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F​‌‍﻿]"
+
+
+def strip_control_chars(col) -> "F.Column":
+    """Remove control and zero-width characters — native regexp, zero
+    Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, _CTRL_ZW_CLASS, "")
+
+
+def nfc_normalize_udf():
+    """Arrow-batched NFC normalization (pandas Series.str.normalize —
+    vectorized ICU-equivalent via Python's unicodedata tables). Spark
+    has no normalization builtin; this is the one genuinely
+    Python-bound step of text canonicalization, batched so the cost is
+    per-buffer, not per-row."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    # explicit SCALAR form: the module's `from __future__ import
+    # annotations` turns hints into strings pyspark can't resolve
+    # (same workaround as similarity.lsh_band_buckets_udf)
+    @pandas_udf("string", PandasUDFType.SCALAR)
+    def nfc(s):
+        return s.str.normalize("NFC")
+
+    return nfc
+
+
+def unicode_clean(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical Unicode cleanup: strip control/zero-width chars
+    (native), then NFC-normalize (Arrow batch). Returns doc_id, the
+    cleaned text, whether anything changed, and the cleaned length —
+    the normalization pass every multilingual corpus gets before
+    dedup/tokenization (bytes that differ only by combining-mark
+    composition must hash identically downstream)."""
+    nfc = nfc_normalize_udf()
+    cleaned = nfc(strip_control_chars(text_col))
+    return documents.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        (cleaned != F.col(text_col)).alias("changed"),
+        F.length(cleaned).cast("long").alias("n_chars_clean"),
+    )
+
+
+def compression_ratio(documents: DataFrame, text_col: str = "text", level: int = 6) -> DataFrame:
+    """zlib-compressed-size / raw-size per document — the
+    compressibility quality signal (highly repetitive or templated
+    text compresses far below natural prose; natural-language corpora
+    filter on it). zlib with a FIXED level is deterministic across
+    platforms, so the score is reproducible run-to-run; there is no
+    SQL mirror (rows-only in the driver gate), and a golden unit test
+    pins the scores against direct zlib calls."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.SCALAR)
+    def ratio(s):
+        import zlib
+
+        def one(t):
+            if not t:
+                return 0.0
+            raw = t.encode("utf-8")
+            return round(len(zlib.compress(raw, level)) / len(raw), 6)
+
+        return s.map(one)
+
+    return documents.select(
+        "doc_id",
+        F.length(text_col).cast("long").alias("n_chars_obs"),
+        ratio(F.col(text_col)).alias("zlib_ratio"),
+    )

@@ -1384,6 +1384,43 @@ def q_text_bpe_tokenize(spark, sf_dir):
     return bpe_tokenize(docs, merges)
 
 
+# --- Unicode canonicalization (NFC + control-char strip) ---
+def q_text_unicode_clean(spark, sf_dir):
+    """Strip control/zero-width chars (native regexp) then
+    NFC-normalize (Arrow-batched pandas_udf — Spark has no
+    normalization builtin). Oracle = DuckDB nfc_normalize over the
+    same class regex, so the canonicalization is hash-checked
+    byte-for-byte."""
+    from cs744_big_data_system_spark.operators.text_analysis import unicode_clean
+
+    return unicode_clean(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_UNICODE_CLEAN = r"""
+WITH cleaned AS (
+  SELECT doc_id,
+         nfc_normalize(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F​‌‍﻿]', '', 'g')) AS clean_text,
+         text
+  FROM documents
+)
+SELECT doc_id, clean_text, clean_text <> text AS changed,
+       CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+FROM cleaned
+"""
+
+
+# --- Compressibility quality signal (zlib ratio) ---
+def q_text_compression_ratio(spark, sf_dir):
+    """Per-doc zlib-compressed/raw size ratio — the compressibility
+    filter (templated/repetitive text compresses far below prose).
+    Fixed level ⇒ deterministic, but no SQL mirror exists, so this is
+    rows-only in the driver gate with a golden test pinning scores to
+    direct zlib calls (tests/test_text.py)."""
+    from cs744_big_data_system_spark.operators.text_analysis import compression_ratio
+
+    return compression_ratio(load_table(spark, sf_dir, "documents"))
+
+
 # --- Corpus-wide top-k n-grams (vocabulary / boilerplate mining) ---
 def q_ngram_topk(spark, sf_dir):
     """Top-30 word trigrams corpus-wide with document frequency —
@@ -1526,4 +1563,6 @@ WORKLOADS = {
     "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
     "sim_cosine_topk_pq": (q_cosine_topk_pq, SQL_COSINE_TOPK_PQ),
     "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
+    "text_unicode_clean": (q_text_unicode_clean, SQL_TEXT_UNICODE_CLEAN),
+    "text_compression_ratio": (q_text_compression_ratio, None),  # no SQL zlib
 }

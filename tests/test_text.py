@@ -329,3 +329,39 @@ def test_perplexity_flags_gibberish(spark):
     assert not got[0].flagged
     assert got[0].mean_nll == pytest.approx(round(2 * math.log(2) / 5, 4))
     assert got[99].flagged and got[99].mean_nll == pytest.approx(10.0)  # all backoff
+
+
+def test_unicode_clean_composes_and_strips(spark):
+    from cs744_big_data_system_spark.operators.text_analysis import unicode_clean
+
+    decomposed = "école"          # e + combining acute
+    composed = "école"             # é precomposed (NFC form)
+    dirty = "a​b\x07c"             # zero-width space + BEL
+    docs = spark.createDataFrame(
+        [(1, decomposed), (2, composed), (3, dirty), (4, "plain")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in unicode_clean(docs).collect()}
+    assert got[1].clean_text == composed and got[1].changed
+    assert got[2].clean_text == composed and not got[2].changed
+    assert got[3].clean_text == "abc" and got[3].changed
+    assert got[4].clean_text == "plain" and not got[4].changed
+    assert got[1].n_chars_clean == 5
+
+
+def test_compression_ratio_golden_and_ordering(spark):
+    """Scores pinned to direct zlib; repetitive text must compress
+    far below prose-like text."""
+    import zlib
+
+    from cs744_big_data_system_spark.operators.text_analysis import compression_ratio
+
+    rep = "spam ham " * 200
+    prose = " ".join(f"w{i}token{i * 7 % 13}" for i in range(300))
+    docs = spark.createDataFrame([(1, rep), (2, prose), (3, "")], ["doc_id", "text"])
+    got = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    for d, t in ((1, rep), (2, prose)):
+        want = round(len(zlib.compress(t.encode())) / len(t.encode()), 6)
+        assert abs(got[d].zlib_ratio - want) < 1e-9
+    assert got[1].zlib_ratio < got[2].zlib_ratio / 2
+    assert got[3].zlib_ratio == 0.0

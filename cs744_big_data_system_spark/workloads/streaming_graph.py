@@ -1003,15 +1003,55 @@ GROUP BY 1
 
 
 def q_graph_kcore(spark, sf_dir):
-    """k-core of the hash graph by iterative peeling (graph/kcore.py);
-    rows-only (iterative fixpoint — not CTE-expressible because each
-    peel round re-aggregates degrees); golden-graph peeling tests in
-    tests/test_pagerank.py."""
+    """k-core of the hash graph by iterative peeling (graph/kcore.py).
+    Oracle-checked via monotone-fixpoint unrolling: peeling removes
+    EVERY current sub-k node per round and is idempotent at the
+    fixpoint, so an unrolled chain of R ≥ convergence rounds is EXACT
+    regardless of R (extra rounds no-op). The fixture fixpoints in 5
+    rounds (verified against an independent Python peeling); the
+    oracle unrolls 12 MATERIALIZED CTE rounds (materialization
+    matters: each round references its predecessor three times, and
+    inlining would blow up 3^R). The 5th hash-verified iterative
+    kernel."""
     from cs744_big_data_system_spark.graph.kcore import k_core
 
     # k=8 keeps roughly half the hash graph — a non-trivial core (k=9
     # cascades to empty; k=6 removes nothing)
     return k_core(_hash_graph(spark), k=8)
+
+
+def _sql_kcore(k: int = 8, rounds: int = 12) -> str:
+    parts = [
+        f"""e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM ({_SQL_HASH_GRAPH}) WHERE src <> dst
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""b{r - 1} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, count(*) AS degree FROM (
+      SELECT u AS node FROM e{r - 1} UNION ALL SELECT v AS node FROM e{r - 1}
+    ) GROUP BY node
+  ) WHERE degree < {k}
+), e{r} AS MATERIALIZED (
+  SELECT u, v FROM e{r - 1} e
+  WHERE NOT EXISTS (SELECT 1 FROM b{r - 1} b WHERE b.node = e.u)
+    AND NOT EXISTS (SELECT 1 FROM b{r - 1} b WHERE b.node = e.v)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT node, count(*) AS core_degree FROM (
+  SELECT u AS node FROM e{rounds} UNION ALL SELECT v AS node FROM e{rounds}
+) GROUP BY node"""
+    )
+
+
+SQL_GRAPH_KCORE = _sql_kcore()
 
 
 def q_graph_degree_histogram(spark, sf_dir):
@@ -1357,7 +1397,7 @@ WORKLOADS = {
     "stream_txlog_ingest": (q_stream_txlog_ingest, SQL_STREAM_TXLOG_INGEST),
     # --- rows-only tail (iterative / approximate / stubbed-decode) ---
     "pagerank_events": (q_pagerank_events, None),  # iterative fixed-point
-    "graph_kcore": (q_graph_kcore, None),  # iterative peeling fixpoint
+    "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),  # fixpoint-unrolled oracle
     "ml_kmeans_fit": (q_ml_kmeans_fit, None),  # iterative unsupervised superstep
     "ml_tree_split": (q_ml_tree_split, SQL_ML_TREE_SPLIT),
     "ml_kmeans_relational": (q_ml_kmeans_relational, SQL_ML_KMEANS_RELATIONAL),

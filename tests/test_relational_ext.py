@@ -225,3 +225,30 @@ def test_approx_percentile_within_rank_error_of_exact(spark):
         for col in ("p50", "p90", "p99"):
             assert abs(getattr(a, col) - getattr(e, col)) <= 0.01 * abs(getattr(e, col)), (
                 flag, col, getattr(a, col), getattr(e, col))
+
+
+def test_ewma_matches_pandas_recursive(spark):
+    """The prefix-sum EWMA must equal pandas' sequential
+    ewm(adjust=False) recursion per key (within float-rescaling
+    tolerance), including series long enough for the rescaled terms to
+    reach ~1e10."""
+    import random
+
+    import pandas as pd
+
+    from cs744_big_data_system_spark.operators.timeseries import ewma
+
+    rng = random.Random(3)
+    rows = [
+        (k, i, rng.uniform(0, 100.0)) for k in (1, 2) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, ["k", "seq", "x"])
+    got = {
+        (r.k, r.seq): r.ewma
+        for r in ewma(df, "k", "seq", "x", alpha=0.3).collect()
+    }
+    for k in (1, 2):
+        series = pd.Series([x for kk, _, x in rows if kk == k])
+        want = series.ewm(alpha=0.3, adjust=False).mean()
+        for i in range(80):
+            assert abs(got[(k, i)] - round(want[i], 4)) < 2e-4, (k, i)

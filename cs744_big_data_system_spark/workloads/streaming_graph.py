@@ -691,6 +691,47 @@ def q_pagerank_events(spark, sf_dir):
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _sql_pagerank_events(iterations: int = 10, damping: float = 0.85) -> str:
+    """Unrolled mirror of graph/pagerank.pagerank on the events-derived
+    graph — PageRank hash-checked (the 6th hash-verified iterative
+    kernel, and the reference's own flagship). Float parity notes: the
+    damping constants are emitted via Python float repr, so DuckDB
+    parses the IDENTICAL doubles Spark's lit(1.0-damping) uses; the
+    per-node contribution sums run over the event-type graph's handful
+    of in-edges, so accumulation-order noise is ~1e-16 against a 1e-6
+    rounding bucket."""
+    parts = [
+        """e AS (
+  SELECT prev_type AS src, event_type AS dst FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+  ) WHERE prev_type IS NOT NULL
+), links0 AS (
+  SELECT src, dst, count(*) AS n_para FROM e GROUP BY 1, 2
+), degree AS (
+  SELECT src, CAST(sum(n_para) AS BIGINT) AS out_degree FROM links0 GROUP BY 1
+), l AS MATERIALIZED (
+  SELECT l.src, l.dst, l.n_para, d.out_degree FROM links0 l JOIN degree d USING (src)
+), r0 AS (SELECT src AS node, 1.0 AS rank FROM degree)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""r{i} AS (
+  SELECT l.dst AS node,
+         {1.0 - damping!r} + {damping!r} * sum(r.rank * l.n_para / l.out_degree) AS rank
+  FROM l JOIN r{i - 1} r ON r.node = l.src GROUP BY l.dst
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
+    )
+
+
+SQL_PAGERANK_EVENTS = _sql_pagerank_events()
+
+
 # --- PageRank on a synthetic large graph: the co-partitioned regime ---
 def q_pagerank_synthetic(spark, sf_dir):
     """240k-edge synthetic graph (graph/synthetic.py), 5 supersteps in
@@ -1396,7 +1437,7 @@ WORKLOADS = {
     "stream_window_topk": (q_stream_window_topk, SQL_STREAM_WINDOW_TOPK),
     "stream_txlog_ingest": (q_stream_txlog_ingest, SQL_STREAM_TXLOG_INGEST),
     # --- rows-only tail (iterative / approximate / stubbed-decode) ---
-    "pagerank_events": (q_pagerank_events, None),  # iterative fixed-point
+    "pagerank_events": (q_pagerank_events, SQL_PAGERANK_EVENTS),  # unrolled oracle
     "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),  # fixpoint-unrolled oracle
     "ml_kmeans_fit": (q_ml_kmeans_fit, None),  # iterative unsupervised superstep
     "ml_tree_split": (q_ml_tree_split, SQL_ML_TREE_SPLIT),

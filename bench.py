@@ -123,6 +123,12 @@ def time_query(fn, spark, sf_dir, reps: int = 2) -> float:
     cached = getattr(df, "cached_links", None)
     if cached is not None:
         cached.unpersist()
+    # Iterative queries leave localCheckpoint blocks behind until the
+    # driver GC lets the ContextCleaner reap them; across a 60+-query
+    # session the backlog grows until the block manager churns (BFS
+    # benched 2s vs 14-20s spikes without this). One driver-side GC per
+    # query keeps the harness measuring the query, not the backlog.
+    spark.sparkContext._jvm.System.gc()
     return sum(times[1:]) / len(times[1:])
 
 

@@ -243,7 +243,13 @@ def q_tpch_q9(spark, sf_dir):
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("bolt"))
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
     li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
+    # orders is a FACT table: co-partitioned shuffle join, never a
+    # broadcast — its on-disk size sneaks under the broadcast threshold
+    # at test SF, but building+shipping a 150k-row hash relation to
+    # every task benched 2x slower than the shuffle join here, and at
+    # 100 TB broadcasting a fact side is simply wrong. The hint pins
+    # the join strategy the scale posture requires.
+    orders = _t(spark, sf_dir, "orders").hint("shuffle_hash")
     supp = _t(spark, sf_dir, "supplier")
     joined = (
         li.join(part, li.l_partkey == part.p_partkey)

@@ -122,24 +122,22 @@ def cogrouped_asof_match(
             rid = r[right_id].to_numpy()
             # index of the last right ts <= left ts
             ridx = np.searchsorted(rt, lt, side="right") - 1
-        rows = []
-        for i in range(len(l)):
-            j = ridx[i] if len(rt) else -1
-            if j >= 0:
-                gap_ns = lt[i] - rt[j]
-                # filter on the EXACT gap (ns), report floor seconds —
-                # flooring first would admit gaps up to max_gap_s+1s
-                # and diverge from the oracle's microsecond compare.
-                if gap_ns <= max_gap_s * 1_000_000_000:
-                    rows.append(
-                        (
-                            int(l[key_col].iloc[0]),
-                            int(l[left_id].iloc[i]),
-                            int(rid[j]),
-                            int(gap_ns // 1_000_000_000),
-                        )
-                    )
-        return pd.DataFrame(rows, columns=[key_col, left_id, right_id, "gap_s"])
+        if len(rt) == 0:
+            return pd.DataFrame(columns=[key_col, left_id, right_id, "gap_s"])
+        # fully vectorized: filter on the EXACT gap (ns) — flooring
+        # first would admit gaps up to max_gap_s+1s and diverge from
+        # the oracle's microsecond compare — then report floor seconds.
+        valid = ridx >= 0
+        gap_ns = np.where(valid, lt - rt[np.clip(ridx, 0, None)], np.int64(1 << 62))
+        keep = valid & (gap_ns <= max_gap_s * 1_000_000_000)
+        return pd.DataFrame(
+            {
+                key_col: np.full(int(keep.sum()), l[key_col].iloc[0], dtype="int64"),
+                left_id: l[left_id].to_numpy()[keep],
+                right_id: rid[ridx[keep]],
+                "gap_s": gap_ns[keep] // 1_000_000_000,
+            }
+        )
 
     return (
         left.groupBy(key_col)

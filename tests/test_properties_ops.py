@@ -188,3 +188,101 @@ def test_pii_redact_idempotent(spark, texts):
     for d in first:
         assert second[d].n_emails == second[d].n_phones == second[d].n_ips == 0
         assert second[d].redacted_fp == first[d].redacted_fp
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=14),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.sampled_from([2, 3]),
+)
+@settings(**_SETTINGS)
+def test_substring_coverage_matches_bruteforce(spark, docs, n):
+    """dup_share/dup_tokens agree with a plain-Python positional-window
+    scan + interval union, on arbitrary tiny corpora (within-doc
+    repeats, empty docs, all-identical docs)."""
+    from cs744_big_data_system_spark.operators.dedup import substring_dup_coverage
+
+    rows = [(i, " ".join(f"t{w}" for w in toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in substring_dup_coverage(df, n=n).collect()}
+
+    # brute force
+    from collections import Counter
+
+    grams: Counter = Counter()
+    per_doc: dict[int, list] = {}
+    for i, toks in enumerate(docs):
+        gs = [tuple(toks[p : p + n]) for p in range(len(toks) - n + 1)]
+        per_doc[i] = gs
+        grams.update(gs)
+    for i, toks in enumerate(docs):
+        dup_pos = [p for p, g in enumerate(per_doc[i]) if grams[g] >= 2]
+        covered: set[int] = set()
+        for p in dup_pos:
+            covered.update(range(p, p + n))
+        assert got[i].n_tokens == len(toks)
+        assert got[i].n_dup_grams == len(dup_pos)
+        assert got[i].dup_tokens == len(covered)
+        if len(toks):
+            assert abs(got[i].dup_share - round(len(covered) / len(toks), 6)) < 1e-9
+
+
+@given(
+    batches=st.lists(
+        st.lists(st.integers(min_value=0, max_value=99), min_size=1, max_size=6),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@settings(**_SETTINGS)
+def test_txlog_append_read_roundtrip_law(spark, batches):
+    """Reading version k returns exactly the concatenation (as a
+    multiset) of appends 0..k — for any append sequence."""
+    import shutil
+    import tempfile
+
+    from cs744_big_data_system_spark.sources.txlog import txlog_append, txlog_read
+
+    path = tempfile.mkdtemp(prefix="txlog_prop_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        for b in batches:
+            txlog_append(
+                spark.createDataFrame([(x,) for x in b], ["v"]), path
+            )
+        for k in range(len(batches)):
+            got = sorted(r.v for r in txlog_read(spark, path, k).collect())
+            want = sorted(x for b in batches[: k + 1] for x in b)
+            assert got == want
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@given(
+    series=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        min_size=1,
+        max_size=30,
+    ),
+    alpha=st.sampled_from([0.1, 0.3, 0.5, 0.9]),
+)
+@settings(**_SETTINGS)
+def test_ewma_prefix_identity_matches_recursion(spark, series, alpha):
+    """The windowed prefix-sum EWMA equals the textbook sequential
+    recursion for arbitrary series and alphas (quantized at 4 dp with
+    the operator's own floor convention)."""
+    import math
+
+    from cs744_big_data_system_spark.operators.timeseries import ewma
+
+    rows = [(1, i, float(x)) for i, x in enumerate(series)]
+    df = spark.createDataFrame(rows, ["k", "seq", "x"])
+    got = {r.seq: r.ewma for r in ewma(df, "k", "seq", "x", alpha=alpha).collect()}
+    y = None
+    for i, x in enumerate(series):
+        y = float(x) if y is None else (1 - alpha) * y + alpha * float(x)
+        want = math.floor(y * 10000 + 0.5 + 1e-9) / 10000
+        assert abs(got[i] - want) < 5e-4, (i, got[i], want)

@@ -41,6 +41,7 @@ def sssp(
     weight_col: str = "w",
     max_iters: int = 30,
     num_partitions: int | None = None,
+    broadcast_threshold: int = 8_000_000,
 ) -> DataFrame:
     """edges(src, dst, w) with positive weights → (node, dist): minimum
     path weight from ``source`` for every reachable node (dist 0 for
@@ -59,28 +60,37 @@ def sssp(
         F.lit(source).cast(node_type).alias("node"), F.lit(0).cast("long").alias("dist")
     )
     frontier = dist
+    dist_rows = 1
 
     for it in range(1, max_iters + 1):
         # Relax edges out of last round's improved nodes. The candidate
         # min per dst is map-side combinable; the improvement check is
         # a left join against the current dist table keeping rows that
         # are strictly shorter (or reach a brand-new node).
+        # frontier/dist broadcast only while small (the bfs.py rule:
+        # a set bounded by |V| must not be broadcast at scale); past
+        # the threshold the joins shuffle, reusing the edge cache's
+        # src partitioning.
+        small = dist_rows <= broadcast_threshold
+        f_src = frontier.withColumnRenamed("node", "src")
         cand = (
             links.join(
-                F.broadcast(frontier.withColumnRenamed("node", "src")), "src"
+                F.broadcast(f_src) if small else f_src, "src"
             )
             .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("d"))
             .groupBy("node")
             .agg(F.min("d").alias("d"))
         )
         improved = (
-            cand.join(F.broadcast(dist), "node", "left")
+            cand.join(F.broadcast(dist) if small else dist, "node", "left")
             .filter(F.col("dist").isNull() | (F.col("d") < F.col("dist")))
             .select("node", F.col("d").alias("dist"))
         )
         frontier = improved.localCheckpoint(eager=False)
-        if frontier.count() == 0:
+        n_new = frontier.count()
+        if n_new == 0:
             break
+        dist_rows += n_new  # upper bound: improvements may revisit nodes
         # dist merge: drop superseded rows, append the improvements.
         # Checkpoint EVERY round (not the BFS cadence): unlike BFS's
         # visited chain — plain unions — each SSSP round adds an

@@ -38,8 +38,9 @@ def per_group_ols(
     which is exactly what the oracle uses."""
     import pandas as pd
 
+    gtype = dict(df.dtypes)[group_col]
     out_schema = (
-        f"{group_col} string, n_obs long, slope double, intercept double, r2 double"
+        f"{group_col} {gtype}, n_obs long, slope double, intercept double, r2 double"
     )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -100,6 +100,9 @@ HEADLINE = [
     "anomaly_zscore",
     "stream_cms_replay",
     "ml_tree_split",
+    "events_ewma",
+    "txlog_time_travel",
+    "stream_txlog_ingest",
     "udf_cogroup_asof",
     "variant_extract",
 ]

@@ -1126,6 +1126,33 @@ def q_ml_linear_fit(spark, sf_dir):
     return weights_df(spark, w)
 
 
+# --- GD training loop: broadcast-down / aggregate-up, hash-verified ---
+def q_ml_linear_gd(spark, sf_dir):
+    """Six full-batch gradient-descent rounds fitting label from the
+    first 4 embedding dims + bias (ml/linear_gd.py): per step ONE
+    map-side-combinable aggregation computes all p+1 gradient
+    components (the reference's all-reduce round as one Spark agg),
+    the driver applies the O(p) update. Gradients are quantized with
+    the engine-stable floor form each step, so both engines walk the
+    IDENTICAL weight trajectory and the entire training loop
+    hash-checks — the 7th hash-verified iterative kernel, and the one
+    that mirrors the reference's actual workload (data-parallel
+    training)."""
+    from cs744_big_data_system_spark.ml.linear_gd import linear_gd_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return linear_gd_fit(emb, feature_dims=4, steps=6, lr=0.1)
+
+
+def _sql_ml_linear_gd() -> str:
+    from cs744_big_data_system_spark.ml.linear_gd import sql_linear_gd
+
+    return sql_linear_gd(feature_dims=4, steps=6, lr=0.1)
+
+
+SQL_ML_LINEAR_GD = _sql_ml_linear_gd()
+
+
 # --- Relational k-means: the 4th hash-verified iterative kernel ---
 def q_ml_kmeans_relational(spark, sf_dir):
     """3 Lloyd iterations over the embeddings as pure relational
@@ -1442,6 +1469,7 @@ WORKLOADS = {
     "ml_kmeans_fit": (q_ml_kmeans_fit, None),  # iterative unsupervised superstep
     "ml_tree_split": (q_ml_tree_split, SQL_ML_TREE_SPLIT),
     "ml_kmeans_relational": (q_ml_kmeans_relational, SQL_ML_KMEANS_RELATIONAL),
+    "ml_linear_gd": (q_ml_linear_gd, SQL_ML_LINEAR_GD),
     "ml_mlp_fit": (q_ml_mlp_fit, None),  # iterative nonlinear training loop
     "ml_cnn_fit": (q_ml_cnn_fit, None),  # iterative convolutional training loop
     "ml_logreg_fit": (q_ml_logreg_fit, None),  # iterative classification loop

@@ -673,3 +673,38 @@ def test_parquet_schema_evolution_merge(spark):
         assert rows[1].score is None and rows[2].score == 9.5
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_linear_gd_converges_on_planted_model(spark):
+    """GD recovers a planted linear relationship: y = 3 + 2*x1 - x2
+    (no noise) — weights approach the truth and MSE shrinks
+    monotonically across step counts."""
+    import random
+
+    from cs744_big_data_system_spark.ml.linear_gd import linear_gd_fit
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(300):
+        x1, x2 = rng.uniform(-1, 1), rng.uniform(-1, 1)
+        rows.append((i, [x1, x2], 3.0 + 2.0 * x1 - x2))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    def mse(w):
+        return sum(
+            (w[0] + w[1] * x[0] + w[2] * x[1] - y) ** 2 for _, x, y in rows
+        ) / len(rows)
+
+    prev = None
+    for steps in (2, 8, 32):
+        w = [
+            r.weight
+            for r in linear_gd_fit(df, feature_dims=2, steps=steps, lr=0.3)
+            .orderBy("j")
+            .collect()
+        ]
+        cur = mse(w)
+        if prev is not None:
+            assert cur < prev
+        prev = cur
+    assert abs(w[0] - 3.0) < 0.2 and abs(w[1] - 2.0) < 0.2 and abs(w[2] + 1.0) < 0.2

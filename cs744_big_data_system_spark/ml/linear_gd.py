@@ -94,3 +94,62 @@ def sql_linear_gd(
         f"SELECT {j} AS j, w{j} AS weight FROM s{steps}" for j in range(p + 1)
     )
     return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
+def logreg_gd_fit(
+    df: DataFrame,
+    feature_dims: int = 4,
+    steps: int = 6,
+    lr: float = 0.5,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Logistic-regression GD under the same hash-verifiable contract
+    as linear_gd_fit — the NONLINEAR gradient case: per step, one agg
+    computes avg((sigmoid(w·x) − y)·x_j) for all components; libm vs
+    JVM exp() differ by ~1 ulp, which the 1e-9 gradient quantization
+    absorbs, so the trajectory stays engine-identical. y is the
+    label's parity (a balanced binary target over the fixture)."""
+    x = [F.lit(1.0)] + [
+        F.element_at(F.col(vec_col).cast("array<double>"), j + 1)
+        for j in range(feature_dims)
+    ]
+    y = (F.col(label_col) % 2).cast("double")
+    w = [0.0] * (feature_dims + 1)
+    for _ in range(steps):
+        pred = sum((F.lit(wj) * xj for wj, xj in zip(w, x)), F.lit(0.0))
+        sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-pred))
+        row = df.agg(
+            *[F.avg((sig - y) * xj).alias(f"g{j}") for j, xj in enumerate(x)]
+        ).collect()[0]
+        grads = [_q9(row[f"g{j}"]) for j in range(feature_dims + 1)]
+        w = [wj - lr * gj for wj, gj in zip(w, grads)]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(j, wj) for j, wj in enumerate(w)], "j int, weight double"
+    )
+
+
+def sql_logreg_gd(
+    feature_dims: int = 4, steps: int = 6, lr: float = 0.5
+) -> str:
+    p = feature_dims
+    xs = ["1.0"] + [f"CAST(embedding[{j + 1}] AS DOUBLE)" for j in range(p)]
+    parts = [
+        "s0 AS (SELECT " + ", ".join(f"0.0 AS w{j}" for j in range(p + 1)) + ")"
+    ]
+    for t in range(1, steps + 1):
+        pred = " + ".join(f"s.w{j} * {xs[j]}" for j in range(p + 1))
+        sig = f"(1.0 / (1.0 + exp(-({pred}))))"
+        grads = ", ".join(
+            f"floor(avg(({sig} - CAST(label % 2 AS DOUBLE)) * {xs[j]}) * 1e9"
+            f" + 0.5 + 1e-12) / 1e9 AS g{j}"
+            for j in range(p + 1)
+        )
+        parts.append(f"g{t} AS (SELECT {grads} FROM embeddings, s{t - 1} s)")
+        upd = ", ".join(f"s.w{j} - {lr!r} * g.g{j} AS w{j}" for j in range(p + 1))
+        parts.append(f"s{t} AS (SELECT {upd} FROM s{t - 1} s, g{t} g)")
+    sel = " UNION ALL ".join(
+        f"SELECT {j} AS j, w{j} AS weight FROM s{steps}" for j in range(p + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + sel

@@ -1153,6 +1153,26 @@ def _sql_ml_linear_gd() -> str:
 SQL_ML_LINEAR_GD = _sql_ml_linear_gd()
 
 
+def q_ml_logreg_gd(spark, sf_dir):
+    """Logistic GD under the same hash-verified contract as
+    ml_linear_gd — the nonlinear-gradient case (sigmoid through exp;
+    libm-vs-JVM ulp differences absorbed by the per-step gradient
+    quantization). The 8th hash-verified iterative kernel."""
+    from cs744_big_data_system_spark.ml.linear_gd import logreg_gd_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return logreg_gd_fit(emb, feature_dims=4, steps=6, lr=0.5)
+
+
+def _sql_ml_logreg_gd() -> str:
+    from cs744_big_data_system_spark.ml.linear_gd import sql_logreg_gd
+
+    return sql_logreg_gd(feature_dims=4, steps=6, lr=0.5)
+
+
+SQL_ML_LOGREG_GD = _sql_ml_logreg_gd()
+
+
 # --- Relational k-means: the 4th hash-verified iterative kernel ---
 def q_ml_kmeans_relational(spark, sf_dir):
     """3 Lloyd iterations over the embeddings as pure relational
@@ -1470,6 +1490,7 @@ WORKLOADS = {
     "ml_tree_split": (q_ml_tree_split, SQL_ML_TREE_SPLIT),
     "ml_kmeans_relational": (q_ml_kmeans_relational, SQL_ML_KMEANS_RELATIONAL),
     "ml_linear_gd": (q_ml_linear_gd, SQL_ML_LINEAR_GD),
+    "ml_logreg_gd": (q_ml_logreg_gd, SQL_ML_LOGREG_GD),
     "ml_mlp_fit": (q_ml_mlp_fit, None),  # iterative nonlinear training loop
     "ml_cnn_fit": (q_ml_cnn_fit, None),  # iterative convolutional training loop
     "ml_logreg_fit": (q_ml_logreg_fit, None),  # iterative classification loop

@@ -708,3 +708,31 @@ def test_linear_gd_converges_on_planted_model(spark):
             assert cur < prev
         prev = cur
     assert abs(w[0] - 3.0) < 0.2 and abs(w[1] - 2.0) < 0.2 and abs(w[2] + 1.0) < 0.2
+
+
+def test_logreg_gd_separates_planted_classes(spark):
+    """Logistic GD drives training accuracy well above chance on a
+    linearly separable planted problem."""
+    import math
+    import random
+
+    from cs744_big_data_system_spark.ml.linear_gd import logreg_gd_fit
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(400):
+        x1, x2 = rng.uniform(-1, 1), rng.uniform(-1, 1)
+        label = 1 if (1.5 * x1 - x2 + rng.gauss(0, 0.1)) > 0 else 0
+        rows.append((i, [x1, x2], label))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    w = [
+        r.weight
+        for r in logreg_gd_fit(df, feature_dims=2, steps=40, lr=1.0)
+        .orderBy("j").collect()
+    ]
+    correct = sum(
+        1
+        for _, x, yy in rows
+        if (1 / (1 + math.exp(-(w[0] + w[1] * x[0] + w[2] * x[1]))) > 0.5) == (yy == 1)
+    )
+    assert correct / len(rows) > 0.9

@@ -100,6 +100,8 @@ HEADLINE = [
     "anomaly_zscore",
     "stream_cms_replay",
     "ml_tree_split",
+    "ml_linear_gd",
+    "ml_logreg_gd",
     "events_ewma",
     "txlog_time_travel",
     "stream_txlog_ingest",

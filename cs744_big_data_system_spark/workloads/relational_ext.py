@@ -1137,6 +1137,55 @@ FROM dau d LEFT JOIN first_seen f ON d.day = f.day
 
 
 # --- Funnel latency: time-to-convert percentiles per step pair ---
+def q_robust_stats(spark, sf_dir):
+    """Outlier-resistant per-group statistics: median, MAD (median of
+    absolute deviations from the group median — the robust sigma), and
+    IQR. Two exact-percentile passes: group medians first, joined back
+    for the deviation percentile — the join rides the same event_type
+    partitioning. Exact percentile buffers a group's values in the
+    agg, so at true scale approx_percentile (already a registry entry)
+    is the drop-in; both engines' exact interpolating percentile agree
+    (the `percentile` entry proves it), which makes the robust family
+    hash-checkable where rand()-free z-scores (anomaly_zscore) cover
+    the parametric side."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("_med"),
+        F.percentile("value", 0.25).alias("_q1"),
+        F.percentile("value", 0.75).alias("_q3"),
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "_med", "_q1", "_q3")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("_med")), 0.5).alias("_mad")
+        )
+        .select(
+            "event_type",
+            F.round("_med", 6).alias("median_value"),
+            F.round("_mad", 6).alias("mad"),
+            F.round(F.col("_q3") - F.col("_q1"), 6).alias("iqr"),
+        )
+    )
+
+
+SQL_ROBUST_STATS = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med,
+         quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       round(m.med, 6) AS median_value,
+       round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad,
+       round(m.q3 - m.q1, 6) AS iqr
+FROM events e JOIN med m ON m.event_type = e.event_type
+GROUP BY e.event_type, m.med, m.q1, m.q3
+"""
+
+
 def q_events_ewma(spark, sf_dir):
     """Per-user EWMA of event values (α=0.3, recursive y_t =
     0.7·y_{t−1} + 0.3·x_t) — computed as ONE ordered window via the
@@ -1700,6 +1749,7 @@ WORKLOADS = {
     "sample_per_group": (q_sample_per_group, SQL_SAMPLE_PER_GROUP),
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "events_ewma": (q_events_ewma, SQL_EVENTS_EWMA),
+    "robust_stats": (q_robust_stats, SQL_ROBUST_STATS),
     "udf_grouped_ols": (q_udf_grouped_ols, SQL_UDF_GROUPED_OLS),
     "udf_cogroup_asof": (q_udf_cogroup_asof, SQL_UDF_COGROUP_ASOF),
     "histogram_width": (q_histogram_width, SQL_HISTOGRAM_WIDTH),

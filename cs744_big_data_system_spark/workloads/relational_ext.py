@@ -1137,6 +1137,49 @@ FROM dau d LEFT JOIN first_seen f ON d.day = f.day
 
 
 # --- Funnel latency: time-to-convert percentiles per step pair ---
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations of the first 4 embedding
+    dimensions — the feature-redundancy screen a pipeline runs before
+    training. ALL pairs ride ONE aggregation pass (6 corr aggregates
+    in a single map-side-combinable agg — no per-pair rescans), then a
+    constant-size unpivot to (d1, d2, pearson) rows."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    dims = 4
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("_e")
+    )
+    pairs = [(a, b) for a in range(dims) for b in range(a + 1, dims)]
+    agg = emb.agg(
+        *[
+            F.round(
+                F.corr(F.element_at("_e", a + 1), F.element_at("_e", b + 1)), 6
+            ).alias(f"c_{a}_{b}")
+            for a, b in pairs
+        ]
+    )
+    stack = ", ".join(f"{a}, {b}, c_{a}_{b}" for a, b in pairs)
+    return agg.selectExpr(
+        f"stack({len(pairs)}, {stack}) AS (d1, d2, pearson)"
+    )
+
+
+def _sql_corr_matrix(dims: int = 4) -> str:
+    pairs = [(a, b) for a in range(dims) for b in range(a + 1, dims)]
+    cols = ", ".join(
+        f"round(corr(CAST(embedding[{a + 1}] AS DOUBLE), CAST(embedding[{b + 1}] AS DOUBLE)), 6)"
+        f" AS c_{a}_{b}"
+        for a, b in pairs
+    )
+    un = " UNION ALL ".join(
+        f"SELECT {a} AS d1, {b} AS d2, c_{a}_{b} AS pearson FROM agg" for a, b in pairs
+    )
+    return f"WITH agg AS (SELECT {cols} FROM embeddings)\n{un}"
+
+
+SQL_CORR_MATRIX = _sql_corr_matrix()
+
+
 def q_robust_stats(spark, sf_dir):
     """Outlier-resistant per-group statistics: median, MAD (median of
     absolute deviations from the group median — the robust sigma), and
@@ -1750,6 +1793,7 @@ WORKLOADS = {
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "events_ewma": (q_events_ewma, SQL_EVENTS_EWMA),
     "robust_stats": (q_robust_stats, SQL_ROBUST_STATS),
+    "corr_matrix": (q_corr_matrix, SQL_CORR_MATRIX),
     "udf_grouped_ols": (q_udf_grouped_ols, SQL_UDF_GROUPED_OLS),
     "udf_cogroup_asof": (q_udf_cogroup_asof, SQL_UDF_COGROUP_ASOF),
     "histogram_width": (q_histogram_width, SQL_HISTOGRAM_WIDTH),

@@ -107,6 +107,12 @@ HEADLINE = [
     "stream_txlog_ingest",
     "udf_cogroup_asof",
     "variant_extract",
+    # round-3 continuation: lakehouse-ops batch (DQ audit scan+anti-join,
+    # windowed attribution, two-level interval sweep, path mining)
+    "dq_checks",
+    "attribution_last_touch",
+    "peak_concurrency",
+    "session_path_topk",
 ]
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cs744_big_data_system_spark.workloads import (
     llm,
+    pipeline_ext,
     relational,
     relational_ext,
     streaming_graph,
@@ -46,6 +47,9 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     reg.update(relational.WORKLOADS)
     reg.update(tpch.WORKLOADS)
     reg.update(relational_ext.WORKLOADS)
+    # Appended AFTER the never-attested block per the ordering invariant:
+    # these earn their first driver-attested row in a later window.
+    reg.update(pipeline_ext.WORKLOADS)
 
     # Slots 1-37: oracle-backed, never driver-attested (selfcheck-green).
     never_attested_oracle = [

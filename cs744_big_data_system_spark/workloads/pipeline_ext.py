@@ -1,0 +1,441 @@
+"""Pipeline-operations batch 3: data-quality auditing, small-file
+compaction planning, marketing attribution, interval-sweep concurrency,
+navigation-path mining, and rolling correlation.
+
+These are the lakehouse-operations queries a team running a 100 TB
+training-data pipeline reaches for daily: validate a landed table
+before it enters the corpus (`dq_checks`), plan the compaction pass
+that keeps file counts bounded (`compaction_plan`), and the
+event-analytics staples (attribution, concurrency, paths, rolling
+stats) that monitor the serving side.
+
+Every query returns aliased, oracle-aligned columns (see
+workloads/__init__.py conventions); each has a DuckDB SQL mirror.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cs744_big_data_system_spark.sources.readers import load_table
+
+
+# --- Data-quality audit (one scan per table + one anti-join) ---
+def q_dq_checks(spark, sf_dir):
+    """Constraint validation before a table enters the pipeline: range,
+    null, primary-key-uniqueness, and referential-integrity checks,
+    reported as one (check_name, violations) row per rule.
+
+    Scale shape: the three lineitem rules ride ONE conditional-sum scan
+    (map-side partials, no shuffle beyond the single-row agg); the PK
+    rule is one distinct-count over orders; the FK rule is one
+    anti-join whose build side is just the orderkey column (Catalyst
+    prunes it to a 1-column exchange). Nothing materializes more than
+    a handful of rows on the driver.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+
+    li_row = li.agg(
+        F.sum(
+            F.when((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50), 1).otherwise(0)
+        ).alias("l_quantity_range"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.10001), 1).otherwise(0)
+        ).alias("l_discount_range"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0)).alias(
+            "l_shipdate_null"
+        ),
+    )
+    li_checks = li_row.select(
+        F.expr(
+            "stack(3, 'l_quantity_range', l_quantity_range, "
+            "'l_discount_range', l_discount_range, "
+            "'l_shipdate_null', l_shipdate_null) AS (check_name, violations)"
+        )
+    )
+    pk_check = od.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("violations")
+    ).select(F.lit("orders_pk_unique").alias("check_name"), "violations")
+    fk_check = (
+        li.join(od, li.l_orderkey == od.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("lineitem_fk_orders").alias("check_name"), "violations")
+    )
+    return (
+        li_checks.unionByName(pk_check)
+        .unionByName(fk_check)
+        .select("check_name", F.col("violations").cast("long").alias("violations"))
+        .orderBy("check_name")
+    )
+
+
+SQL_DQ_CHECKS = """
+SELECT 'l_quantity_range' AS check_name,
+       CAST(sum(CASE WHEN l_quantity <= 0 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS violations
+FROM lineitem
+UNION ALL
+SELECT 'l_discount_range',
+       CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.10001 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate_null',
+       CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders_pk_unique', CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+ORDER BY check_name
+"""
+
+
+# --- Small-file compaction planner (first-fit-by-size bin packing) ---
+_COMPACT_TARGET = 40_000  # target output-file size (chars as byte proxy)
+
+
+def q_compaction_plan(spark, sf_dir):
+    """Plan a compaction pass: treat each (lang, source) partition of
+    ``documents`` as one small file (size = sum of n_chars) and assign
+    files to target-size output bins with a running-sum next-fit pack —
+    the maintenance job every lakehouse table needs to keep file counts
+    bounded.
+
+    Scale shape: file metadata is tiny relative to data (one row per
+    file), so the per-lang running-sum window is over the CATALOG, not
+    the table — exactly how real compaction planners (e.g. the public
+    Delta/Iceberg OPTIMIZE designs) schedule work. Integer math end to
+    end, so the plan is bit-reproducible.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    files = docs.groupBy("lang", "source").agg(
+        F.sum("n_chars").cast("long").alias("file_bytes")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("file_bytes"), F.asc("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return files.select(
+        "lang",
+        "source",
+        "file_bytes",
+        (
+            (F.sum("file_bytes").over(w) - F.col("file_bytes"))
+            / F.lit(_COMPACT_TARGET)
+        )
+        .cast("long")
+        .alias("bin_id"),
+    ).orderBy("lang", "bin_id", F.desc("file_bytes"), "source")
+
+
+SQL_COMPACTION_PLAN = f"""
+WITH files AS (
+  SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS file_bytes
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, source, file_bytes,
+       CAST(FLOOR((sum(file_bytes) OVER (PARTITION BY lang
+                     ORDER BY file_bytes DESC, source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - file_bytes) / {_COMPACT_TARGET}.0) AS BIGINT) AS bin_id
+FROM files
+ORDER BY lang, bin_id, file_bytes DESC, source
+"""
+
+
+# --- Last-touch attribution (windowed carry-forward, no join) ---
+_ATTR_WINDOW_S = 7 * 86400
+
+
+def q_attribution_last_touch(spark, sf_dir):
+    """Credit each purchase to the user's most recent preceding
+    click/view within 7 days — the standard last-touch attribution
+    model.
+
+    Scale shape: ONE window pass over (user_id, ts) with
+    last(..., ignorenulls) carrying the latest touch forward — no
+    purchases-to-touches self-join (the naive plan), so the cost is a
+    single user-keyed shuffle regardless of the touch:purchase ratio.
+    Both carried columns derive from the same WHEN, so they always pick
+    the same touch row.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(is_touch, F.col("event_id")).alias("_touch_id"),
+        F.when(is_touch, F.unix_micros("ts")).alias("_touch_ts_us"),
+        F.when(is_touch, F.col("event_type")).alias("_touch_type"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = tagged.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.last("_touch_id", ignorenulls=True).over(w).alias("touch_event_id"),
+        F.last("_touch_ts_us", ignorenulls=True).over(w).alias("touch_ts_us"),
+        F.last("_touch_type", ignorenulls=True).over(w).alias("touch_type"),
+    )
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .filter(
+            F.col("touch_ts_us").isNotNull()
+            & (F.col("ts_us") - F.col("touch_ts_us") <= _ATTR_WINDOW_S * 1_000_000)
+        )
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            "touch_event_id",
+            "touch_type",
+            ((F.col("ts_us") - F.col("touch_ts_us")) / F.lit(1_000_000))
+            .cast("long")
+            .alias("latency_s"),
+        )
+        .orderBy("purchase_event_id")
+    )
+
+
+SQL_ATTRIBUTION_LAST_TOUCH = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         CASE WHEN event_type IN ('click','view') THEN event_id END AS _touch_id,
+         CASE WHEN event_type IN ('click','view') THEN epoch_us(ts) END AS _touch_ts_us,
+         CASE WHEN event_type IN ('click','view') THEN event_type END AS _touch_type
+  FROM events WHERE event_type IN ('click','view','purchase')
+), attributed AS (
+  SELECT event_id, user_id, event_type, ts_us,
+         last_value(_touch_id IGNORE NULLS) OVER w AS touch_event_id,
+         last_value(_touch_ts_us IGNORE NULLS) OVER w AS touch_ts_us,
+         last_value(_touch_type IGNORE NULLS) OVER w AS touch_type
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id AS purchase_event_id, user_id, touch_event_id, touch_type,
+       CAST(FLOOR((ts_us - touch_ts_us) / 1000000.0) AS BIGINT) AS latency_s
+FROM attributed
+WHERE event_type = 'purchase' AND touch_ts_us IS NOT NULL
+  AND ts_us - touch_ts_us <= CAST({_ATTR_WINDOW_S} AS BIGINT) * 1000000
+ORDER BY purchase_event_id
+"""
+
+
+# --- Peak concurrency (two-level interval sweep, no global sort) ---
+_CONC_TTL_S = 300  # each event holds a session slot for 5 minutes
+
+
+def q_peak_concurrency(spark, sf_dir):
+    """Peak number of concurrently-active sessions per day, where each
+    event opens a 5-minute activity interval — the classic +1/−1
+    interval sweep, done WITHOUT a global ordered window.
+
+    Scale shape: the textbook sweep sorts every endpoint globally (one
+    single-task window at Spark scale). Here endpoints are bucketed to
+    the minute: within-bucket max-prefix runs data-parallel
+    (partitioned window), and only the per-bucket TOTALS (bounded:
+    ≤ 1440 rows/day regardless of data size) ride the global running
+    sum — a two-level prefix sum. Half-open intervals: at equal
+    timestamps ends sort before starts (delta ASC).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select(
+        F.unix_micros("ts").alias("t_us"),
+        F.lit(1).alias("delta"),
+        F.col("event_id"),
+    )
+    ends = ev.select(
+        (F.unix_micros("ts") + _CONC_TTL_S * 1_000_000).alias("t_us"),
+        F.lit(-1).alias("delta"),
+        F.col("event_id"),
+    )
+    deltas = starts.unionByName(ends).withColumn(
+        "bucket", (F.col("t_us") / F.lit(60_000_000)).cast("long")
+    )
+    in_bucket = (
+        Window.partitionBy("bucket")
+        .orderBy("t_us", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_event = deltas.select(
+        "bucket",
+        F.sum("delta").over(in_bucket).alias("prefix_in_bucket"),
+        "delta",
+    )
+    buckets = per_event.groupBy("bucket").agg(
+        F.max("prefix_in_bucket").alias("max_prefix"),
+        F.sum("delta").alias("bucket_total"),
+    )
+    carry = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    peaks = buckets.select(
+        "bucket",
+        (
+            F.coalesce(F.sum("bucket_total").over(carry), F.lit(0))
+            + F.col("max_prefix")
+        ).alias("bucket_peak"),
+    )
+    return (
+        peaks.withColumn(
+            "day",
+            F.date_format(
+                F.timestamp_micros(F.col("bucket") * 60_000_000), "yyyy-MM-dd"
+            ),
+        )
+        .groupBy("day")
+        .agg(F.max("bucket_peak").cast("long").alias("peak_concurrency"))
+        .orderBy("day")
+    )
+
+
+SQL_PEAK_CONCURRENCY = f"""
+WITH deltas AS (
+  SELECT epoch_us(ts) AS t_us, 1 AS delta, event_id FROM events
+  UNION ALL
+  SELECT epoch_us(ts) + {_CONC_TTL_S} * 1000000, -1, event_id FROM events
+), bucketed AS (
+  SELECT *, CAST(FLOOR(t_us / 60000000.0) AS BIGINT) AS bucket FROM deltas
+), per_event AS (
+  SELECT bucket, delta,
+         sum(delta) OVER (PARTITION BY bucket ORDER BY t_us, delta, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix_in_bucket
+  FROM bucketed
+), buckets AS (
+  SELECT bucket, max(prefix_in_bucket) AS max_prefix, sum(delta) AS bucket_total
+  FROM per_event GROUP BY bucket
+), peaks AS (
+  SELECT bucket,
+         COALESCE(sum(bucket_total) OVER (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + max_prefix AS bucket_peak
+  FROM buckets
+)
+SELECT strftime(make_timestamp(bucket * 60000000), '%Y-%m-%d') AS day,
+       CAST(max(bucket_peak) AS BIGINT) AS peak_concurrency
+FROM peaks GROUP BY day ORDER BY day
+"""
+
+
+# --- Top navigation paths (ordered per-session event sequences) ---
+def q_session_path_topk(spark, sf_dir):
+    """Top-20 per-user-day navigation paths (ordered event-type
+    sequences) — the session-mining query behind every "common user
+    journeys" dashboard.
+
+    Scale shape: one (user, day) shuffle builds each path via
+    collect_list(struct) + array_sort (struct fields (ts_us, event_id,
+    type) make the sort key explicit and deterministic); the path
+    frequency count is a second, much smaller shuffle; top-20 is
+    TakeOrderedAndProject, never a global sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    paths = (
+        ev.groupBy(
+            "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.unix_micros("ts").alias("ts_us"),
+                                F.col("event_id").alias("event_id"),
+                                F.col("event_type").alias("event_type"),
+                            )
+                        )
+                    ),
+                    lambda s: s.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+SQL_SESSION_PATH_TOPK = """
+WITH paths AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+         string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id) AS path
+  FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
+# --- Rolling correlation of two daily series ---
+def q_rolling_corr(spark, sf_dir):
+    """7-day rolling Pearson correlation between daily click and
+    purchase counts — the co-movement monitor for any pair of business
+    metrics.
+
+    Scale shape: the raw table collapses to one row per day FIRST (one
+    partial-agg shuffle), so the rolling window runs over the bounded
+    daily series (≤ 366 rows/year), not the events. corr() is computed
+    from the same co-moment recurrences in Spark and DuckDB; rounding
+    to 4 decimals absorbs accumulation-order drift.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double")
+        .alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("purchases"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.col("clicks").cast("long").alias("clicks"),
+        F.col("purchases").cast("long").alias("purchases"),
+        F.round(F.corr("clicks", "purchases").over(w), 4).alias("corr7"),
+    ).orderBy("day")
+
+
+SQL_ROLLING_CORR = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS clicks,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS purchases
+  FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+)
+SELECT day, CAST(clicks AS BIGINT) AS clicks, CAST(purchases AS BIGINT) AS purchases,
+       round(corr(clicks, purchases) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS corr7
+FROM daily ORDER BY day
+"""
+
+
+WORKLOADS = {
+    "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
+    "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
+    "attribution_last_touch": (q_attribution_last_touch, SQL_ATTRIBUTION_LAST_TOUCH),
+    "peak_concurrency": (q_peak_concurrency, SQL_PEAK_CONCURRENCY),
+    "session_path_topk": (q_session_path_topk, SQL_SESSION_PATH_TOPK),
+    "rolling_corr": (q_rolling_corr, SQL_ROLLING_CORR),
+}

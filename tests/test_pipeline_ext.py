@@ -1,0 +1,155 @@
+"""Pipeline-operations batch 3 (workloads/pipeline_ext.py): semantics
+checked against independent brute-force (pandas / pure-Python)
+recomputation at sf0.001; oracle equality is covered by
+tools/selfcheck.py."""
+
+from __future__ import annotations
+
+import collections
+
+import pandas as pd
+
+from tests.conftest import SF_SMALL
+
+
+def _events_pdf():
+    return pd.read_parquet(f"{SF_SMALL}/events.parquet")
+
+
+def test_dq_checks_clean_tables_have_zero_violations(spark):
+    from cs744_big_data_system_spark.workloads.pipeline_ext import q_dq_checks
+
+    rows = {r.check_name: r.violations for r in q_dq_checks(spark, SF_SMALL).collect()}
+    assert set(rows) == {
+        "l_quantity_range",
+        "l_discount_range",
+        "l_shipdate_null",
+        "orders_pk_unique",
+        "lineitem_fk_orders",
+    }
+    # the synthetic TPC-H generator emits constraint-clean tables
+    assert all(v == 0 for v in rows.values()), rows
+
+
+def test_compaction_plan_bins_respect_target(spark):
+    from cs744_big_data_system_spark.workloads.pipeline_ext import (
+        _COMPACT_TARGET,
+        q_compaction_plan,
+    )
+
+    plan = q_compaction_plan(spark, SF_SMALL).collect()
+    # next-fit law: a file lands in bin floor(preceding_cum / target),
+    # so the bytes preceding any bin-b file are < target * (b + 1)
+    cum = collections.defaultdict(int)
+    for r in sorted(plan, key=lambda r: (r.lang, -r.file_bytes, r.source)):
+        assert r.bin_id == cum[r.lang] // _COMPACT_TARGET
+        cum[r.lang] += r.file_bytes
+    # bins are dense from 0 within each lang
+    by_lang = collections.defaultdict(set)
+    for r in plan:
+        by_lang[r.lang].add(r.bin_id)
+    for bins in by_lang.values():
+        assert bins == set(range(max(bins) + 1))
+
+
+def test_attribution_last_touch_matches_bruteforce(spark):
+    from cs744_big_data_system_spark.workloads.pipeline_ext import (
+        _ATTR_WINDOW_S,
+        q_attribution_last_touch,
+    )
+
+    got = {
+        r.purchase_event_id: (r.touch_event_id, r.touch_type, r.latency_s)
+        for r in q_attribution_last_touch(spark, SF_SMALL).collect()
+    }
+
+    ev = _events_pdf()
+    ev = ev[ev.event_type.isin(["click", "view", "purchase"])].copy()
+    ev["ts_us"] = ev.ts.astype("datetime64[us]").astype("int64")
+    want = {}
+    for _, grp in ev.groupby("user_id"):
+        last_touch = None
+        for r in grp.sort_values(["ts_us", "event_id"]).itertuples():
+            if r.event_type == "purchase":
+                if (
+                    last_touch is not None
+                    and r.ts_us - last_touch.ts_us <= _ATTR_WINDOW_S * 1_000_000
+                ):
+                    want[r.event_id] = (
+                        last_touch.event_id,
+                        last_touch.event_type,
+                        (r.ts_us - last_touch.ts_us) // 1_000_000,
+                    )
+            else:
+                last_touch = r
+    assert got == want
+
+
+def test_peak_concurrency_matches_bruteforce_sweep(spark):
+    from cs744_big_data_system_spark.workloads.pipeline_ext import (
+        _CONC_TTL_S,
+        q_peak_concurrency,
+    )
+
+    got = {r.day: r.peak_concurrency for r in q_peak_concurrency(spark, SF_SMALL).collect()}
+
+    ev = _events_pdf()
+    ts_us = ev.ts.astype("datetime64[us]").astype("int64")
+    endpoints = [(t, 1, e) for t, e in zip(ts_us, ev.event_id)] + [
+        (t + _CONC_TTL_S * 1_000_000, -1, e) for t, e in zip(ts_us, ev.event_id)
+    ]
+    endpoints.sort()  # (t, delta, id): ends (-1) before starts (+1) at ties
+    want: dict[str, int] = {}
+    cur = 0
+    for t, d, _ in endpoints:
+        cur += d
+        day = pd.Timestamp(t * 1000).strftime("%Y-%m-%d")
+        want[day] = max(want.get(day, 0), cur)
+    # the query reports a day only if a bucket STARTS that day; the
+    # brute-force sweep may credit a carried peak to a later day that
+    # has no events — compare on the query's days
+    assert all(got[d] == want[d] for d in got), (got, want)
+    assert len(got) >= 1
+
+
+def test_session_path_topk_matches_bruteforce(spark):
+    from cs744_big_data_system_spark.workloads.pipeline_ext import q_session_path_topk
+
+    got = [(r.path, r.n_sessions) for r in q_session_path_topk(spark, SF_SMALL).collect()]
+
+    ev = _events_pdf().copy()
+    ev["ts_us"] = ev.ts.astype("datetime64[us]").astype("int64")
+    ev["day"] = ev.ts.dt.strftime("%Y-%m-%d")
+    paths = (
+        ev.sort_values(["ts_us", "event_id"])
+        .groupby(["user_id", "day"])["event_type"]
+        .agg(">".join)
+    )
+    counts = collections.Counter(paths)
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want
+
+
+def test_rolling_corr_matches_pandas(spark):
+    from cs744_big_data_system_spark.workloads.pipeline_ext import q_rolling_corr
+
+    out = q_rolling_corr(spark, SF_SMALL).collect()
+
+    ev = _events_pdf()
+    daily = (
+        ev.assign(day=ev.ts.dt.strftime("%Y-%m-%d"))
+        .pivot_table(
+            index="day", columns="event_type", values="event_id", aggfunc="count"
+        )
+        .fillna(0)
+        .sort_index()
+    )
+    clicks = daily.get("click", pd.Series(0, index=daily.index)).astype(float)
+    purchases = daily.get("purchase", pd.Series(0, index=daily.index)).astype(float)
+    want = clicks.rolling(7, min_periods=1).corr(purchases)
+    for r in out:
+        w = want.loc[r.day]
+        if r.corr7 is None:
+            assert pd.isna(w)
+        else:
+            assert abs(r.corr7 - w) < 1e-3, (r.day, r.corr7, w)

@@ -153,3 +153,54 @@ def test_rolling_corr_matches_pandas(spark):
             assert pd.isna(w)
         else:
             assert abs(r.corr7 - w) < 1e-3, (r.day, r.corr7, w)
+
+
+# --- plan-shape assertions (scale posture, not just answers) ---
+def test_attribution_plan_has_no_self_join(spark):
+    """The carry-forward formulation must lower to window passes only —
+    the naive purchases-to-touches self-join would show a join node."""
+    import re
+
+    from cs744_big_data_system_spark.plans.explain import formatted_plan
+    from cs744_big_data_system_spark.workloads.pipeline_ext import (
+        q_attribution_last_touch,
+    )
+
+    plan = formatted_plan(q_attribution_last_touch(spark, SF_SMALL))
+    joins = re.findall(
+        r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|CartesianProduct)", plan
+    )
+    assert not joins, (joins, plan)
+    assert "Window" in plan, plan
+
+
+def test_peak_concurrency_global_window_sees_only_buckets(spark):
+    """The unpartitioned running sum must consume the per-bucket
+    AGGREGATE (bounded rows), never the raw endpoint stream — the
+    two-level sweep's whole point."""
+    from cs744_big_data_system_spark.plans.explain import formatted_plan
+    from cs744_big_data_system_spark.workloads.pipeline_ext import q_peak_concurrency
+
+    plan = formatted_plan(q_peak_concurrency(spark, SF_SMALL))
+    # tree order: the SinglePartition exchange feeding the global window
+    # sits ABOVE (after) the bucket-keyed HashAggregate, so every
+    # single-partition move happens post-aggregation
+    single = plan.find("SinglePartition")
+    bucket_agg = plan.find("HashAggregate")
+    assert single != -1 and bucket_agg != -1, plan
+    assert "hashpartitioning(bucket" in plan, plan
+
+
+def test_dq_checks_fk_join_prunes_to_key_column(spark):
+    """The referential-integrity anti-join must read only o_orderkey on
+    the build side (column pruning through the anti-join)."""
+    from cs744_big_data_system_spark.plans.explain import formatted_plan
+    from cs744_big_data_system_spark.workloads.pipeline_ext import q_dq_checks
+
+    plan = formatted_plan(q_dq_checks(spark, SF_SMALL))
+    assert "LeftAnti" in plan, plan
+    # the orders scan feeding the anti-join reads just the key
+    import re
+
+    orders_schemas = re.findall(r"ReadSchema: struct<(o_[^>]*)>", plan)
+    assert any(s == "o_orderkey:bigint" for s in orders_schemas), orders_schemas

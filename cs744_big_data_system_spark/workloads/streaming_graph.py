@@ -1173,6 +1173,75 @@ def _sql_ml_logreg_gd() -> str:
 SQL_ML_LOGREG_GD = _sql_ml_logreg_gd()
 
 
+# --- Multinomial Naive Bayes: the 9th hash-verified training kernel ---
+def q_ml_naive_bayes(spark, sf_dir):
+    """Text classification trained AND scored as relational algebra
+    (ml/naive_bayes.py): top-150 vocab, Laplace-smoothed token
+    likelihoods, per-doc argmax over integer micro-nat scores, output
+    the confusion matrix. Quantized log-probs make the whole train ->
+    predict -> evaluate pipeline hash-checked — the 9th hash-verified
+    training kernel, and the first SUPERVISED TEXT one."""
+    from cs744_big_data_system_spark.ml.naive_bayes import naive_bayes_confusion
+
+    return naive_bayes_confusion(load_table(spark, sf_dir, "documents"), vocab_size=150)
+
+
+def _sql_ml_naive_bayes(v: int = 150) -> str:
+    from cs744_big_data_system_spark.workloads.llm import _SQL_CANON_TOKS
+
+    return f"""
+WITH docs AS (
+  SELECT doc_id, lang, {_SQL_CANON_TOKS} AS tk FROM documents
+), tok AS (
+  SELECT doc_id, lang, unnest(tk) AS token FROM docs
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS c FROM tok GROUP BY token
+    ORDER BY c DESC, token LIMIT {v})
+), classes AS (
+  SELECT lang, count(*) AS n_docs FROM docs GROUP BY lang
+), total AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM classes),
+priors AS (
+  SELECT lang AS cls_lang,
+         CAST(floor(ln(n_docs * 1.0 / n) * 1000000 + 0.5 + 1e-9) AS BIGINT) AS prior_i
+  FROM classes, total
+), tc AS (
+  SELECT t.lang, t.token, count(*) AS c
+  FROM tok t JOIN vocab v USING (token) GROUP BY t.lang, t.token
+), grid AS (
+  SELECT c.lang AS cls_lang, v.token, COALESCE(tc.c, 0) AS c
+  FROM classes c CROSS JOIN vocab v
+  LEFT JOIN tc ON tc.lang = c.lang AND tc.token = v.token
+), totals AS (
+  SELECT cls_lang, CAST(sum(c) AS BIGINT) AS total_c FROM grid GROUP BY cls_lang
+), lp AS (
+  SELECT g.cls_lang, g.token,
+         CAST(floor(ln((g.c + 1.0) / (t.total_c + {v})) * 1000000 + 0.5 + 1e-9) AS BIGINT) AS lp_i
+  FROM grid g JOIN totals t USING (cls_lang)
+), sums AS (
+  SELECT tok.doc_id, lp.cls_lang, CAST(sum(lp.lp_i) AS BIGINT) AS tok_i
+  FROM tok JOIN lp ON tok.token = lp.token GROUP BY tok.doc_id, lp.cls_lang
+), base AS (
+  SELECT d.doc_id, d.lang, p.cls_lang, p.prior_i
+  FROM (SELECT doc_id, lang FROM docs) d CROSS JOIN priors p
+), scored AS (
+  SELECT b.doc_id, b.lang, b.cls_lang, b.prior_i + COALESCE(s.tok_i, 0) AS score
+  FROM base b LEFT JOIN sums s ON s.doc_id = b.doc_id AND s.cls_lang = b.cls_lang
+), pred AS (
+  SELECT doc_id, lang, cls_lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls_lang) AS rn
+  FROM scored
+)
+SELECT lang AS actual_lang, cls_lang AS pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY lang, cls_lang ORDER BY actual_lang, pred_lang
+"""
+
+
+SQL_ML_NAIVE_BAYES = _sql_ml_naive_bayes()
+
+
 # --- Relational k-means: the 4th hash-verified iterative kernel ---
 def q_ml_kmeans_relational(spark, sf_dir):
     """3 Lloyd iterations over the embeddings as pure relational
@@ -1488,6 +1557,7 @@ WORKLOADS = {
     "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),  # fixpoint-unrolled oracle
     "ml_kmeans_fit": (q_ml_kmeans_fit, None),  # iterative unsupervised superstep
     "ml_tree_split": (q_ml_tree_split, SQL_ML_TREE_SPLIT),
+    "ml_naive_bayes": (q_ml_naive_bayes, SQL_ML_NAIVE_BAYES),
     "ml_kmeans_relational": (q_ml_kmeans_relational, SQL_ML_KMEANS_RELATIONAL),
     "ml_linear_gd": (q_ml_linear_gd, SQL_ML_LINEAR_GD),
     "ml_logreg_gd": (q_ml_logreg_gd, SQL_ML_LOGREG_GD),

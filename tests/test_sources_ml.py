@@ -736,3 +736,33 @@ def test_logreg_gd_separates_planted_classes(spark):
         if (1 / (1 + math.exp(-(w[0] + w[1] * x[0] + w[2] * x[1]))) > 0.5) == (yy == 1)
     )
     assert correct / len(rows) > 0.9
+
+
+def test_naive_bayes_separates_planted_vocabularies(spark):
+    """Two classes with disjoint token distributions must classify
+    perfectly, and the confusion matrix must partition the corpus."""
+    from cs744_big_data_system_spark.ml.naive_bayes import naive_bayes_confusion
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "apple banana cherry apple banana", "fruit", "s", 10))
+        rows.append((100 + i, "bolt nut washer bolt screw", "tool", "s", 10))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {(r.actual_lang, r.pred_lang): r.n_docs
+           for r in naive_bayes_confusion(docs, vocab_size=10).collect()}
+    assert out == {("fruit", "fruit"): 30, ("tool", "tool"): 30}, out
+
+
+def test_naive_bayes_prior_decides_empty_docs(spark):
+    """A doc with no vocab tokens is scored by priors alone, so it goes
+    to the majority class — and it must still appear in the matrix."""
+    from cs744_big_data_system_spark.ml.naive_bayes import naive_bayes_confusion
+
+    rows = [(i, "common words here", "big", "s", 10) for i in range(20)]
+    rows += [(100 + i, "rare other tokens", "small", "s", 10) for i in range(5)]
+    rows.append((999, "", "small", "s", 0))  # empty text
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {(r.actual_lang, r.pred_lang): r.n_docs
+           for r in naive_bayes_confusion(docs, vocab_size=10).collect()}
+    assert sum(out.values()) == 26
+    assert out.get(("small", "big"), 0) >= 1  # the empty doc took the prior

@@ -113,6 +113,7 @@ HEADLINE = [
     "attribution_last_touch",
     "peak_concurrency",
     "session_path_topk",
+    "ml_naive_bayes",
 ]
 
 

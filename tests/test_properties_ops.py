@@ -286,3 +286,66 @@ def test_ewma_prefix_identity_matches_recursion(spark, series, alpha):
         y = float(x) if y is None else (1 - alpha) * y + alpha * float(x)
         want = math.floor(y * 10000 + 0.5 + 1e-9) / 10000
         assert abs(got[i] - want) < 5e-4, (i, got[i], want)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["aa", "bb", "cc"]),  # lang
+            st.lists(
+                st.sampled_from(["t0", "t1", "t2", "t3", "t4", "t5"]),
+                min_size=0,
+                max_size=6,
+            ),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+)
+@settings(**_SETTINGS)
+def test_naive_bayes_matches_quantized_bruteforce(spark, docs):
+    """The NB confusion matrix must equal a pure-Python reimplementation
+    of the SAME quantized math on arbitrary corpora — vocab-count ties,
+    empty docs, single-class corpora, out-of-vocab-only docs."""
+    import math
+
+    from cs744_big_data_system_spark.ml.naive_bayes import naive_bayes_confusion
+
+    V = 4  # small vocab to force cutoffs and ties
+    rows = [
+        (i, " ".join(toks), lang, "s", 1) for i, (lang, toks) in enumerate(docs)
+    ]
+    sdf = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    got = {
+        (r.actual_lang, r.pred_lang): r.n_docs
+        for r in naive_bayes_confusion(sdf, vocab_size=V).collect()
+    }
+
+    def qln(x):
+        return math.floor(math.log(x) * 1_000_000 + 0.5 + 1e-9)
+
+    corpus = [(lang, toks) for lang, toks in docs]
+    counts: dict[str, int] = {}
+    for _, toks in corpus:
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+    vocab = [t for t in sorted(counts, key=lambda t: (-counts[t], t))[:V]]
+    langs = sorted({lang for lang, _ in corpus})
+    n_docs = {l: sum(1 for lg, _ in corpus if lg == l) for l in langs}
+    total = len(corpus)
+    prior = {l: qln(n_docs[l] * 1.0 / total) for l in langs}
+    tc = {
+        (l, t): sum(tk.count(t) for lg, tk in corpus if lg == l)
+        for l in langs
+        for t in vocab
+    }
+    tot_c = {l: sum(tc[(l, t)] for t in vocab) for l in langs}
+    lp = {(l, t): qln((tc[(l, t)] + 1.0) / (tot_c[l] + V)) for l in langs for t in vocab}
+    want: dict[tuple[str, str], int] = {}
+    for lang, toks in corpus:
+        scores = {
+            l: prior[l] + sum(lp[(l, t)] for t in toks if t in vocab) for l in langs
+        }
+        pred = min(langs, key=lambda l: (-scores[l], l))
+        want[(lang, pred)] = want.get((lang, pred), 0) + 1
+    assert got == want

@@ -66,3 +66,51 @@ def test_pq_ann_on_replicated_embeddings(spark):
     for r in rows:
         by_q.setdefault(r.query_id, []).append(r.cosine)
     assert all(max(c) == 1.0 for c in by_q.values())
+
+
+def test_peak_concurrency_on_replicated_events_scales_exactly(spark):
+    """k-fold replication at IDENTICAL timestamps multiplies every
+    +1/-1 delta by k, so each day's peak is pinned to the tight band
+    [k*base, k*base + k - 1] — the upper slack only on days whose peak
+    lands mid-way through a replicated END group (concurrency is
+    measured after each delta, and the first of k co-timed ends leaves
+    k*before - 1 active). A replication-derived oracle for the sweep."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.workloads.pipeline_ext import q_peak_concurrency
+
+    base = {r.day: r.peak_concurrency for r in q_peak_concurrency(spark, SF).collect()}
+
+    ev = _inflate(load_table(spark, SF, "events"), ["event_id"], copies=5)
+    # patched loader view: run the same query body over the inflated frame
+    from cs744_big_data_system_spark.workloads import pipeline_ext as pe
+
+    orig = pe.load_table
+    try:
+        pe.load_table = lambda s, d, t: ev if t == "events" else orig(s, d, t)
+        got = {r.day: r.peak_concurrency for r in pe.q_peak_concurrency(spark, SF).collect()}
+    finally:
+        pe.load_table = orig
+    assert set(got) == set(base)
+    assert all(5 * base[d] <= got[d] <= 5 * base[d] + 4 for d in got), (got, base)
+
+
+def test_dq_checks_catches_planted_pk_violations(spark):
+    """Replicating orders WITHOUT re-keying plants (k-1)*n exact
+    duplicate primary keys; the audit must count precisely that, and
+    the untouched checks must stay clean."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.workloads import pipeline_ext as pe
+
+    od = load_table(spark, SF, "orders")
+    n = od.count()
+    dup = od.withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(2)))).drop("_rep")
+
+    orig = pe.load_table
+    try:
+        pe.load_table = lambda s, d, t: dup if t == "orders" else orig(s, d, t)
+        rows = {r.check_name: r.violations for r in pe.q_dq_checks(spark, SF).collect()}
+    finally:
+        pe.load_table = orig
+    assert rows["orders_pk_unique"] == 2 * n, rows
+    assert rows["lineitem_fk_orders"] == 0
+    assert rows["l_quantity_range"] == 0

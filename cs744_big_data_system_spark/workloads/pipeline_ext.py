@@ -410,11 +410,15 @@ def q_rolling_corr(spark, sf_dir):
         .alias("purchases"),
     )
     w = Window.orderBy("day").rowsBetween(-6, 0)
+    # NaN -> NULL: Spark's corr yields NaN on a zero-variance window
+    # where DuckDB yields NULL; normalize so the hash compare can't
+    # diverge on a constant-metric week.
+    corr = F.corr("clicks", "purchases").over(w)
     return daily.select(
         "day",
         F.col("clicks").cast("long").alias("clicks"),
         F.col("purchases").cast("long").alias("purchases"),
-        F.round(F.corr("clicks", "purchases").over(w), 4).alias("corr7"),
+        F.round(F.when(F.isnan(corr), None).otherwise(corr), 4).alias("corr7"),
     ).orderBy("day")
 
 

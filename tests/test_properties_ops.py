@@ -349,3 +349,103 @@ def test_naive_bayes_matches_quantized_bruteforce(spark, docs):
         pred = min(langs, key=lambda l: (-scores[l], l))
         want[(lang, pred)] = want.get((lang, pred), 0) + 1
     assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),            # user_id
+            st.integers(min_value=0, max_value=20),           # seconds offset (forces ties)
+            st.sampled_from(["click", "view", "purchase"]),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+@settings(**_SETTINGS)
+def test_attribution_matches_bruteforce_under_ties(spark, events):
+    """Co-timed touches and purchases must resolve identically to the
+    brute force's (ts, event_id) ordering — the case fixtures with
+    microsecond timestamps never exercise."""
+    from cs744_big_data_system_spark.workloads import pipeline_ext as pe
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=off), uid, et, 0.0, "{}")
+        for i, (uid, off, et) in enumerate(events)
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    orig = pe.load_table
+    try:
+        pe.load_table = lambda s, d, t: ev
+        got = {
+            r.purchase_event_id: (r.touch_event_id, r.touch_type, r.latency_s)
+            for r in pe.q_attribution_last_touch(spark, "unused").collect()
+        }
+    finally:
+        pe.load_table = orig
+
+    want = {}
+    for uid in {u for u, _, _ in events}:
+        seq = sorted(
+            (off, i, et)
+            for i, (u, off, et) in enumerate(events)
+            if u == uid
+        )
+        last = None
+        for off, i, et in seq:
+            if et == "purchase":
+                if last is not None:
+                    want[i] = (last[1], last[2], off - last[0])
+            else:
+                last = (off, i, et)
+    assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),   # user_id
+            st.integers(min_value=0, max_value=5),   # seconds offset (ties!)
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(**_SETTINGS)
+def test_session_paths_match_bruteforce_under_ties(spark, events):
+    """array_sort(struct(ts, event_id, type)) must linearize co-timed
+    events exactly like the brute force's (ts, event_id) sort."""
+    import collections
+
+    from cs744_big_data_system_spark.workloads import pipeline_ext as pe
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=off), uid, et, 0.0, "{}")
+        for i, (uid, off, et) in enumerate(events)
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    orig = pe.load_table
+    try:
+        pe.load_table = lambda s, d, t: ev
+        got = [
+            (r.path, r.n_sessions)
+            for r in pe.q_session_path_topk(spark, "unused").collect()
+        ]
+    finally:
+        pe.load_table = orig
+
+    per_user = collections.defaultdict(list)
+    for i, (uid, off, et) in enumerate(events):
+        per_user[uid].append((off, i, et))
+    counts = collections.Counter(
+        ">".join(et for _, _, et in sorted(seq)) for seq in per_user.values()
+    )
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want

@@ -690,3 +690,44 @@ def compression_ratio(documents: DataFrame, text_col: str = "text", level: int =
         F.length(text_col).cast("long").alias("n_chars_obs"),
         ratio(F.col(text_col)).alias("zlib_ratio"),
     )
+
+
+def feature_hash_bow(
+    documents: DataFrame, dim: int = 1024, text_col: str = "text"
+) -> DataFrame:
+    """Hashing-trick bag-of-words (the HashingVectorizer / VW
+    pattern): each token maps to ``bucket = md5_60(token) % dim`` with
+    a sign bit drawn from the next hash bit, summed per (doc, bucket)
+    into a signed sparse vector — collisions cancel in expectation
+    instead of biasing upward.
+
+    Returns (doc_id, bucket, weight) with zero weights dropped — the
+    sparse COO relation downstream training joins against.
+
+    Scale shape: STATELESS featurization — no vocabulary pass, no
+    model table, no broadcast; one explode + one (doc_id, bucket)
+    aggregation whose map-side partials absorb in-doc repeats. That
+    statelessness is the whole point of the hashing trick at corpus
+    scale (and why it composes with streaming ingestion, unlike
+    vocab-indexed BOW). md5-derived buckets keep it reproducible and
+    SQL-mirrorable (cf. operators/dedup.md5_int60).
+    """
+    from cs744_big_data_system_spark.functions.text import normalized_text, tokens
+    from cs744_big_data_system_spark.operators.dedup import md5_int60
+
+    tok = documents.select(
+        "doc_id", F.explode(tokens(normalized_text(text_col))).alias("token")
+    )
+    h = md5_int60(F.col("token"))
+    # sign from the 16th md5 hex digit — INDEPENDENT of the 60-bit
+    # bucket hash, and integer-exact (dividing the 60-bit h goes
+    # through double and corrupts parity above 2^53)
+    sign_digit = F.conv(F.substring(F.md5(F.col("token")), 16, 1), 16, 10).cast("long")
+    sign = F.when(F.pmod(sign_digit, 2) == 0, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        tok.select("doc_id", F.pmod(h, F.lit(dim)).alias("bucket"), sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").cast("long").alias("weight"))
+        .filter(F.col("weight") != 0)
+        .orderBy("doc_id", "bucket")
+    )

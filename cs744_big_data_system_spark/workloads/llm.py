@@ -1522,6 +1522,34 @@ FROM docs d LEFT JOIN ndup n USING (doc_id) LEFT JOIN cov c USING (doc_id)
 SQL_DEDUP_SUBSTRING = _sql_dedup_substring()
 
 
+# --- Feature hashing (hashing-trick BOW) ---
+def q_feature_hash(spark, sf_dir):
+    """Stateless signed feature hashing into 256 buckets
+    (operators/text_analysis.feature_hash_bow): no vocabulary pass, no
+    model table — one explode + one (doc_id, bucket) aggregation.
+    md5-derived buckets/signs make the sparse COO output
+    hash-checkable."""
+    from cs744_big_data_system_spark.operators.text_analysis import feature_hash_bow
+
+    return feature_hash_bow(load_table(spark, sf_dir, "documents"), dim=256)
+
+
+SQL_FEATURE_HASH = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_CANON_TOKS}) AS token FROM documents
+), h AS (
+  SELECT doc_id, {_sql_md5_int60('token')} AS th,
+         CAST(('0x' || substr(md5(token), 16, 1)) AS BIGINT) % 2 AS sbit
+  FROM tok
+)
+SELECT doc_id, th % 256 AS bucket,
+       CAST(sum(CASE WHEN sbit = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+FROM h GROUP BY doc_id, th % 256
+HAVING sum(CASE WHEN sbit = 0 THEN 1 ELSE -1 END) <> 0
+ORDER BY doc_id, bucket
+"""
+
+
 WORKLOADS = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
@@ -1550,6 +1578,7 @@ WORKLOADS = {
     "corpus_sample_stratified": (q_corpus_sample_stratified, SQL_CORPUS_SAMPLE_STRATIFIED),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "seq_pack_chunks": (q_seq_pack, SQL_SEQ_PACK),
+    "feature_hash_bow": (q_feature_hash, SQL_FEATURE_HASH),
     "token_histogram": (q_token_histogram, SQL_TOKEN_HISTOGRAM),
     "domain_mix_weights": (q_domain_mix, SQL_DOMAIN_MIX),
     "text_bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),

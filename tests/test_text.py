@@ -365,3 +365,31 @@ def test_compression_ratio_golden_and_ordering(spark):
         assert abs(got[d].zlib_ratio - want) < 1e-9
     assert got[1].zlib_ratio < got[2].zlib_ratio / 2
     assert got[3].zlib_ratio == 0.0
+
+
+def test_feature_hash_matches_hashlib(spark):
+    """Buckets, signs, and collision sums must equal a direct hashlib
+    recomputation — including two tokens colliding into one bucket."""
+    import hashlib
+    from collections import defaultdict
+
+    from cs744_big_data_system_spark.operators.text_analysis import feature_hash_bow
+
+    rows = [
+        (1, "Alpha beta beta gamma", "en", "s", 10),
+        (2, "", "en", "s", 0),
+        (3, "gamma gamma gamma", "en", "s", 10),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    dim = 8  # tiny to force collisions
+    got = {(r.doc_id, r.bucket): r.weight for r in feature_hash_bow(docs, dim=dim).collect()}
+
+    want: dict = defaultdict(int)
+    for doc_id, text, *_ in rows:
+        for tok in " ".join(text.lower().split()).split():
+            hx = hashlib.md5(tok.encode()).hexdigest()
+            bucket = int(hx[:15], 16) % dim
+            sign = 1 if int(hx[15], 16) % 2 == 0 else -1
+            want[(doc_id, bucket)] += sign
+    want = {k: v for k, v in want.items() if v != 0}
+    assert got == want

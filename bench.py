@@ -114,6 +114,7 @@ HEADLINE = [
     "peak_concurrency",
     "session_path_topk",
     "ml_naive_bayes",
+    "feature_hash_bow",
 ]
 
 

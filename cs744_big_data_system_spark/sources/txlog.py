@@ -141,12 +141,64 @@ def txlog_read(
     v = latest_version(table_path) if version is None else version
     if v < 0:
         raise FileNotFoundError(f"no txlog table at {table_path}")
+    floor = vacuum_floor(table_path)
+    if v < floor:
+        raise ValueError(
+            f"txlog version {v} is below the vacuum retention floor {floor} "
+            f"at {table_path} — its data files have been reclaimed"
+        )
     if not os.path.exists(_entry_path(table_path, v)):
         raise FileNotFoundError(f"txlog version {v} does not exist at {table_path}")
     live = sorted(_live_files(table_path, v))
     if not live:
         raise ValueError(f"txlog version {v} has no live files")
     return spark.read.parquet(*[os.path.join(table_path, p) for p in live])
+
+
+def vacuum_floor(table_path: str) -> int:
+    """Lowest version whose snapshot is still fully readable (0 if the
+    table has never been vacuumed)."""
+    marker = os.path.join(_log_dir(table_path), "_vacuum.json")
+    if not os.path.exists(marker):
+        return 0
+    with open(marker) as f:
+        return json.load(f)["floor_version"]
+
+
+def txlog_vacuum(table_path: str, retain_versions: int = 2) -> list[str]:
+    """Reclaim data files no longer reachable from the last
+    ``retain_versions`` snapshots (Delta/Iceberg VACUUM / expire-
+    snapshots): any parquet file in the table dir that is not live in
+    ANY retained snapshot is deleted — this covers files compacted or
+    overwritten away AND orphans from crashed writers (staged but
+    never committed). The retention floor is recorded in the log dir
+    so a later time travel below it fails with a clear error instead
+    of a missing-file scan. Returns the deleted file names.
+
+    Scale note: vacuum touches only the log (KBs) and issues unlinks —
+    it never reads data files, so its cost is O(#files), not O(bytes).
+    Like Delta's VACUUM with zero retention-hours, it must not run
+    concurrently with an in-flight writer (staged-but-uncommitted
+    files look like orphans); production deployments add an age floor.
+    """
+    latest = latest_version(table_path)
+    if latest < 0:
+        return []
+    floor = max(0, latest - retain_versions + 1)
+    keep: set[str] = set()
+    for v in range(floor, latest + 1):
+        keep |= _live_files(table_path, v)
+    deleted = []
+    for p in sorted(os.listdir(table_path)):
+        if p.endswith(".parquet") and p not in keep:
+            os.unlink(os.path.join(table_path, p))
+            deleted.append(p)
+    marker = os.path.join(_log_dir(table_path), "_vacuum.json")
+    tmp = marker + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"floor_version": floor}, f)
+    os.replace(tmp, marker)
+    return deleted
 
 
 def _file_stats(table_path: str, names: list[str], stats_cols: list[str]) -> dict:

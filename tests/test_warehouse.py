@@ -520,3 +520,51 @@ def test_txlog_data_skipping_prunes_files(spark):
         assert empty.count() == 0 and set(empty.columns) == {"id", "v"}
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_txlog_vacuum_reclaims_only_unreachable_files(spark, tmp_path):
+    """VACUUM laws: retained snapshots read identically before/after;
+    compacted-away and orphan files are deleted; time travel below the
+    retention floor fails with a clear error, not a missing-file scan."""
+    import os
+
+    import pytest
+
+    from cs744_big_data_system_spark.sources.txlog import (
+        txlog_append,
+        txlog_compact,
+        txlog_read,
+        txlog_vacuum,
+        vacuum_floor,
+    )
+
+    t = str(tmp_path / "tbl")
+    txlog_append(spark.range(0, 10).toDF("id"), t)          # v0
+    txlog_append(spark.range(10, 20).toDF("id"), t)         # v1
+    txlog_compact(spark, t, target_files=1)                 # v2 (rewrites v0+v1 files)
+    txlog_append(spark.range(20, 25).toDF("id"), t)         # v3
+    # plant a crash-orphan: staged-looking file never committed
+    orphan = os.path.join(t, "part-deadbeef.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not a real parquet")
+
+    before_v2 = sorted(r.id for r in txlog_read(spark, t, version=2).collect())
+    before_v3 = sorted(r.id for r in txlog_read(spark, t, version=3).collect())
+    n_files_before = len([p for p in os.listdir(t) if p.endswith(".parquet")])
+
+    deleted = txlog_vacuum(t, retain_versions=2)  # keep v2, v3
+
+    assert vacuum_floor(t) == 2
+    assert not os.path.exists(orphan)
+    # the pre-compaction files (live only in v0/v1) are gone
+    n_files_after = len([p for p in os.listdir(t) if p.endswith(".parquet")])
+    assert n_files_after < n_files_before and deleted
+    # retained snapshots unchanged
+    assert sorted(r.id for r in txlog_read(spark, t, version=2).collect()) == before_v2
+    assert sorted(r.id for r in txlog_read(spark, t, version=3).collect()) == before_v3
+    assert sorted(r.id for r in txlog_read(spark, t).collect()) == before_v3
+    # below-floor time travel is a clear refusal
+    with pytest.raises(ValueError, match="retention floor"):
+        txlog_read(spark, t, version=1)
+    # idempotent: a second vacuum deletes nothing further
+    assert txlog_vacuum(t, retain_versions=2) == []

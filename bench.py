@@ -115,6 +115,7 @@ HEADLINE = [
     "session_path_topk",
     "ml_naive_bayes",
     "feature_hash_bow",
+    "stream_attribution_replay",
 ]
 
 

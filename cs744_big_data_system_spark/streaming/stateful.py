@@ -38,3 +38,61 @@ def running_counts(events: DataFrame, key_col: str = "user_id") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def last_touch_attribution(
+    events: DataFrame, attr_window_s: int = 7 * 86400
+) -> DataFrame:
+    """Streaming last-touch attribution: per-user group state holds the
+    single latest touch (click/view); each arriving purchase is
+    credited against it immediately — the online sibling of the batch
+    window query (workloads/pipeline_ext.q_attribution_last_touch),
+    and the classic example of state the built-in windowed aggregates
+    cannot express (the state is "latest preceding row", not a count).
+
+    Expects columns (event_id, ts_us, user_id, event_type) with
+    ts_us = unix_micros(ts). State per user is ONE (id, ts, type)
+    triple — constant bytes per user regardless of stream length.
+    Within a micro-batch rows are walked in (ts_us, event_id) order;
+    with time-ordered waves the concatenated walk equals the batch
+    query's global per-user ordering, so replay output hash-matches
+    the batch SQL oracle.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            tid, tts, ttyp = state.get
+        else:
+            tid, tts, ttyp = -1, -1, ""
+        out = {
+            "purchase_event_id": [],
+            "user_id": [],
+            "touch_event_id": [],
+            "touch_type": [],
+            "latency_s": [],
+        }
+        pdf = pd.concat(list(pdf_iter))
+        for r in pdf.sort_values(["ts_us", "event_id"]).itertuples():
+            if r.event_type == "purchase":
+                if tid >= 0 and r.ts_us - tts <= attr_window_s * 1_000_000:
+                    out["purchase_event_id"].append(r.event_id)
+                    out["user_id"].append(key[0])
+                    out["touch_event_id"].append(tid)
+                    out["touch_type"].append(ttyp)
+                    out["latency_s"].append((r.ts_us - tts) // 1_000_000)
+            elif r.event_type in ("click", "view"):
+                tid, tts, ttyp = r.event_id, r.ts_us, r.event_type
+        state.update((int(tid), int(tts), ttyp))
+        yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "purchase_event_id long, user_id long, touch_event_id long, "
+            "touch_type string, latency_s long"
+        ),
+        stateStructType="tid long, tts long, ttyp string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

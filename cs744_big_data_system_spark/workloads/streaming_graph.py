@@ -617,6 +617,55 @@ SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
 """
 
 
+# --- Streaming last-touch attribution (custom state, batch-SQL oracle) ---
+def q_stream_attribution_replay(spark, sf_dir):
+    """Online last-touch attribution through the state store
+    (streaming/stateful.last_touch_attribution): per-user state is ONE
+    latest-touch triple; purchases are credited as they arrive. Three
+    time-ordered waves make the replay deterministic, and the union of
+    update rows equals the BATCH attribution query bit-for-bit — the
+    oracle is the same SQL as `attribution_last_touch`, proving the
+    online and offline formulations agree."""
+    from cs744_big_data_system_spark.streaming.stateful import last_touch_attribution
+    from cs744_big_data_system_spark.streaming.windows import replay_waves_to_batch
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view", "purchase"))
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+        )
+    )
+    cuts = [
+        F.lit("2024-01-11 00:00:00").cast("timestamp"),
+        F.lit("2024-01-21 00:00:00").cast("timestamp"),
+    ]
+    cuts_us = [F.unix_micros(c) for c in cuts]
+    waves = [
+        ev.filter(F.col("ts_us") < cuts_us[0]),
+        ev.filter((F.col("ts_us") >= cuts_us[0]) & (F.col("ts_us") < cuts_us[1])),
+        ev.filter(F.col("ts_us") >= cuts_us[1]),
+    ]
+    out = replay_waves_to_batch(
+        spark, waves, last_touch_attribution, output_mode="update"
+    )
+    return out.orderBy("purchase_event_id")
+
+
+def _sql_stream_attribution() -> str:
+    from cs744_big_data_system_spark.workloads.pipeline_ext import (
+        SQL_ATTRIBUTION_LAST_TOUCH,
+    )
+
+    return SQL_ATTRIBUTION_LAST_TOUCH
+
+
+SQL_STREAM_ATTRIBUTION = _sql_stream_attribution()
+
+
 # --- Streaming custom Python data source: offset-tracked generator ---
 def q_synthdocs_stream_profile(spark, sf_dir):
     """The synthdocs custom source consumed through its STREAMING
@@ -1552,6 +1601,7 @@ WORKLOADS = {
     "stream_cms_replay": (q_stream_cms_replay, _SQL_STREAM_CMS),
     "stream_window_topk": (q_stream_window_topk, SQL_STREAM_WINDOW_TOPK),
     "stream_txlog_ingest": (q_stream_txlog_ingest, SQL_STREAM_TXLOG_INGEST),
+    "stream_attribution_replay": (q_stream_attribution_replay, SQL_STREAM_ATTRIBUTION),
     # --- rows-only tail (iterative / approximate / stubbed-decode) ---
     "pagerank_events": (q_pagerank_events, SQL_PAGERANK_EVENTS),  # unrolled oracle
     "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),  # fixpoint-unrolled oracle

@@ -176,3 +176,29 @@ def test_replay_waves_drops_late_rows_single_run(spark):
     assert "2024-01-01 00:00:00" not in starts   # late row dropped
     assert "2024-01-07 00:00:00" in starts       # fresh row kept
     assert "2024-01-05 00:00:00" in starts
+
+
+def test_stream_attribution_state_carries_across_batches(spark):
+    """A touch in wave 0 must credit a purchase arriving in wave 1 —
+    the state-store carry the batch window gets for free — and a
+    touch in a LATER wave must never credit an earlier purchase."""
+    import datetime as dt
+
+    from cs744_big_data_system_spark.streaming.stateful import last_touch_attribution
+    from cs744_big_data_system_spark.streaming.windows import replay_waves_to_batch
+
+    t0 = dt.datetime(2024, 1, 1)
+    us = lambda s: int((t0 + dt.timedelta(seconds=s)).timestamp() * 1_000_000)
+    cols = ["event_id", "ts_us", "user_id", "event_type"]
+    wave0 = spark.createDataFrame(
+        [(1, us(0), 7, "click"), (2, us(5), 8, "purchase")], cols
+    )
+    wave1 = spark.createDataFrame(
+        [(3, us(10), 7, "purchase"), (4, us(15), 8, "view")], cols
+    )
+    out = replay_waves_to_batch(
+        spark, [wave0, wave1], last_touch_attribution, output_mode="update"
+    )
+    rows = {r.purchase_event_id: (r.touch_event_id, r.touch_type, r.latency_s)
+            for r in out.collect()}
+    assert rows == {3: (1, "click", 10)}  # user 8's purchase predates any touch

@@ -116,6 +116,7 @@ HEADLINE = [
     "ml_naive_bayes",
     "feature_hash_bow",
     "stream_attribution_replay",
+    "item_cf_topk",
 ]
 
 

@@ -435,6 +435,92 @@ FROM daily ORDER BY day
 """
 
 
+# --- Item-item collaborative filtering (cosine top-k per item) ---
+def q_item_cf_topk(spark, sf_dir):
+    """Top-5 most-similar parts per part by co-purchase cosine
+    (n_co / sqrt(c1*c2)) — the item-item CF recommender
+    (the "customers who bought X also bought" table), complementing
+    `basket_affinity`'s support/lift pairs with a normalized,
+    per-item-ranked neighbor list.
+
+    Scale shape: the pair generator is the basket-bounded self-join on
+    l_orderkey (fan-out C(basket,2), independent of catalog size);
+    per-part counts join back as broadcasts; ranking is rounded BEFORE
+    the window so cross-engine float noise can't reorder ties, and the
+    per-item top-5 is WindowGroupLimit-capped, never a global sort.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+    )
+    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    scored = (
+        pairs.join(
+            F.broadcast(cnt.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1"))),
+            "p1",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2"))),
+            "p2",
+        )
+        .select(
+            "p1",
+            "p2",
+            "n_co",
+            F.round(F.col("n_co") / F.sqrt(F.col("c1") * F.col("c2")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("p1").orderBy(F.desc("sim"), "p2")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("p1", "p2", "n_co", "sim", F.col("rn").cast("int").alias("rn"))
+        .orderBy("p1", "rn")
+    )
+
+
+SQL_ITEM_CF_TOPK = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_co
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+), cnt AS (
+  SELECT l_partkey, count(*) AS c FROM items GROUP BY l_partkey
+), scored AS (
+  SELECT p.p1, p.p2, CAST(p.n_co AS BIGINT) AS n_co,
+         round(p.n_co / sqrt(c1.c * c2.c), 6) AS sim
+  FROM pairs p
+  JOIN cnt c1 ON c1.l_partkey = p.p1
+  JOIN cnt c2 ON c2.l_partkey = p.p2
+)
+SELECT p1, p2, n_co, sim,
+       CAST(rn AS INT) AS rn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY p1 ORDER BY sim DESC, p2) AS rn
+  FROM scored
+) WHERE rn <= 5
+ORDER BY p1, rn
+"""
+
+
 WORKLOADS = {
     "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
     "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
@@ -442,4 +528,5 @@ WORKLOADS = {
     "peak_concurrency": (q_peak_concurrency, SQL_PEAK_CONCURRENCY),
     "session_path_topk": (q_session_path_topk, SQL_SESSION_PATH_TOPK),
     "rolling_corr": (q_rolling_corr, SQL_ROLLING_CORR),
+    "item_cf_topk": (q_item_cf_topk, SQL_ITEM_CF_TOPK),
 }

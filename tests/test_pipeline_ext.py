@@ -204,3 +204,48 @@ def test_dq_checks_fk_join_prunes_to_key_column(spark):
 
     orders_schemas = re.findall(r"ReadSchema: struct<(o_[^>]*)>", plan)
     assert any(s == "o_orderkey:bigint" for s in orders_schemas), orders_schemas
+
+
+def test_item_cf_cosine_and_ranking(spark):
+    """Hand-built baskets: cosine = n_co/sqrt(c1*c2), neighbors ranked
+    by rounded sim then id — checked against direct computation."""
+    import itertools
+    import math
+    from collections import Counter, defaultdict
+
+    from cs744_big_data_system_spark.workloads import pipeline_ext as pe
+
+    baskets = {
+        1: [10, 20, 30],
+        2: [10, 20],
+        3: [10, 20, 40],
+        4: [20, 30],
+        5: [10, 30],
+        6: [10, 20],
+    }
+    rows = [(o, p) for o, ps in baskets.items() for p in ps]
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    orig = pe.load_table
+    try:
+        pe.load_table = lambda s, d, t: li
+        got = [(r.p1, r.rn, r.p2, r.n_co, r.sim)
+               for r in pe.q_item_cf_topk(spark, "unused").collect()]
+    finally:
+        pe.load_table = orig
+
+    cnt = Counter(p for ps in baskets.values() for p in ps)
+    co = defaultdict(int)
+    for ps in baskets.values():
+        for x, y in itertools.permutations(ps, 2):
+            co[(x, y)] += 1
+    want = []
+    for p1 in sorted(cnt):
+        nbrs = [
+            (p2, co[(p1, p2)], round(co[(p1, p2)] / math.sqrt(cnt[p1] * cnt[p2]), 6))
+            for p2 in cnt
+            if p2 != p1 and co[(p1, p2)] >= 2
+        ]
+        nbrs.sort(key=lambda t: (-t[2], t[0]))
+        for rn, (p2, n_co, sim) in enumerate(nbrs[:5], 1):
+            want.append((p1, rn, p2, n_co, sim))
+    assert got == want

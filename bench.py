@@ -117,6 +117,7 @@ HEADLINE = [
     "feature_hash_bow",
     "stream_attribution_replay",
     "item_cf_topk",
+    "graph_hits",
 ]
 
 

@@ -781,6 +781,68 @@ def _sql_pagerank_events(iterations: int = 10, damping: float = 0.85) -> str:
 SQL_PAGERANK_EVENTS = _sql_pagerank_events()
 
 
+# --- HITS hubs & authorities: the 10th hash-verified iterative kernel ---
+def q_graph_hits(spark, sf_dir):
+    """HITS on the events-derived event-type graph (graph/hits.py):
+    5 max-normalized rounds. Max-normalization makes each round's only
+    float aggregate the per-node contribution sum (~1e-16 noise on the
+    small node set vs the 1e-6 bucket), so the whole iteration
+    hash-checks against a 5-round unrolled CTE oracle — the 10th
+    hash-verified iterative kernel, and the second link-analysis one
+    beside PageRank."""
+    from cs744_big_data_system_spark.graph.hits import hits
+
+    edges = edges_from_events(load_table(spark, sf_dir, "events"))
+    out = hits(edges, iterations=5)
+    return out.select(
+        "node", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+    ).orderBy("node")
+
+
+def _sql_graph_hits(iterations: int = 5) -> str:
+    parts = [
+        """e AS (
+  SELECT prev_type AS src, event_type AS dst FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+  ) WHERE prev_type IS NOT NULL
+), w AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM e GROUP BY 1, 2
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM w UNION ALL SELECT dst FROM w)
+), h0 AS (SELECT node, 1.0 AS hub FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (
+  SELECT n.node, COALESCE(s.raw, 0.0) AS raw
+  FROM nodes n LEFT JOIN (
+    SELECT w.dst AS node, sum(h.hub * w.w) AS raw
+    FROM w JOIN h{i - 1} h ON h.node = w.src GROUP BY w.dst) s USING (node)
+), a{i} AS MATERIALIZED (
+  SELECT node, raw / (SELECT max(raw) FROM ar{i}) AS auth FROM ar{i}
+), hr{i} AS MATERIALIZED (
+  SELECT n.node, COALESCE(s.raw, 0.0) AS raw
+  FROM nodes n LEFT JOIN (
+    SELECT w.src AS node, sum(a.auth * w.w) AS raw
+    FROM w JOIN a{i} a ON a.node = w.dst GROUP BY w.src) s USING (node)
+), h{i} AS MATERIALIZED (
+  SELECT node, raw / (SELECT max(raw) FROM hr{i}) AS hub FROM hr{i}
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT a.node, round(a.auth, 6) AS auth, round(h.hub, 6) AS hub
+FROM a{iterations} a JOIN h{iterations} h USING (node) ORDER BY a.node"""
+    )
+
+
+SQL_GRAPH_HITS = _sql_graph_hits()
+
+
 # --- PageRank on a synthetic large graph: the co-partitioned regime ---
 def q_pagerank_synthetic(spark, sf_dir):
     """240k-edge synthetic graph (graph/synthetic.py), 5 supersteps in
@@ -1602,6 +1664,7 @@ WORKLOADS = {
     "stream_window_topk": (q_stream_window_topk, SQL_STREAM_WINDOW_TOPK),
     "stream_txlog_ingest": (q_stream_txlog_ingest, SQL_STREAM_TXLOG_INGEST),
     "stream_attribution_replay": (q_stream_attribution_replay, SQL_STREAM_ATTRIBUTION),
+    "graph_hits": (q_graph_hits, SQL_GRAPH_HITS),
     # --- rows-only tail (iterative / approximate / stubbed-decode) ---
     "pagerank_events": (q_pagerank_events, SQL_PAGERANK_EVENTS),  # unrolled oracle
     "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),  # fixpoint-unrolled oracle

@@ -288,3 +288,29 @@ def test_label_propagation_two_cliques(spark):
     # labels2 is checkpoint-materialized, so sizes can be computed after
     # unpersisting the edge cache.
     assert sorted(sizes.values()) == [5, 5]
+
+
+def test_hits_bipartite_star_golden(spark):
+    """Two pure hubs pointing at one pure authority: after
+    max-normalization the authority scores 1 and the hubs score 1,
+    with the complementary scores exactly 0."""
+    from cs744_big_data_system_spark.graph.hits import hits
+
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c")], ["src", "dst"]
+    )
+    out = {r.node: (r.auth, r.hub) for r in hits(edges, iterations=3).collect()}
+    assert out["c"] == (1.0, 0.0)
+    assert out["a"] == (0.0, 1.0) and out["b"] == (0.0, 1.0)
+
+
+def test_hits_weighted_edges_count_multiplicity(spark):
+    """Duplicate edges must weight contributions: with a->c twice and
+    b->c once, hub(a) must exceed hub(b)."""
+    from cs744_big_data_system_spark.graph.hits import hits
+
+    edges = spark.createDataFrame(
+        [("a", "c"), ("a", "c"), ("b", "c")], ["src", "dst"]
+    )
+    out = {r.node: (r.auth, r.hub) for r in hits(edges, iterations=3).collect()}
+    assert out["a"][1] == 1.0 and out["b"][1] == 0.5

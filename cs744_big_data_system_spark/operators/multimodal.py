@@ -147,6 +147,89 @@ def _decode_ppm(data: bytes):
     return w, h, px.reshape(h, w, channels).astype(np.float64) / maxval
 
 
+def _decode_png(data: bytes):
+    """Parse non-interlaced 8-bit-depth PNG (gray / gray+alpha / RGB /
+    RGBA) with ONLY the stdlib: PNG's sole compression is DEFLATE
+    (zlib) and the five scanline filters are plain byte arithmetic, so
+    a real web image format round-trips without codec libraries.
+    Returns (width, height, pixel ndarray [h, w, c] in 0..1, alpha
+    dropped) or None if not parseable.
+
+    The Sub/Average/Paeth filters run as per-byte Python loops — fine
+    for fixture-sized images; a production path swaps this decoder for
+    a native one, keeping the identical (w, h, px) contract."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(data) < 33 or not data.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    pos, idat = 8, b""
+    w = h = channels = interlace = None
+    while pos + 8 <= len(data):
+        (ln,), typ = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            if ln != 13:
+                return None
+            w, h, bitd, ct, _comp, _filt, interlace = struct.unpack(">IIBBBBB", chunk)
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ct)
+            if bitd != 8 or channels is None or interlace != 0:
+                return None
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if not w or not h or channels is None:
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    stride, bpp = w * channels, channels
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        line = np.frombuffer(raw, np.uint8, stride, p + 1).astype(np.int32)
+        p += stride + 1
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            line = (line + prev) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((int(a) + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            return None
+        out[y] = line
+        prev = line
+    px = out.reshape(h, w, channels)
+    if channels == 2:  # gray + alpha → gray
+        px = px[:, :, :1]
+    elif channels == 4:  # RGBA → RGB
+        px = px[:, :, :3]
+    return w, h, px.astype(np.float64) / 255.0
+
+
 def _decode_bmp(data: bytes):
     """Parse uncompressed 24-bit BMP (BITMAPINFOHEADER): (width,
     height, pixels [h, w, 3] RGB in 0..1) or None."""
@@ -209,9 +292,9 @@ def _decode_wav(data: bytes):
 
 def decode_media(payload: bytes, modality: str) -> list[float] | None:
     """REAL stdlib decode → 8 features, or None when the payload isn't
-    one of the container-parseable formats (PPM/PGM, 24-bit BMP, PCM
-    WAV — none need codec libraries; JPEG/PNG/MP3/video fall back to
-    the documented stub in extract_features).
+    one of the container-parseable formats (PPM/PGM, 24-bit BMP,
+    8-bit PNG, PCM WAV — none need codec libraries; JPEG/MP3/video
+    fall back to the documented stub in extract_features).
 
     Image features: [1, w/4096, h/4096, mean R, mean G, mean B,
     grayscale std, aspect w/h]. Audio features: [2, channels,
@@ -223,7 +306,11 @@ def decode_media(payload: bytes, modality: str) -> list[float] | None:
     if payload is None or modality not in ("image", "audio", "video"):
         return None
     if modality == "image":
-        img = _decode_ppm(bytes(payload)) or _decode_bmp(bytes(payload))
+        img = (
+            _decode_ppm(bytes(payload))
+            or _decode_bmp(bytes(payload))
+            or _decode_png(bytes(payload))
+        )
         if img is None:
             return None
         w, h, px = img
@@ -291,7 +378,7 @@ RESIZED_SCHEMA = StructType(
 
 def resize_images(assets: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     """Decode-and-resize over the payload column: images in the
-    stdlib-decodable formats (PPM/PGM, 24-bit BMP) are nearest-neighbor
+    stdlib-decodable formats (PPM/PGM, 24-bit BMP, 8-bit PNG) are nearest-neighbor
     resampled to (out_w, out_h) and re-encoded as canonical binary PPM;
     undecodable or non-image payloads yield NULLs (rows are preserved —
     filter on ``resized IS NOT NULL`` for the usable set).
@@ -312,7 +399,11 @@ def resize_images(assets: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFram
             ):
                 img = None
                 if modality == "image" and payload is not None:
-                    img = _decode_ppm(bytes(payload)) or _decode_bmp(bytes(payload))
+                    img = (
+                        _decode_ppm(bytes(payload))
+                        or _decode_bmp(bytes(payload))
+                        or _decode_png(bytes(payload))
+                    )
                 out_rows["asset_id"].append(aid)
                 if img is None:
                     out_rows["width"].append(None)

@@ -249,3 +249,43 @@ def test_item_cf_cosine_and_ranking(spark):
         for rn, (p2, n_co, sim) in enumerate(nbrs[:5], 1):
             want.append((p1, rn, p2, n_co, sim))
     assert got == want
+
+
+def test_item_cf_no_cartesian_and_broadcast_counts(spark):
+    """The pair generator must stay an equi-join on l_orderkey (never a
+    cartesian), and the per-part count joins must broadcast."""
+    from cs744_big_data_system_spark.plans.explain import formatted_plan
+    from cs744_big_data_system_spark.workloads.pipeline_ext import q_item_cf_topk
+
+    plan = formatted_plan(q_item_cf_topk(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_naive_bayes_model_grid_broadcasts(spark):
+    """Scoring must join the corpus against a BROADCAST model grid —
+    the |L|x|V| likelihood table must never shuffle with the tokens."""
+    from cs744_big_data_system_spark.plans.explain import formatted_plan
+    from cs744_big_data_system_spark.workloads.streaming_graph import q_ml_naive_bayes
+
+    plan = formatted_plan(q_ml_naive_bayes(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_feature_hash_is_one_aggregation(spark):
+    """Stateless featurization: exactly one shuffle (the (doc, bucket)
+    aggregation) beyond the final presentation sort — no joins at all."""
+    import re
+
+    from cs744_big_data_system_spark.plans.explain import formatted_plan
+    from cs744_big_data_system_spark.workloads.llm import q_feature_hash
+
+    plan = formatted_plan(q_feature_hash(spark, SF_SMALL))
+    assert not re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan), plan
+    # exactly two exchanges: the (doc, bucket) hash aggregation + the
+    # presentation sort's range partitioning
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 2, (exchanges, plan)
+    assert "hashpartitioning(doc_id" in plan, plan

@@ -1353,6 +1353,28 @@ GROUP BY lang, cls_lang ORDER BY actual_lang, pred_lang
 SQL_ML_NAIVE_BAYES = _sql_ml_naive_bayes()
 
 
+# --- ALS matrix factorization (rows-only: float training loop) ---
+def q_ml_als_fit(spark, sf_dir):
+    """ALS recommender training (ml/als.py) on the customer × part
+    implicit-rating matrix (order quantities): 3 alternating rounds of
+    per-entity ridge solves against a broadcast factor side. Returns
+    the per-iteration train-RMSE curve; decreasing-loss convergence is
+    pinned in tests (rows-only in the driver gate, like the engine's
+    other float training loops)."""
+    from cs744_big_data_system_spark.ml.als import als_fit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    ratings = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("user"), F.col("l_partkey").alias("item")
+        )
+        .agg(F.sum("l_quantity").alias("rating"))
+    )
+    return als_fit(ratings, rank=8, iterations=3, reg=0.1)
+
+
 # --- Relational k-means: the 4th hash-verified iterative kernel ---
 def q_ml_kmeans_relational(spark, sf_dir):
     """3 Lloyd iterations over the embeddings as pure relational
@@ -1675,6 +1697,7 @@ WORKLOADS = {
     "ml_linear_gd": (q_ml_linear_gd, SQL_ML_LINEAR_GD),
     "ml_logreg_gd": (q_ml_logreg_gd, SQL_ML_LOGREG_GD),
     "ml_mlp_fit": (q_ml_mlp_fit, None),  # iterative nonlinear training loop
+    "ml_als_fit": (q_ml_als_fit, None),  # alternating-least-squares training loop
     "ml_cnn_fit": (q_ml_cnn_fit, None),  # iterative convolutional training loop
     "ml_logreg_fit": (q_ml_logreg_fit, None),  # iterative classification loop
     "multimodal_features": (q_multimodal_features, None),  # decode stubbed

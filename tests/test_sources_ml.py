@@ -861,3 +861,37 @@ def test_png_decode_through_extract_features(spark, tmp_path):
     f = feats[0].feature
     assert f[0] == 1.0  # real-decode tag
     assert abs(f[3] - 1.0) < 1e-6 and abs(f[4]) < 1e-6 and abs(f[5]) < 1e-6
+
+
+def test_als_recovers_planted_low_rank_matrix(spark):
+    """Ratings generated from a rank-2 factor model: the train RMSE
+    must decrease monotonically and end far below the rating scale."""
+    import numpy as np
+
+    from cs744_big_data_system_spark.ml.als import als_fit
+
+    rng = np.random.RandomState(3)
+    U = rng.rand(20, 2)
+    V = rng.rand(15, 2)
+    rows = [
+        (u, i, float(U[u] @ V[i]))
+        for u in range(20)
+        for i in range(15)
+        if (u + i) % 3 != 0  # hold out a third — matrix still connected
+    ]
+    ratings = spark.createDataFrame(rows, ["user", "item", "rating"])
+    curve = als_fit(ratings, rank=4, iterations=3, reg=0.01).collect()
+    rmses = [r.rmse for r in sorted(curve, key=lambda r: r.iteration)]
+    assert len(rmses) == 3
+    assert rmses[1] <= rmses[0] and rmses[2] <= rmses[1], rmses
+    assert rmses[-1] < 0.05, rmses  # planted model ~recovered
+
+
+def test_als_deterministic_across_runs(spark):
+    from cs744_big_data_system_spark.ml.als import als_fit
+
+    rows = [(u, i, float((u * 3 + i) % 7 + 1)) for u in range(8) for i in range(6)]
+    ratings = spark.createDataFrame(rows, ["user", "item", "rating"])
+    a = als_fit(ratings, rank=3, iterations=2).collect()
+    b = als_fit(ratings, rank=3, iterations=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

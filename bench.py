@@ -118,6 +118,7 @@ HEADLINE = [
     "stream_attribution_replay",
     "item_cf_topk",
     "graph_hits",
+    "survival_km",
 ]
 
 

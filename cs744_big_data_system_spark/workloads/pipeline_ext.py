@@ -521,6 +521,127 @@ ORDER BY p1, rn
 """
 
 
+# --- Kaplan-Meier survival curve (signup -> first purchase) ---
+def q_survival_km(spark, sf_dir):
+    """Kaplan-Meier estimate of time-to-conversion: hours from a
+    user's first signup event to their first subsequent purchase,
+    right-censoring users who never purchase before the stream ends —
+    survival analysis done exactly, the statistically correct way to
+    report conversion latency when some users haven't converted yet
+    (a plain average silently drops the censored mass).
+
+    Scale shape: users collapse to one (duration, censored) row in two
+    aggregations and one user-keyed join; everything after runs on the
+    BOUNDED per-duration table — at-risk counts from a running sum,
+    and the product PI(1 - d/n) as exp of a running LOG sum (an
+    ordered sum over distinct durations, so cross-engine accumulation
+    noise is ~1e-15 against the 1e-6 rounding bucket). A duration
+    where every remaining user converts drives the factor to 0;
+    survival stays 0 from there via an indicator instead of ln(0),
+    which Spark nulls and DuckDB rejects.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max(F.unix_micros("ts")).alias("_end"))
+    signups = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("s_us")
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("p_us"))
+        .join(signups, "user_id")
+        .filter(F.col("p_us") >= F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("p_us"))
+    )
+    lifetimes = (
+        signups.join(first_purchase, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.coalesce(
+                ((F.col("p_us") - F.col("s_us")) / F.lit(3_600_000_000)).cast("long"),
+                ((F.col("_end") - F.col("s_us")) / F.lit(3_600_000_000)).cast("long"),
+            ).alias("duration_h"),
+            F.col("p_us").isNull().cast("int").alias("censored"),
+        )
+    )
+    total = lifetimes.agg(F.count(F.lit(1)).alias("_n"))
+    per_t = lifetimes.groupBy("duration_h").agg(
+        F.sum(F.when(F.col("censored") == 0, 1).otherwise(0)).alias("deaths"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w_prior = Window.orderBy("duration_h").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("duration_h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = per_t.crossJoin(F.broadcast(total)).select(
+        "duration_h",
+        F.col("deaths").cast("long").alias("deaths"),
+        (F.col("_n") - F.coalesce(F.sum("leaving").over(w_prior), F.lit(0)))
+        .cast("long")
+        .alias("at_risk"),
+    )
+    log_term = F.when(
+        F.col("deaths") < F.col("at_risk"),
+        F.log(1.0 - F.col("deaths") / F.col("at_risk")),
+    ).otherwise(F.lit(0.0))
+    hit_zero = F.max((F.col("deaths") == F.col("at_risk")).cast("int")).over(w_run)
+    surv = at_risk.select(
+        "duration_h",
+        "deaths",
+        "at_risk",
+        F.round(
+            F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+                F.exp(F.sum(log_term).over(w_run))
+            ),
+            6,
+        ).alias("survival"),
+    )
+    return surv.filter(F.col("deaths") > 0).orderBy("duration_h")
+
+
+SQL_SURVIVAL_KM = """
+WITH horizon AS (SELECT max(epoch_us(ts)) AS _end FROM events),
+signups AS (
+  SELECT user_id, min(epoch_us(ts)) AS s_us FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), first_purchase AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+  FROM events e JOIN signups s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.s_us
+  GROUP BY e.user_id
+), lifetimes AS (
+  SELECT COALESCE(CAST(FLOOR((p.p_us - s.s_us) / 3600000000.0) AS BIGINT),
+                  CAST(FLOOR(((SELECT _end FROM horizon) - s.s_us) / 3600000000.0) AS BIGINT)) AS duration_h,
+         CASE WHEN p.p_us IS NULL THEN 1 ELSE 0 END AS censored
+  FROM signups s LEFT JOIN first_purchase p ON p.user_id = s.user_id
+), total AS (SELECT CAST(count(*) AS BIGINT) AS _n FROM lifetimes),
+per_t AS (
+  SELECT duration_h,
+         CAST(sum(CASE WHEN censored = 0 THEN 1 ELSE 0 END) AS BIGINT) AS deaths,
+         CAST(count(*) AS BIGINT) AS leaving
+  FROM lifetimes GROUP BY duration_h
+), at_risk AS (
+  SELECT duration_h, deaths,
+         (SELECT _n FROM total)
+           - COALESCE(sum(leaving) OVER (ORDER BY duration_h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+  FROM per_t
+)
+SELECT duration_h, deaths, at_risk, survival FROM (
+  SELECT duration_h, deaths, CAST(at_risk AS BIGINT) AS at_risk,
+         round(CASE WHEN max(CASE WHEN deaths = at_risk THEN 1 ELSE 0 END)
+                      OVER w = 1 THEN 0.0
+                ELSE exp(sum(CASE WHEN deaths < at_risk
+                             THEN ln(1.0 - deaths * 1.0 / at_risk)
+                             ELSE 0.0 END) OVER w) END, 6) AS survival
+  FROM at_risk
+  WINDOW w AS (ORDER BY duration_h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+WHERE deaths > 0
+ORDER BY duration_h
+"""
+
+
 WORKLOADS = {
     "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
     "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
@@ -529,4 +650,5 @@ WORKLOADS = {
     "session_path_topk": (q_session_path_topk, SQL_SESSION_PATH_TOPK),
     "rolling_corr": (q_rolling_corr, SQL_ROLLING_CORR),
     "item_cf_topk": (q_item_cf_topk, SQL_ITEM_CF_TOPK),
+    "survival_km": (q_survival_km, SQL_SURVIVAL_KM),
 }

@@ -289,3 +289,47 @@ def test_feature_hash_is_one_aggregation(spark):
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(exchanges) == 2, (exchanges, plan)
     assert "hashpartitioning(doc_id" in plan, plan
+
+
+def test_survival_km_matches_bruteforce_with_censoring(spark):
+    """Handcrafted cohort: conversions at distinct hours, one censored
+    user, and a final duration where EVERY remaining user converts —
+    the survival-hits-zero path that must not produce ln(0)."""
+    import datetime as dt
+
+    from cs744_big_data_system_spark.workloads import pipeline_ext as pe
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def ev(uid, hours, typ):
+        nonlocal eid
+        eid += 1
+        rows.append(
+            (eid, t0 + dt.timedelta(hours=hours), uid, typ, 0.0, "{}")
+        )
+
+    # u1 converts at 1h, u2 at 1h, u3 at 3h, u4 never (censored),
+    # u5 at 5h — at 5h the remaining uncensored cohort all convert
+    for uid, conv_h in [(1, 1), (2, 1), (3, 3), (5, 5)]:
+        ev(uid, 0, "signup")
+        ev(uid, conv_h, "purchase")
+    ev(4, 0, "signup")  # never purchases
+    ev(4, 10, "view")   # stream horizon = 10h
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    orig = pe.load_table
+    try:
+        pe.load_table = lambda s, d, t: events
+        got = [
+            (r.duration_h, r.deaths, r.at_risk, r.survival)
+            for r in pe.q_survival_km(spark, "unused").collect()
+        ]
+    finally:
+        pe.load_table = orig
+
+    # KM by hand: t=1: d=2, n=5, S=0.6; t=3: d=1, n=3, S=0.4;
+    # t=5: d=1, n=2 ... wait u4 censored at duration 10 leaves AFTER t=5,
+    # so n at t=5 is 2 (u5, u4) and d=1 -> S = 0.4 * (1 - 1/2) = 0.2
+    assert got == [(1, 2, 5, 0.6), (3, 1, 3, 0.4), (5, 1, 2, 0.2)], got

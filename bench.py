@@ -119,6 +119,7 @@ HEADLINE = [
     "item_cf_topk",
     "graph_hits",
     "survival_km",
+    "ab_test_zstat",
 ]
 
 

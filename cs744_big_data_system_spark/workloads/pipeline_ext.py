@@ -642,6 +642,80 @@ ORDER BY duration_h
 """
 
 
+# --- A/B experiment analysis (deterministic assignment + z-stat) ---
+def q_ab_test_zstat(spark, sf_dir):
+    """Two-proportion z-test for an A/B experiment: users assign to
+    variants by md5 hash (deterministic and uniform — the reproducible
+    alternative to rand()-bucketing), the metric is purchase
+    conversion, and the pooled z-statistic quantifies the lift. One
+    row out: counts, rates, and z.
+
+    Scale shape: users collapse to one (variant, converted) row in a
+    single aggregation pass; the test statistic is arithmetic over a
+    2x2 table — driver-free, shuffle count independent of event
+    volume. (z is reported rather than a p-value: erf is not portable
+    across engines, z is pure arithmetic.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    )
+    assigned = users.select(
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            % 2
+        ).alias("variant"),
+        "converted",
+    )
+    table = assigned.groupBy().agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when((F.col("variant") == 0) & (F.col("converted") == 1), 1).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when((F.col("variant") == 1) & (F.col("converted") == 1), 1).otherwise(0)).alias("conv_b"),
+    )
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pool * (1.0 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    return table.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("conv_a").cast("long").alias("conv_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("conv_b").cast("long").alias("conv_b"),
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round((p_a - p_b) / se, 6).alias("z"),
+    )
+
+
+SQL_AB_TEST_ZSTAT = """
+WITH users AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), assigned AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS variant,
+         converted
+  FROM users
+), t AS (
+  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN variant = 0 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN variant = 1 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+  FROM assigned
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       round(conv_a * 1.0 / n_a, 6) AS rate_a,
+       round(conv_b * 1.0 / n_b, 6) AS rate_b,
+       round((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+             / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                    * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+FROM t
+"""
+
+
 WORKLOADS = {
     "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
     "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
@@ -651,4 +725,5 @@ WORKLOADS = {
     "rolling_corr": (q_rolling_corr, SQL_ROLLING_CORR),
     "item_cf_topk": (q_item_cf_topk, SQL_ITEM_CF_TOPK),
     "survival_km": (q_survival_km, SQL_SURVIVAL_KM),
+    "ab_test_zstat": (q_ab_test_zstat, SQL_AB_TEST_ZSTAT),
 }

@@ -333,3 +333,43 @@ def test_survival_km_matches_bruteforce_with_censoring(spark):
     # t=5: d=1, n=2 ... wait u4 censored at duration 10 leaves AFTER t=5,
     # so n at t=5 is 2 (u5, u4) and d=1 -> S = 0.4 * (1 - 1/2) = 0.2
     assert got == [(1, 2, 5, 0.6), (3, 1, 3, 0.4), (5, 1, 2, 0.2)], got
+
+
+def test_ab_test_zstat_matches_hand_formula(spark):
+    """2x2 table arithmetic checked against the textbook pooled-z
+    formula on a hand-built cohort with known md5 assignments."""
+    import datetime as dt
+    import hashlib
+    import math
+
+    from cs744_big_data_system_spark.workloads import pipeline_ext as pe
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # users 1..40: even user_ids convert (purchase), odd just view
+    for uid in range(1, 41):
+        rows.append((uid * 10, t0, uid, "purchase" if uid % 2 == 0 else "view", 0.0, "{}"))
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    orig = pe.load_table
+    try:
+        pe.load_table = lambda s, d, t: events
+        r = pe.q_ab_test_zstat(spark, "unused").collect()[0]
+    finally:
+        pe.load_table = orig
+
+    def variant(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % 2
+
+    n = {0: 0, 1: 0}
+    conv = {0: 0, 1: 0}
+    for uid in range(1, 41):
+        v = variant(uid)
+        n[v] += 1
+        conv[v] += 1 if uid % 2 == 0 else 0
+    assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (n[0], conv[0], n[1], conv[1])
+    pa, pb = conv[0] / n[0], conv[1] / n[1]
+    pool = (conv[0] + conv[1]) / (n[0] + n[1])
+    z = (pa - pb) / math.sqrt(pool * (1 - pool) * (1 / n[0] + 1 / n[1]))
+    assert abs(r.z - z) < 1e-5, (r.z, z)

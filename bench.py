@@ -120,6 +120,7 @@ HEADLINE = [
     "graph_hits",
     "survival_km",
     "ab_test_zstat",
+    "changepoint_ph",
 ]
 
 

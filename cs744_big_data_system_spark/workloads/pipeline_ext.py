@@ -716,6 +716,82 @@ FROM t
 """
 
 
+# --- Change-point detection (Page-Hinkley over daily metric series) ---
+_PH_THRESHOLD = 20.0
+
+
+def q_changepoint_ph(spark, sf_dir):
+    """Page-Hinkley change detection per event type: cumulative
+    deviation from the series mean, with the PH statistic
+    cusum_t - min(cusum_0..t) flagging sustained upward shifts — the
+    drift monitor for any daily business metric.
+
+    Scale shape: raw events collapse to the bounded (type, day) series
+    first; the classic CUSUM clamp max(0, ...) is a nonlinear
+    recursion no window can express, but the equivalent Page-Hinkley
+    form is running-sum MINUS running-min — two frames over the same
+    per-type window partitioning, zero recursion. Rounded before the
+    threshold so accumulation-order noise can't flip a boundary day.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum("value").alias("x"))
+    mean_w = Window.partitionBy("event_type")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_dev = daily.select(
+        "event_type",
+        "day",
+        F.round("x", 6).alias("x"),
+        (F.col("x") - F.avg("x").over(mean_w)).alias("_dev"),
+    )
+    with_cusum = with_dev.select(
+        "event_type", "day", "x", F.sum("_dev").over(w_run).alias("_cusum")
+    )
+    ph = with_cusum.select(
+        "event_type",
+        "day",
+        "x",
+        F.round(F.col("_cusum") - F.min("_cusum").over(w_run), 6).alias("ph"),
+    )
+    return ph.select(
+        "event_type",
+        "day",
+        "x",
+        "ph",
+        (F.col("ph") > _PH_THRESHOLD).cast("int").alias("drift"),
+    ).orderBy("event_type", "day")
+
+
+SQL_CHANGEPOINT_PH = f"""
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, sum(value) AS x
+  FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+), with_dev AS (
+  SELECT event_type, day, round(x, 6) AS x,
+         x - avg(x) OVER (PARTITION BY event_type) AS _dev
+  FROM daily
+), with_cusum AS (
+  SELECT event_type, day, x,
+         sum(_dev) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cusum
+  FROM with_dev
+), ph AS (
+  SELECT event_type, day, x,
+         round(_cusum - min(_cusum) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ph
+  FROM with_cusum
+)
+SELECT event_type, day, x, ph,
+       CAST(CASE WHEN ph > {_PH_THRESHOLD!r} THEN 1 ELSE 0 END AS INT) AS drift
+FROM ph ORDER BY event_type, day
+"""
+
+
 WORKLOADS = {
     "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
     "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
@@ -726,4 +802,5 @@ WORKLOADS = {
     "item_cf_topk": (q_item_cf_topk, SQL_ITEM_CF_TOPK),
     "survival_km": (q_survival_km, SQL_SURVIVAL_KM),
     "ab_test_zstat": (q_ab_test_zstat, SQL_AB_TEST_ZSTAT),
+    "changepoint_ph": (q_changepoint_ph, SQL_CHANGEPOINT_PH),
 }

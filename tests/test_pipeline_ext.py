@@ -373,3 +373,39 @@ def test_ab_test_zstat_matches_hand_formula(spark):
     pool = (conv[0] + conv[1]) / (n[0] + n[1])
     z = (pa - pb) / math.sqrt(pool * (1 - pool) * (1 / n[0] + 1 / n[1]))
     assert abs(r.z - z) < 1e-5, (r.z, z)
+
+
+def test_changepoint_ph_flags_planted_level_shift(spark):
+    """A series flat at 1.0 that jumps to 6.0 halfway must flag drift
+    after the shift and not before; PH values match the hand recursion."""
+    import datetime as dt
+
+    from cs744_big_data_system_spark.workloads import pipeline_ext as pe
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for d in range(20):
+        val = 1.0 if d < 10 else 6.0
+        rows.append((d, t0 + dt.timedelta(days=d), 1, "click", val, "{}"))
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    orig = pe.load_table
+    try:
+        pe.load_table = lambda s, d, t: events
+        out = pe.q_changepoint_ph(spark, "unused").collect()
+    finally:
+        pe.load_table = orig
+
+    xs = [1.0] * 10 + [6.0] * 10
+    mean = sum(xs) / len(xs)
+    cusum, mn, want_ph = 0.0, float("inf"), []
+    for x in xs:
+        cusum += x - mean
+        mn = min(mn, cusum)
+        want_ph.append(round(cusum - mn, 6))
+    got = sorted(out, key=lambda r: r.day)
+    assert [r.ph for r in got] == [round(p, 6) for p in want_ph]
+    # flat prefix never drifts; the post-shift tail eventually does
+    assert all(r.drift == 0 for r in got[:10])
+    assert got[-1].drift == 1

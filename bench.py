@@ -121,6 +121,7 @@ HEADLINE = [
     "survival_km",
     "ab_test_zstat",
     "changepoint_ph",
+    "kmv_jaccard",
 ]
 
 

@@ -163,3 +163,96 @@ def kmv_distinct(
         sk.join(exact, group_col)
         .select(group_col, "n_exact", F.round(est, 4).alias("kmv_est"))
     )
+
+
+def kmv_jaccard(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """Pairwise Jaccard similarity between groups' key sets estimated
+    from KMV sketches — the theta-sketch set-algebra trick: for a pair
+    (a, b), take the k smallest hashes of A ∪ B (which are among the
+    union of each side's k smallest — the same mergeability the
+    rollup uses), and the fraction of them present in BOTH sketches
+    estimates |A∩B| / |A∪B|.
+
+    Output: (g1, g2, j_exact, j_est) for every unordered group pair,
+    exact alongside the estimate so the error is visible. md5 hashing
+    makes the estimate deterministic, so the workload entry is
+    hash-checked — a set-similarity capability exact COUNT(DISTINCT)
+    algebra cannot provide at sketch cost: per group the state is k
+    hashes, however many keys the group has.
+
+    One distinct (group, hash) shuffle + per-group top-k windows; the
+    pair fan-out is |groups|² rows of k hashes — groups are categories
+    (event types, domains), so this is catalog-sized, never data-sized.
+    """
+    from pyspark.sql import Window
+
+    s = df.select(
+        F.col(group_col).alias("g"),
+        md5_int60(F.col(key_col).cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("g").orderBy(F.col("h").asc())
+    topk = (
+        s.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("g", "h")
+        .persist()
+    )
+    pairs = (
+        topk.select(F.col("g").alias("g1"))
+        .distinct()
+        .join(topk.select(F.col("g").alias("g2")).distinct())
+        .filter(F.col("g1") < F.col("g2"))
+    )
+    cand = (
+        pairs.join(topk.withColumnRenamed("g", "g1"), "g1")
+        .select("g1", "g2", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            pairs.join(topk.withColumnRenamed("g", "g2"), "g2")
+            .select("g1", "g2", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+        )
+        .groupBy("g1", "g2", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wk = Window.partitionBy("g1", "g2").orderBy(F.col("h").asc())
+    kept = cand.withColumn("_rn", F.row_number().over(wk)).filter(F.col("_rn") <= k)
+    est = kept.groupBy("g1", "g2").agg(
+        F.round(
+            F.sum((F.col("in_a") * F.col("in_b")).cast("double")) / F.count(F.lit(1)),
+            6,
+        ).alias("j_est")
+    )
+    # exact Jaccard for the error column
+    keys = df.select(F.col(group_col).alias("g"), F.col(key_col).alias("x")).distinct()
+    sizes = keys.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        keys.withColumnRenamed("g", "g1")
+        .join(keys.withColumnRenamed("g", "g2"), "x")
+        .filter(F.col("g1") < F.col("g2"))
+        .groupBy("g1", "g2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    exact = (
+        est.select("g1", "g2")
+        .join(F.broadcast(sizes.select(F.col("g").alias("g1"), F.col("n").alias("n1"))), "g1")
+        .join(F.broadcast(sizes.select(F.col("g").alias("g2"), F.col("n").alias("n2"))), "g2")
+        .join(inter, ["g1", "g2"], "left")
+        .select(
+            "g1",
+            "g2",
+            F.round(
+                F.coalesce("n_inter", F.lit(0))
+                / (F.col("n1") + F.col("n2") - F.coalesce("n_inter", F.lit(0))),
+                6,
+            ).alias("j_exact"),
+        )
+    )
+    return (
+        est.join(exact, ["g1", "g2"])
+        .select("g1", "g2", "j_exact", "j_est")
+        .orderBy("g1", "g2")
+    )

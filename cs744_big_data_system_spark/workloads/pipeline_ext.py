@@ -1,13 +1,16 @@
 """Pipeline-operations batch 3: data-quality auditing, small-file
 compaction planning, marketing attribution, interval-sweep concurrency,
-navigation-path mining, and rolling correlation.
+navigation-path mining, rolling correlation, item-item collaborative
+filtering, Kaplan-Meier survival, A/B-test statistics, and
+Page-Hinkley change detection.
 
 These are the lakehouse-operations queries a team running a 100 TB
 training-data pipeline reaches for daily: validate a landed table
 before it enters the corpus (`dq_checks`), plan the compaction pass
 that keeps file counts bounded (`compaction_plan`), and the
 event-analytics staples (attribution, concurrency, paths, rolling
-stats) that monitor the serving side.
+stats, recommendations, survival/conversion curves, experiment
+readouts, drift monitors) that run on the serving side.
 
 Every query returns aliased, oracle-aligned columns (see
 workloads/__init__.py conventions); each has a DuckDB SQL mirror.

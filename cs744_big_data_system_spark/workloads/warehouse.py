@@ -540,8 +540,70 @@ ORDER BY c_custkey
 """
 
 
+def q_kmv_jaccard(spark, sf_dir):
+    """Pairwise Jaccard between event types' user sets from KMV union
+    sketches (operators/sketches.kmv_jaccard) — theta-sketch set
+    algebra: intersection-over-union from k minima of the union, with
+    the exact Jaccard alongside. md5-deterministic, so hash-checked."""
+    from cs744_big_data_system_spark.operators.sketches import kmv_jaccard
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    return kmv_jaccard(
+        load_table(spark, sf_dir, "events"), key_col="user_id",
+        group_col="event_type", k=32,
+    )
+
+
+SQL_KMV_JACCARD = """
+WITH s AS (
+  SELECT DISTINCT event_type AS g,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+), topk AS (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM s)
+  WHERE rn <= 32
+), pairs AS (
+  SELECT a.g AS g1, b.g AS g2
+  FROM (SELECT DISTINCT g FROM topk) a, (SELECT DISTINCT g FROM topk) b
+  WHERE a.g < b.g
+), cand AS (
+  SELECT g1, g2, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+    SELECT p.g1, p.g2, t.h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN topk t ON t.g = p.g1
+    UNION ALL
+    SELECT p.g1, p.g2, t.h, 0, 1
+    FROM pairs p JOIN topk t ON t.g = p.g2
+  ) GROUP BY g1, g2, h
+), kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS rn FROM cand)
+  WHERE rn <= 32
+), est AS (
+  SELECT g1, g2,
+         round(sum(CAST(in_a * in_b AS DOUBLE)) / count(*), 6) AS j_est
+  FROM kept GROUP BY g1, g2
+), keys AS (SELECT DISTINCT event_type AS g, user_id AS x FROM events),
+sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM keys GROUP BY g),
+inter AS (
+  SELECT a.g AS g1, b.g AS g2, CAST(count(*) AS BIGINT) AS n_inter
+  FROM keys a JOIN keys b ON a.x = b.x AND a.g < b.g GROUP BY a.g, b.g
+)
+SELECT e.g1, e.g2,
+       round(COALESCE(i.n_inter, 0) * 1.0
+             / (s1.n + s2.n - COALESCE(i.n_inter, 0)), 6) AS j_exact,
+       e.j_est
+FROM est e
+JOIN sizes s1 ON s1.g = e.g1
+JOIN sizes s2 ON s2.g = e.g2
+LEFT JOIN inter i ON i.g1 = e.g1 AND i.g2 = e.g2
+ORDER BY e.g1, e.g2
+"""
+
+
 WORKLOADS = {
     "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
+    "kmv_jaccard": (q_kmv_jaccard, SQL_KMV_JACCARD),
     "table_diff": (q_table_diff, SQL_TABLE_DIFF),
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
     "topk_per_group_salted": (q_topk_per_group_salted, SQL_TOPK_PER_GROUP),

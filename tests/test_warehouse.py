@@ -568,3 +568,25 @@ def test_txlog_vacuum_reclaims_only_unreachable_files(spark, tmp_path):
         txlog_read(spark, t, version=1)
     # idempotent: a second vacuum deletes nothing further
     assert txlog_vacuum(t, retain_versions=2) == []
+
+
+def test_kmv_jaccard_exact_below_k_and_close_above(spark):
+    """With fewer than k distinct keys per group the sketch IS the key
+    set, so the estimate must equal the exact Jaccard; above k it must
+    land within sketch tolerance."""
+    from cs744_big_data_system_spark.operators.sketches import kmv_jaccard
+
+    # groups A and B share 10 of 30 keys -> J = 10/50... (30+30-10)=50
+    rows = [("A", i) for i in range(30)] + [("B", i) for i in range(20, 50)]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    out = kmv_jaccard(df, key_col="x", group_col="g", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.j_exact == round(10 / 50, 6)
+    assert r.j_est == r.j_exact  # below-k: sketch is exact
+
+    big = [("A", i) for i in range(500)] + [("B", i) for i in range(250, 750)]
+    df2 = spark.createDataFrame(big, ["g", "x"])
+    r2 = kmv_jaccard(df2, key_col="x", group_col="g", k=64).collect()[0]
+    assert r2.j_exact == round(250 / 750, 6)
+    assert abs(r2.j_est - r2.j_exact) < 0.15, r2  # sketch tolerance at k=64

@@ -122,6 +122,7 @@ HEADLINE = [
     "ab_test_zstat",
     "changepoint_ph",
     "kmv_jaccard",
+    "graph_modularity",
 ]
 
 

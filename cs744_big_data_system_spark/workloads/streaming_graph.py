@@ -1080,6 +1080,91 @@ def _sql_label_propagation(iterations: int = 5) -> str:
 SQL_GRAPH_LABEL_PROPAGATION = _sql_label_propagation()
 
 
+# --- Community modularity (evaluating the LPA partition) ---
+def q_graph_modularity(spark, sf_dir):
+    """Newman modularity of the 5-round LPA communities on the hash
+    graph: per community c, q_contrib = e_c/|g| − (d_c/|g|)² over the
+    symmetrized simple graph (|g| = 2m directed intra-edge slots).
+    Everything is integer counting until one final division, so the
+    community-quality EVALUATION composes with the hash-verified LPA
+    kernel into a fully hash-checked pipeline — find communities, then
+    score them, all oracle-mirrored.
+
+    Scale shape: two broadcast-joinable label lookups on the edge
+    list + one aggregation per community; the output is one row per
+    community."""
+    from cs744_big_data_system_spark.graph.label_propagation import label_propagation
+
+    edges = _hash_graph(spark)
+    labels = label_propagation(edges, iterations=5, num_partitions=4)
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionByName(
+            edges.filter(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    tot = und.agg(F.count(F.lit(1)).alias("_g"))  # = 2m
+    ls = labels.select(F.col("node").alias("src"), F.col("label").alias("l_src"))
+    ld = labels.select(F.col("node").alias("dst"), F.col("label").alias("l_dst"))
+    tagged = und.join(F.broadcast(ls), "src").join(F.broadcast(ld), "dst")
+    per_c = tagged.groupBy(F.col("l_src").alias("label")).agg(
+        F.count(F.lit(1)).alias("degree_sum"),
+        F.sum((F.col("l_src") == F.col("l_dst")).cast("long")).alias("intra_dir"),
+    )
+    nodes_per = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        per_c.join(nodes_per, "label")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("intra_dir").cast("long").alias("intra_dir"),
+            F.col("degree_sum").cast("long").alias("degree_sum"),
+            F.round(
+                F.col("intra_dir") / F.col("_g")
+                - (F.col("degree_sum") / F.col("_g")) ** 2,
+                6,
+            ).alias("q_contrib"),
+        )
+        .orderBy("label")
+    )
+
+
+def _sql_graph_modularity(iterations: int = 5) -> str:
+    lpa = _sql_label_propagation(iterations)
+    # reuse the LPA CTE chain; swap the final SELECT for modularity math
+    body = lpa[: lpa.rindex("\nSELECT node, label FROM")]
+    return (
+        body
+        + f""",
+tot AS (SELECT CAST(count(*) AS BIGINT) AS _g FROM g),
+tagged AS (
+  SELECT ls.label AS l_src, ld.label AS l_dst
+  FROM g
+  JOIN l{iterations} ls ON ls.node = g.src
+  JOIN l{iterations} ld ON ld.node = g.dst
+), per_c AS (
+  SELECT l_src AS label,
+         CAST(count(*) AS BIGINT) AS degree_sum,
+         CAST(sum(CASE WHEN l_src = l_dst THEN 1 ELSE 0 END) AS BIGINT) AS intra_dir
+  FROM tagged GROUP BY l_src
+), nodes_per AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_nodes FROM l{iterations} GROUP BY label
+)
+SELECT p.label, n.n_nodes, p.intra_dir, p.degree_sum,
+       round(p.intra_dir * 1.0 / t._g - (p.degree_sum * 1.0 / t._g) * (p.degree_sum * 1.0 / t._g), 6) AS q_contrib
+FROM per_c p JOIN nodes_per n ON n.label = p.label, tot t
+ORDER BY p.label"""
+    )
+
+
+SQL_GRAPH_MODULARITY = _sql_graph_modularity()
+
+
 # --- BFS via WITH RECURSIVE through the Spark SQL text front end ---
 def q_graph_bfs_sql(spark, sf_dir):
     """The SAME single-source BFS as graph_bfs_hops, but declared as a
@@ -1687,6 +1772,7 @@ WORKLOADS = {
     "stream_txlog_ingest": (q_stream_txlog_ingest, SQL_STREAM_TXLOG_INGEST),
     "stream_attribution_replay": (q_stream_attribution_replay, SQL_STREAM_ATTRIBUTION),
     "graph_hits": (q_graph_hits, SQL_GRAPH_HITS),
+    "graph_modularity": (q_graph_modularity, SQL_GRAPH_MODULARITY),
     # --- rows-only tail (iterative / approximate / stubbed-decode) ---
     "pagerank_events": (q_pagerank_events, SQL_PAGERANK_EVENTS),  # unrolled oracle
     "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),  # fixpoint-unrolled oracle

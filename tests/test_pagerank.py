@@ -314,3 +314,36 @@ def test_hits_weighted_edges_count_multiplicity(spark):
     )
     out = {r.node: (r.auth, r.hub) for r in hits(edges, iterations=3).collect()}
     assert out["a"][1] == 1.0 and out["b"][1] == 0.5
+
+
+def test_modularity_two_cliques_near_half(spark):
+    """Two disjoint triangles found by LPA: each community contributes
+    e_c/|g| - (d_c/|g|)^2 = 0.5 - 0.25 = 0.25, total Q = 0.5 — the
+    textbook maximum for two equal disconnected cliques."""
+    from cs744_big_data_system_spark.graph.label_propagation import label_propagation
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)], ["src", "dst"]
+    )
+    labels = label_propagation(edges, iterations=5)
+    und = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    g = und.count()  # 12 directed slots
+    ls = labels.select(F.col("node").alias("src"), F.col("label").alias("l_src"))
+    ld = labels.select(F.col("node").alias("dst"), F.col("label").alias("l_dst"))
+    tagged = und.join(ls, "src").join(ld, "dst")
+    per_c = (
+        tagged.groupBy("l_src")
+        .agg(
+            F.count(F.lit(1)).alias("deg"),
+            F.sum((F.col("l_src") == F.col("l_dst")).cast("long")).alias("intra"),
+        )
+        .collect()
+    )
+    q = sum(r.intra / g - (r.deg / g) ** 2 for r in per_c)
+    assert len(per_c) == 2
+    assert abs(q - 0.5) < 1e-9

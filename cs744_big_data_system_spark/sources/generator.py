@@ -93,16 +93,21 @@ class SynthDocsReader(DataSourceReader):
     def __init__(self, n: int, num_partitions: int):
         self.n = n
         self.num_partitions = max(1, min(num_partitions, max(1, n)))
+        self.lo = 0  # generation bounds [lo, hi), narrowed by pushdown
+        self.hi = n
 
     def partitions(self):
         return [InputPartition(p) for p in range(self.num_partitions)]
 
     def read(self, partition):
-        # Disjoint contiguous id ranges per split; yield row-at-a-time
-        # so memory stays O(1) however large the split.
+        # Disjoint contiguous id ranges per split over the (possibly
+        # pushdown-narrowed) [lo, hi) id range; yield row-at-a-time so
+        # memory stays O(1) however large the split.
         p = partition.value
-        per = -(-self.n // self.num_partitions)  # ceil
-        for doc_id in range(p * per, min((p + 1) * per, self.n)):
+        count = max(0, self.hi - self.lo)
+        per = -(-count // self.num_partitions) if count else 0
+        start = self.lo + p * per
+        for doc_id in range(start, min(start + per, self.hi)):
             yield doc_fields(doc_id)
 
 
@@ -125,3 +130,65 @@ class SynthDocsStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start, end):
         return iter([doc_fields(i) for i in range(int(start["next"]), int(end["next"]))])
+
+
+class SynthDocsPushdownDataSource(DataSource):
+    """``format("synthdocs_pd")`` — the generator source with FILTER
+    PUSHDOWN (Spark 4.1 ``DataSourceReader.pushFilters``): ``doc_id``
+    range/equality predicates narrow the GENERATED id range itself, so
+    out-of-range rows are never synthesized (a database-backed source
+    would translate them into its native query the same way). Kept as
+    a SEPARATE format because implementing pushFilters requires
+    ``spark.sql.python.filterPushdown.enabled=true`` — callers opt in
+    (see tests/test_sources_ml.py), while plain "synthdocs" keeps
+    working under any session configuration."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthdocs_pd"
+
+    def schema(self) -> str:
+        return "doc_id bigint, text string, lang string, n_words bigint"
+
+    def reader(self, schema) -> "SynthDocsPushdownReader":
+        return SynthDocsPushdownReader(
+            n=int(self.options.get("n", 500)),
+            num_partitions=int(self.options.get("partitions", 8)),
+        )
+
+
+class SynthDocsPushdownReader(SynthDocsReader):
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            IsNotNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        remaining = []
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr == ("doc_id",):
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, int(f.value))
+                    continue
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, int(f.value) + 1)
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, int(f.value))
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, int(f.value) + 1)
+                    continue
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, int(f.value))
+                    self.hi = min(self.hi, int(f.value) + 1)
+                    continue
+                if isinstance(f, IsNotNull):
+                    continue  # generated ids are never null
+            remaining.append(f)
+        return remaining

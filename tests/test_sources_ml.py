@@ -895,3 +895,57 @@ def test_als_deterministic_across_runs(spark):
     a = als_fit(ratings, rank=3, iterations=2).collect()
     b = als_fit(ratings, rank=3, iterations=2).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pushdown_generator_narrows_generation(spark):
+    """synthdocs_pd accepts doc_id range predicates: the scan output
+    equals the plain source's filtered output, and the accepted
+    predicates DISAPPEAR from the post-scan Filter node (they were
+    translated into the generation range, not re-evaluated)."""
+    from cs744_big_data_system_spark.sources.generator import (
+        SynthDocsDataSource,
+        SynthDocsPushdownDataSource,
+    )
+
+    for src in (SynthDocsDataSource, SynthDocsPushdownDataSource):
+        try:
+            spark.dataSource.register(src)
+        except Exception:
+            pass
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        pd_df = (
+            spark.read.format("synthdocs_pd").option("n", 100).load()
+            .filter("doc_id >= 20 AND doc_id < 40")
+        )
+        plain = (
+            spark.read.format("synthdocs").option("n", 100).load()
+            .filter("doc_id >= 20 AND doc_id < 40")
+        )
+        assert sorted(map(tuple, pd_df.collect())) == sorted(map(tuple, plain.collect()))
+        plan = pd_df._jdf.queryExecution().executedPlan().toString()
+        pre_scan = plan.split("BatchScan")[0]
+        assert ">= 20" not in pre_scan and "< 40" not in pre_scan, plan
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+
+
+def test_pushdown_reader_keeps_unsupported_filters():
+    """The reader must accept only doc_id bounds and hand every other
+    predicate back to Spark (the pushFilters contract: returned
+    filters are re-evaluated post-scan)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, LessThanOrEqual
+
+    from cs744_big_data_system_spark.sources.generator import SynthDocsPushdownReader
+
+    r = SynthDocsPushdownReader(n=100, num_partitions=4)
+    lang_eq = EqualTo(("lang",), "en")
+    rest = list(r.pushFilters([GreaterThan(("doc_id",), 9), LessThanOrEqual(("doc_id",), 49), lang_eq]))
+    assert rest == [lang_eq]
+    assert (r.lo, r.hi) == (10, 50)
+    got = sorted(row[0] for p in r.partitions() for row in r.read(p))
+    assert got == list(range(10, 50))

@@ -145,3 +145,47 @@ def cogrouped_asof_match(
         .cogroup(right.groupBy(key_col))
         .applyInPandas(match, schema=out_schema)
     )
+
+
+def per_group_arrow_stats(documents, group_col: str = "lang"):
+    """Per-group document statistics through ``applyInArrow`` (Spark 4
+    grouped-map over RAW pyarrow RecordBatches — the zero-pandas,
+    zero-copy sibling of applyInPandas; the last Arrow UDF surface the
+    engine exercises). All math runs in pyarrow.compute kernels, so
+    the batch never materializes Python objects.
+
+    Returns (group, n_docs, total_chars, mean_chars, max_chars) with
+    the mean rounded to 6 dp — exactly mirrorable by plain SQL
+    aggregates, so the API demo stays hash-checked.
+    """
+    import pyarrow as pa
+
+    def stats(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc  # noqa: PLC0415 — worker-side
+
+        chars = batch.column("n_chars")
+        n = batch.num_rows
+        total = pc.sum(chars).as_py() or 0
+        return pa.table(
+            {
+                "group": [batch.column(0)[0].as_py()],
+                "n_docs": pa.array([n], pa.int64()),
+                "total_chars": pa.array([int(total)], pa.int64()),
+                "mean_chars": pa.array(
+                    [round(total / n, 6) if n else None], pa.float64()
+                ),
+                "max_chars": pa.array([pc.max(chars).as_py()], pa.int64()),
+            }
+        )
+
+    return (
+        documents.select(F.col(group_col).alias("group"), "n_chars")
+        .groupBy("group")
+        .applyInArrow(
+            stats,
+            schema=(
+                "group string, n_docs long, total_chars long, "
+                "mean_chars double, max_chars long"
+            ),
+        )
+    )

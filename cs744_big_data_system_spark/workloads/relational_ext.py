@@ -1773,6 +1773,32 @@ FROM events
 """
 
 
+def q_udf_grouped_arrow(spark, sf_dir):
+    """Grouped-map applyInArrow (raw RecordBatch in, Table out — the
+    zero-pandas Arrow UDF surface): per-lang document stats computed
+    entirely in pyarrow.compute kernels, oracle = plain SQL
+    aggregates. With this, every Pandas/Arrow UDF API (scalar,
+    grouped-agg, grouped-map pandas, cogrouped-map, mapInPandas,
+    mapInArrow, applyInPandasWithState, applyInArrow) is exercised and
+    oracle- or equivalence-checked."""
+    from cs744_big_data_system_spark.operators.grouped_pandas import (
+        per_group_arrow_stats,
+    )
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return per_group_arrow_stats(docs, group_col="lang").orderBy("group")
+
+
+SQL_UDF_GROUPED_ARROW = """
+SELECT lang AS group, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(sum(n_chars) * 1.0 / count(*), 6) AS mean_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 WORKLOADS = {
     "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
     "window_dist": (q_window_dist, SQL_WINDOW_DIST),
@@ -1795,6 +1821,7 @@ WORKLOADS = {
     "robust_stats": (q_robust_stats, SQL_ROBUST_STATS),
     "corr_matrix": (q_corr_matrix, SQL_CORR_MATRIX),
     "udf_grouped_ols": (q_udf_grouped_ols, SQL_UDF_GROUPED_OLS),
+    "udf_grouped_arrow": (q_udf_grouped_arrow, SQL_UDF_GROUPED_ARROW),
     "udf_cogroup_asof": (q_udf_cogroup_asof, SQL_UDF_COGROUP_ASOF),
     "histogram_width": (q_histogram_width, SQL_HISTOGRAM_WIDTH),
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),

@@ -273,3 +273,25 @@ def test_registry_invariants():
     ]
     # every registry entry is callable
     assert all(callable(fn) for fn, _ in reg.values())
+
+
+def test_apply_in_arrow_stats_match_groupby(spark):
+    """The applyInArrow per-group stats must equal the plain groupBy
+    aggregates on a frame with single-doc and multi-doc groups."""
+    from pyspark.sql import functions as F
+
+    from cs744_big_data_system_spark.operators.grouped_pandas import (
+        per_group_arrow_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a", "en", "s", 10), (2, "b", "en", "s", 30), (3, "c", "de", "s", 7)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = {r.group: (r.n_docs, r.total_chars, r.mean_chars, r.max_chars)
+           for r in per_group_arrow_stats(docs).collect()}
+    want = {r.lang: (r.n, r.t, r.m, r.mx) for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("t"),
+        F.round(F.sum("n_chars") / F.count(F.lit(1)), 6).alias("m"),
+        F.max("n_chars").alias("mx")).collect()}
+    assert got == want

@@ -123,6 +123,8 @@ HEADLINE = [
     "changepoint_ph",
     "kmv_jaccard",
     "graph_modularity",
+    "attribution_linear",
+    "udf_grouped_arrow",
 ]
 
 

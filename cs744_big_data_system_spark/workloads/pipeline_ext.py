@@ -795,6 +795,73 @@ FROM ph ORDER BY event_type, day
 """
 
 
+# --- Linear multi-touch attribution (range join, equal credit) ---
+def q_attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution: every click/view in the 7 days
+    before a purchase shares the credit equally (1/n each) — the
+    standard companion model to last-touch, and the query shape is
+    deliberately different: a bounded RANGE JOIN (purchases x touches
+    per user) instead of a carry-forward window.
+
+    Scale shape: the join fans out only to touches-per-user-per-window
+    (bounded by user activity, not corpus size) and runs as one
+    user-keyed equi-join with the time bound as a residual predicate;
+    the per-purchase touch count rides a window on the join output.
+    Credit is rounded so the 1/n division can't hash-drift.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("touch_event_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("user_id").alias("t_user"),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - F.lit(_ATTR_WINDOW_S * 1_000_000).cast("long")),
+    )
+    w = Window.partitionBy("purchase_event_id")
+    return (
+        joined.select(
+            "purchase_event_id",
+            "user_id",
+            "touch_event_id",
+            "touch_type",
+            F.round(1.0 / F.count(F.lit(1)).over(w), 6).alias("credit"),
+        )
+        .orderBy("purchase_event_id", "touch_event_id")
+    )
+
+
+SQL_ATTRIBUTION_LINEAR = f"""
+WITH purchases AS (
+  SELECT event_id AS purchase_event_id, user_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+), touches AS (
+  SELECT event_id AS touch_event_id, event_type AS touch_type,
+         user_id AS t_user, epoch_us(ts) AS t_us
+  FROM events WHERE event_type IN ('click', 'view')
+), joined AS (
+  SELECT p.purchase_event_id, p.user_id, t.touch_event_id, t.touch_type
+  FROM purchases p JOIN touches t
+    ON t.t_user = p.user_id
+   AND t.t_us < p.p_us
+   AND t.t_us >= p.p_us - CAST({_ATTR_WINDOW_S} AS BIGINT) * 1000000
+)
+SELECT purchase_event_id, user_id, touch_event_id, touch_type,
+       round(1.0 / count(*) OVER (PARTITION BY purchase_event_id), 6) AS credit
+FROM joined
+ORDER BY purchase_event_id, touch_event_id
+"""
+
+
 WORKLOADS = {
     "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
     "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
@@ -806,4 +873,5 @@ WORKLOADS = {
     "survival_km": (q_survival_km, SQL_SURVIVAL_KM),
     "ab_test_zstat": (q_ab_test_zstat, SQL_AB_TEST_ZSTAT),
     "changepoint_ph": (q_changepoint_ph, SQL_CHANGEPOINT_PH),
+    "attribution_linear": (q_attribution_linear, SQL_ATTRIBUTION_LINEAR),
 }

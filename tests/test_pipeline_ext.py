@@ -409,3 +409,35 @@ def test_changepoint_ph_flags_planted_level_shift(spark):
     # flat prefix never drifts; the post-shift tail eventually does
     assert all(r.drift == 0 for r in got[:10])
     assert got[-1].drift == 1
+
+
+def test_attribution_linear_credits_sum_to_one(spark):
+    """Per purchase, the linear credits must sum to exactly 1 (up to
+    rounding) and cover every in-window touch — checked against a
+    brute-force recomputation at sf0.001."""
+    from cs744_big_data_system_spark.workloads.pipeline_ext import (
+        _ATTR_WINDOW_S,
+        q_attribution_linear,
+    )
+
+    rows = q_attribution_linear(spark, SF_SMALL).collect()
+    assert rows
+    per_p = collections.defaultdict(list)
+    for r in rows:
+        per_p[r.purchase_event_id].append(r)
+    for evs in per_p.values():
+        assert abs(sum(e.credit for e in evs) - 1.0) < 1e-4
+        assert len({e.credit for e in evs}) == 1  # equal split
+
+    ev = _events_pdf()
+    ev["ts_us"] = ev.ts.astype("datetime64[us]").astype("int64")
+    purchases = ev[ev.event_type == "purchase"]
+    touches = ev[ev.event_type.isin(["click", "view"])]
+    want = {}
+    for p in purchases.itertuples():
+        n = ((touches.user_id == p.user_id)
+             & (touches.ts_us < p.ts_us)
+             & (touches.ts_us >= p.ts_us - _ATTR_WINDOW_S * 1_000_000)).sum()
+        if n:
+            want[p.event_id] = n
+    assert {k: len(v) for k, v in per_p.items()} == want

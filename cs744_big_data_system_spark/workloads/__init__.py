@@ -51,6 +51,16 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # these earn their first driver-attested row in a later window.
     reg.update(pipeline_ext.WORKLOADS)
 
+    # NEXT ROTATION (round 4): after CORRECTNESS_r03 lands, move into
+    # the window (oracle-backed, selfcheck-green, never attested):
+    # the overflow of never_attested_rest below slot 50, plus this
+    # round's additions — dq_checks, compaction_plan,
+    # attribution_last_touch, attribution_linear, peak_concurrency,
+    # session_path_topk, rolling_corr, item_cf_topk, survival_km,
+    # ab_test_zstat, changepoint_ph, ml_naive_bayes, feature_hash_bow,
+    # stream_attribution_replay, graph_hits, graph_modularity,
+    # kmv_jaccard, udf_grouped_arrow (rows-only ml_als_fit stays in
+    # the tail).
     # Slots 1-37: oracle-backed, never driver-attested (selfcheck-green).
     never_attested_oracle = [
         "tpch_q4",

@@ -449,3 +449,126 @@ def test_session_paths_match_bruteforce_under_ties(spark, events):
     )
     want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert got == want
+
+
+@given(
+    baskets=st.lists(
+        st.lists(st.integers(min_value=1, max_value=6), min_size=1, max_size=4),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(**_SETTINGS)
+def test_item_cf_matches_bruteforce(spark, baskets):
+    """Item-CF neighbors on arbitrary baskets — duplicate items within
+    a basket, cosine ties, and sub-threshold pairs."""
+    import itertools
+    import math
+    from collections import Counter, defaultdict
+
+    from cs744_big_data_system_spark.workloads import pipeline_ext as pe
+
+    rows = [(o, p) for o, ps in enumerate(baskets) for p in ps]
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    orig = pe.load_table
+    try:
+        pe.load_table = lambda s, d, t: li
+        got = [
+            (r.p1, r.rn, r.p2, r.n_co, r.sim)
+            for r in pe.q_item_cf_topk(spark, "unused").collect()
+        ]
+    finally:
+        pe.load_table = orig
+
+    dedup = [sorted(set(ps)) for ps in baskets]
+    cnt = Counter(p for ps in dedup for p in ps)
+    co = defaultdict(int)
+    for ps in dedup:
+        for x, y in itertools.permutations(ps, 2):
+            co[(x, y)] += 1
+    want = []
+    for p1 in sorted(cnt):
+        nbrs = [
+            (p2, co[(p1, p2)], round(co[(p1, p2)] / math.sqrt(cnt[p1] * cnt[p2]), 6))
+            for p2 in cnt
+            if p2 != p1 and co[(p1, p2)] >= 2
+        ]
+        nbrs.sort(key=lambda t: (-t[2], t[0]))
+        for rn, (p2, n_co, sim) in enumerate(nbrs[:5], 1):
+            want.append((p1, rn, p2, n_co, sim))
+    assert got == want
+
+
+@given(
+    users=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=48),            # signup hour
+            st.one_of(st.none(), st.integers(min_value=0, max_value=72)),  # purchase delay
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(**_SETTINGS)
+def test_survival_km_matches_bruteforce(spark, users):
+    """KM curve on arbitrary cohorts — tied durations, all-censored,
+    zero-hour conversions, and the everyone-converts-at-t day."""
+    from collections import Counter
+
+    from cs744_big_data_system_spark.workloads import pipeline_ext as pe
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    horizon = base + dt.timedelta(hours=200)
+    for uid, (s_h, p_delay) in enumerate(users):
+        eid += 1
+        rows.append((eid, base + dt.timedelta(hours=s_h), uid, "signup", 0.0, "{}"))
+        if p_delay is not None:
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(hours=s_h + p_delay), uid, "purchase", 0.0, "{}")
+            )
+    eid += 1
+    rows.append((eid, horizon, 9999, "view", 0.0, "{}"))  # pin the stream end
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    orig = pe.load_table
+    try:
+        pe.load_table = lambda s, d, t: events
+        got = [
+            (r.duration_h, r.deaths, r.at_risk, r.survival)
+            for r in pe.q_survival_km(spark, "unused").collect()
+        ]
+    finally:
+        pe.load_table = orig
+
+    # brute-force KM (user 9999 has no signup -> excluded)
+    lifetimes = []
+    for uid, (s_h, p_delay) in enumerate(users):
+        if p_delay is not None:
+            lifetimes.append((p_delay, 0))
+        else:
+            lifetimes.append((200 - s_h, 1))
+    per_t = Counter()
+    deaths = Counter()
+    for d, cens in lifetimes:
+        per_t[d] += 1
+        if not cens:
+            deaths[d] += 1
+    n = len(lifetimes)
+    s_val, want = 1.0, []
+    hit_zero = False
+    for t in sorted(per_t):
+        at_risk = n
+        d = deaths.get(t, 0)
+        if d:
+            if d == at_risk:
+                hit_zero = True
+            if not hit_zero:
+                s_val *= 1 - d / at_risk
+            want.append((t, d, at_risk, 0.0 if hit_zero else round(s_val, 6)))
+        n -= per_t[t]
+    assert [(g[0], g[1], g[2]) for g in got] == [(w[0], w[1], w[2]) for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[3] - w[3]) < 1e-5, (g, w)

@@ -125,6 +125,7 @@ HEADLINE = [
     "graph_modularity",
     "attribution_linear",
     "udf_grouped_arrow",
+    "attribution_ushaped",
 ]
 
 

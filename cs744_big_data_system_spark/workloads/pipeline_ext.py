@@ -862,6 +862,97 @@ ORDER BY purchase_event_id, touch_event_id
 """
 
 
+# --- Position-based (U-shaped) attribution ---
+def q_attribution_ushaped(spark, sf_dir):
+    """Position-based attribution: 40% to the first touch, 40% to the
+    last, 20% split across the middles (100% / 50-50 for 1- and
+    2-touch paths) — the third standard model beside last-touch and
+    linear, and the one that needs BOTH endpoint ranks.
+
+    Scale shape: same bounded user-keyed range join as the linear
+    model; the position logic is two row_numbers (asc + desc) over the
+    per-purchase window — no extra shuffle beyond the join's.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("touch_event_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("user_id").alias("t_user"),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - F.lit(_ATTR_WINDOW_S * 1_000_000).cast("long")),
+    )
+    w = Window.partitionBy("purchase_event_id")
+    asc = w.orderBy("t_us", "touch_event_id")
+    desc = w.orderBy(F.desc("t_us"), F.desc("touch_event_id"))
+    ranked = joined.select(
+        "purchase_event_id",
+        "user_id",
+        "touch_event_id",
+        "touch_type",
+        F.row_number().over(asc).alias("rn_first"),
+        F.row_number().over(desc).alias("rn_last"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when(F.col("rn_first") == 1, F.lit(0.4))
+        .when(F.col("rn_last") == 1, F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return ranked.select(
+        "purchase_event_id",
+        "user_id",
+        "touch_event_id",
+        "touch_type",
+        F.round(credit, 6).alias("credit"),
+    ).orderBy("purchase_event_id", "touch_event_id")
+
+
+SQL_ATTRIBUTION_USHAPED = f"""
+WITH purchases AS (
+  SELECT event_id AS purchase_event_id, user_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+), touches AS (
+  SELECT event_id AS touch_event_id, event_type AS touch_type,
+         user_id AS t_user, epoch_us(ts) AS t_us
+  FROM events WHERE event_type IN ('click', 'view')
+), joined AS (
+  SELECT p.purchase_event_id, p.user_id, t.touch_event_id, t.touch_type, t.t_us
+  FROM purchases p JOIN touches t
+    ON t.t_user = p.user_id
+   AND t.t_us < p.p_us
+   AND t.t_us >= p.p_us - CAST({_ATTR_WINDOW_S} AS BIGINT) * 1000000
+), ranked AS (
+  SELECT purchase_event_id, user_id, touch_event_id, touch_type,
+         row_number() OVER (PARTITION BY purchase_event_id
+                            ORDER BY t_us, touch_event_id) AS rn_first,
+         row_number() OVER (PARTITION BY purchase_event_id
+                            ORDER BY t_us DESC, touch_event_id DESC) AS rn_last,
+         count(*) OVER (PARTITION BY purchase_event_id) AS n
+  FROM joined
+)
+SELECT purchase_event_id, user_id, touch_event_id, touch_type,
+       round(CASE WHEN n = 1 THEN 1.0
+                  WHEN n = 2 THEN 0.5
+                  WHEN rn_first = 1 THEN 0.4
+                  WHEN rn_last = 1 THEN 0.4
+                  ELSE 0.2 / (n - 2) END, 6) AS credit
+FROM ranked
+ORDER BY purchase_event_id, touch_event_id
+"""
+
+
 WORKLOADS = {
     "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
     "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
@@ -874,4 +965,5 @@ WORKLOADS = {
     "ab_test_zstat": (q_ab_test_zstat, SQL_AB_TEST_ZSTAT),
     "changepoint_ph": (q_changepoint_ph, SQL_CHANGEPOINT_PH),
     "attribution_linear": (q_attribution_linear, SQL_ATTRIBUTION_LINEAR),
+    "attribution_ushaped": (q_attribution_ushaped, SQL_ATTRIBUTION_USHAPED),
 }

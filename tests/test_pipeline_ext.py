@@ -441,3 +441,43 @@ def test_attribution_linear_credits_sum_to_one(spark):
         if n:
             want[p.event_id] = n
     assert {k: len(v) for k, v in per_p.items()} == want
+
+
+def test_attribution_ushaped_credit_schedule(spark):
+    """Hand-built paths of length 1, 2, and 4: credits must follow the
+    100 / 50-50 / 40-20÷2-40 schedule and sum to 1 per purchase."""
+    import datetime as dt
+
+    from cs744_big_data_system_spark.workloads import pipeline_ext as pe
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def ev(uid, minutes, typ):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(minutes=minutes), uid, typ, 0.0, "{}"))
+        return eid
+
+    ev(1, 0, "click"); p1 = ev(1, 10, "purchase")                       # 1 touch
+    ev(2, 0, "click"); ev(2, 5, "view"); p2 = ev(2, 10, "purchase")     # 2 touches
+    first = ev(3, 0, "click"); m1 = ev(3, 2, "view"); m2 = ev(3, 4, "view")
+    last = ev(3, 6, "click"); p3 = ev(3, 10, "purchase")                # 4 touches
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    orig = pe.load_table
+    try:
+        pe.load_table = lambda s, d, t: events
+        out = pe.q_attribution_ushaped(spark, "unused").collect()
+    finally:
+        pe.load_table = orig
+    by_p = {}
+    for r in out:
+        by_p.setdefault(r.purchase_event_id, {})[r.touch_event_id] = r.credit
+    assert list(by_p[p1].values()) == [1.0]
+    assert sorted(by_p[p2].values()) == [0.5, 0.5]
+    assert by_p[p3][first] == 0.4 and by_p[p3][last] == 0.4
+    assert by_p[p3][m1] == 0.1 and by_p[p3][m2] == 0.1
+    for credits in by_p.values():
+        assert abs(sum(credits.values()) - 1.0) < 1e-9

@@ -126,6 +126,8 @@ HEADLINE = [
     "attribution_linear",
     "udf_grouped_arrow",
     "attribution_ushaped",
+    "seasonality_dow",
+    "revenue_gini",
 ]
 
 

@@ -953,6 +953,118 @@ ORDER BY purchase_event_id, touch_event_id
 """
 
 
+# --- Day-of-week seasonality index ---
+def q_seasonality_dow(spark, sf_dir):
+    """Per-event-type day-of-week seasonality index: mean daily count
+    on that weekday divided by the overall mean daily count — the
+    multiplicative seasonal profile behind staffing/capacity planning
+    (index > 1 = busier-than-average weekday).
+
+    Scale shape: events collapse to the bounded (type, day) table
+    once; both means are integer-count ratios computed per group, so
+    the only float is the final division (rounded).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "E").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_dow = daily.groupBy("event_type", "dow").agg(
+        F.sum("n").alias("n_events"), F.count(F.lit(1)).alias("n_days")
+    )
+    overall = daily.groupBy("event_type").agg(
+        F.sum("n").alias("tot_events"), F.count(F.lit(1)).alias("tot_days")
+    )
+    return (
+        per_dow.join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round(
+                (F.col("n_events") / F.col("n_days"))
+                / (F.col("tot_events") / F.col("tot_days")),
+                6,
+            ).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+SQL_SEASONALITY_DOW = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         strftime(ts, '%a') AS dow, count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+), per_dow AS (
+  SELECT event_type, dow, CAST(sum(n) AS BIGINT) AS n_events,
+         count(*) AS n_days
+  FROM daily GROUP BY event_type, dow
+), overall AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS tot_events,
+         count(*) AS tot_days
+  FROM daily GROUP BY event_type
+)
+SELECT p.event_type, p.dow, p.n_events,
+       round((p.n_events * 1.0 / p.n_days) / (o.tot_events * 1.0 / o.tot_days), 6) AS seasonal_index
+FROM per_dow p JOIN overall o ON o.event_type = p.event_type
+ORDER BY p.event_type, p.dow
+"""
+
+
+# --- Gini coefficient of revenue concentration ---
+def q_revenue_gini(spark, sf_dir):
+    """Gini coefficient of per-part revenue concentration (0 = equal,
+    → 1 = concentrated) via the rank formula
+    G = (2·Σ i·x_i) / (n·Σ x) − (n+1)/n over revenue sorted ascending
+    — the one-number inequality summary beside `pareto_abc`'s banded
+    view.
+
+    Scale shape: parts collapse to one revenue row each; the rank is
+    ONE ordered window over the bounded per-part table, and the final
+    statistic is a single aggregation. Revenue is rounded BEFORE
+    ranking so cross-engine float noise cannot permute equal ranks.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        )
+    )
+    w = Window.orderBy("revenue", "l_partkey")
+    ranked = rev.select(
+        "revenue", F.row_number().over(w).cast("double").alias("i")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.round(F.sum("revenue"), 4).alias("total_revenue"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("revenue")))
+            / (F.count(F.lit(1)) * F.sum("revenue"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+SQL_REVENUE_GINI = """
+WITH rev AS (
+  SELECT l_partkey, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT revenue,
+         CAST(row_number() OVER (ORDER BY revenue, l_partkey) AS DOUBLE) AS i
+  FROM rev
+)
+SELECT CAST(count(*) AS BIGINT) AS n_parts,
+       round(sum(revenue), 4) AS total_revenue,
+       round((2.0 * sum(i * revenue)) / (count(*) * sum(revenue))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked
+"""
+
+
 WORKLOADS = {
     "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
     "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
@@ -966,4 +1078,6 @@ WORKLOADS = {
     "changepoint_ph": (q_changepoint_ph, SQL_CHANGEPOINT_PH),
     "attribution_linear": (q_attribution_linear, SQL_ATTRIBUTION_LINEAR),
     "attribution_ushaped": (q_attribution_ushaped, SQL_ATTRIBUTION_USHAPED),
+    "seasonality_dow": (q_seasonality_dow, SQL_SEASONALITY_DOW),
+    "revenue_gini": (q_revenue_gini, SQL_REVENUE_GINI),
 }

@@ -481,3 +481,49 @@ def test_attribution_ushaped_credit_schedule(spark):
     assert by_p[p3][m1] == 0.1 and by_p[p3][m2] == 0.1
     for credits in by_p.values():
         assert abs(sum(credits.values()) - 1.0) < 1e-9
+
+
+def test_seasonality_uniform_series_has_unit_index(spark):
+    """A perfectly uniform daily series (one event per day per type)
+    must index 1.0 on every weekday."""
+    import datetime as dt
+
+    from cs744_big_data_system_spark.workloads import pipeline_ext as pe
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(d, t0 + dt.timedelta(days=d), 1, "click", 1.0, "{}") for d in range(28)]
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    orig = pe.load_table
+    try:
+        pe.load_table = lambda s, d, t: events
+        out = pe.q_seasonality_dow(spark, "unused").collect()
+    finally:
+        pe.load_table = orig
+    assert len(out) == 7
+    assert all(r.seasonal_index == 1.0 for r in out), out
+
+
+def test_gini_equal_and_concentrated(spark):
+    """Equal revenues -> Gini 0; all revenue on one part of n -> the
+    closed-form (n-1)/n limit of the rank formula."""
+    from cs744_big_data_system_spark.workloads import pipeline_ext as pe
+
+    def run(rows):
+        li = spark.createDataFrame(
+            rows, ["l_partkey", "l_extendedprice", "l_discount"]
+        )
+        orig = pe.load_table
+        try:
+            pe.load_table = lambda s, d, t: li
+            return pe.q_revenue_gini(spark, "unused").collect()[0]
+        finally:
+            pe.load_table = orig
+
+    equal = run([(p, 100.0, 0.0) for p in range(1, 11)])
+    assert equal.gini == 0.0
+    # one part holds everything except epsilon crumbs
+    conc = run([(1, 1_000_000.0, 0.0)] + [(p, 0.01, 0.0) for p in range(2, 11)])
+    n = 10
+    assert abs(conc.gini - (n - 1) / n) < 0.01, conc

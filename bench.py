@@ -128,6 +128,7 @@ HEADLINE = [
     "attribution_ushaped",
     "seasonality_dow",
     "revenue_gini",
+    "forecast_backtest",
 ]
 
 

@@ -1065,6 +1065,77 @@ FROM ranked
 """
 
 
+# --- Forecast backtest: naive vs seasonal-naive sMAPE ---
+def q_forecast_backtest(spark, sf_dir):
+    """Backtest the two standard no-model forecasters on each daily
+    metric: naive (yesterday's value) and seasonal-naive (same weekday
+    last week), scored by sMAPE — the baseline every real forecasting
+    model must beat, and the honest way to report it (sMAPE is
+    symmetric and scale-free).
+
+    Scale shape: events collapse to the bounded (type, day) series;
+    both forecasts are lag windows (1 and 7) per type, and the score
+    is one aggregation — no model state anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    with_fc = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.lag("x", 1).over(w).alias("fc_naive"),
+        F.lag("x", 7).over(w).alias("fc_snaive"),
+    )
+
+    def smape(fc):
+        return F.round(
+            F.avg(
+                F.when(
+                    fc.isNotNull(),
+                    2.0 * F.abs(F.col("x") - fc) / (F.abs(F.col("x")) + F.abs(fc)),
+                )
+            ),
+            6,
+        )
+
+    return (
+        with_fc.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("fc_naive").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_scored"),
+            smape(F.col("fc_naive")).alias("smape_naive"),
+            smape(F.col("fc_snaive")).alias("smape_seasonal_naive"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_FORECAST_BACKTEST = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+), with_fc AS (
+  SELECT event_type, day, x,
+         lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS fc_naive,
+         lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS fc_snaive
+  FROM daily
+)
+SELECT event_type,
+       CAST(sum(CASE WHEN fc_naive IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+       round(avg(CASE WHEN fc_naive IS NOT NULL
+                 THEN 2.0 * abs(x - fc_naive) / (abs(x) + abs(fc_naive)) END), 6) AS smape_naive,
+       round(avg(CASE WHEN fc_snaive IS NOT NULL
+                 THEN 2.0 * abs(x - fc_snaive) / (abs(x) + abs(fc_snaive)) END), 6) AS smape_seasonal_naive
+FROM with_fc
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 WORKLOADS = {
     "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
     "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
@@ -1080,4 +1151,5 @@ WORKLOADS = {
     "attribution_ushaped": (q_attribution_ushaped, SQL_ATTRIBUTION_USHAPED),
     "seasonality_dow": (q_seasonality_dow, SQL_SEASONALITY_DOW),
     "revenue_gini": (q_revenue_gini, SQL_REVENUE_GINI),
+    "forecast_backtest": (q_forecast_backtest, SQL_FORECAST_BACKTEST),
 }

@@ -527,3 +527,41 @@ def test_gini_equal_and_concentrated(spark):
     conc = run([(1, 1_000_000.0, 0.0)] + [(p, 0.01, 0.0) for p in range(2, 11)])
     n = 10
     assert abs(conc.gini - (n - 1) / n) < 0.01, conc
+
+
+def test_forecast_backtest_perfect_and_alternating(spark):
+    """Constant series: both forecasters score sMAPE 0. Period-2
+    alternating series: naive is maximally wrong every day while
+    seasonal-naive (lag 7, odd period... lag 7 hits the OTHER phase)
+    — verified against hand-computed sMAPE."""
+    import datetime as dt
+
+    from cs744_big_data_system_spark.workloads import pipeline_ext as pe
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # 'flat': one event per day; 'alt': 1 event on even days, 3 on odd
+    for d in range(21):
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(days=d), 1, "flat", 1.0, "{}"))
+        for k in range(1 if d % 2 == 0 else 3):
+            eid += 1
+            rows.append(
+                (eid, t0 + dt.timedelta(days=d, hours=1 + k), 2, "alt", 1.0, "{}")
+            )
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    orig = pe.load_table
+    try:
+        pe.load_table = lambda s, d, t: events
+        out = {r.event_type: r for r in pe.q_forecast_backtest(spark, "unused").collect()}
+    finally:
+        pe.load_table = orig
+    assert out["flat"].smape_naive == 0.0
+    assert out["flat"].smape_seasonal_naive == 0.0
+    # alternating 1,3: |1-3| * 2 / (1+3) = 1.0 every scored day for naive;
+    # lag 7 also lands on the opposite phase (odd lag) -> 1.0 as well
+    assert out["alt"].smape_naive == 1.0
+    assert out["alt"].smape_seasonal_naive == 1.0
+    assert out["alt"].n_scored == 20

@@ -572,3 +572,48 @@ def test_survival_km_matches_bruteforce(spark, users):
     assert [(g[0], g[1], g[2]) for g in got] == [(w[0], w[1], w[2]) for w in want]
     for g, w in zip(got, want):
         assert abs(g[3] - w[3]) < 1e-5, (g, w)
+
+
+@given(
+    offsets=st.lists(
+        st.integers(min_value=0, max_value=7200),  # seconds; forces minute ties
+        min_size=1,
+        max_size=18,
+    ),
+)
+@settings(**_SETTINGS)
+def test_peak_concurrency_two_level_equals_flat_sweep(spark, offsets):
+    """The bucketed two-level sweep must equal the flat event-level
+    sweep on arbitrary inputs — co-timed starts/ends, endpoints landing
+    exactly on minute boundaries, and TTL intervals spanning buckets."""
+    from cs744_big_data_system_spark.workloads import pipeline_ext as pe
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=off), 1, "click", 0.0, "{}")
+        for i, off in enumerate(offsets)
+    ]
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    orig = pe.load_table
+    try:
+        pe.load_table = lambda s, d, t: events
+        got = {
+            r.day: r.peak_concurrency
+            for r in pe.q_peak_concurrency(spark, "unused").collect()
+        }
+    finally:
+        pe.load_table = orig
+
+    ttl = pe._CONC_TTL_S
+    endpoints = sorted(
+        [(off, 1, i) for i, off in enumerate(offsets)]
+        + [(off + ttl, -1, i) for i, off in enumerate(offsets)]
+    )
+    cur, peak = 0, 0
+    for _, d, _i in endpoints:
+        cur += d
+        peak = max(peak, cur)
+    # all events fall on 2024-01-01 (offsets < 2h + 5min TTL)
+    assert got["2024-01-01"] == peak, (got, endpoints)

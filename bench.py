@@ -175,14 +175,37 @@ def main() -> None:
         per_query[name] = round(time_query(fn, spark, sf_dir), 4)
 
     total = round(sum(per_query.values()), 4)
+    # The driver captures only the LAST ~2000 chars of stdout and parses
+    # the final JSON line (BENCH_r03's `parsed: null` was a 91-query line
+    # overflowing that window). So: full per-query detail goes to a side
+    # file AND an early stdout line; the FINAL line is a compact summary
+    # guaranteed to fit — metric/value/sf plus only the slowest queries.
+    detail = {
+        "metric": "headline_suite_mean_sec_per_query_sum",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"BENCH_DETAIL_sf{sf}.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail))
+    slowest = dict(
+        sorted(per_query.items(), key=lambda kv: kv[1], reverse=True)[:12]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_suite_mean_sec_per_query_sum",
                 "value": total,
                 "unit": "sec",
-                "queries": per_query,
                 "sf": sf,
+                "n_queries": len(per_query),
+                "queries": slowest,
+                "detail_file": os.path.basename(detail_path),
             }
         )
     )

@@ -51,87 +51,86 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # these earn their first driver-attested row in a later window.
     reg.update(pipeline_ext.WORKLOADS)
 
-    # NEXT ROTATION (round 4): after CORRECTNESS_r03 lands, move into
-    # the window (oracle-backed, selfcheck-green, never attested):
-    # the overflow of never_attested_rest below slot 50, plus this
-    # round's additions — dq_checks, compaction_plan,
-    # attribution_last_touch, attribution_linear, peak_concurrency,
-    # session_path_topk, rolling_corr, item_cf_topk, survival_km,
-    # ab_test_zstat, changepoint_ph, ml_naive_bayes, feature_hash_bow,
-    # stream_attribution_replay, graph_hits, graph_modularity,
-    # kmv_jaccard, udf_grouped_arrow (rows-only ml_als_fit stays in
-    # the tail).
-    # Slots 1-37: oracle-backed, never driver-attested (selfcheck-green).
+    # ROUND-4 ROTATION: r01–r03 attested 150 distinct entries; the 68
+    # never-attested remain. The 54 oracle-backed ones go first (the
+    # driver's 50-slot window retires all but the last 4 this round),
+    # headlined by the reference's flagship kernel (pagerank_events),
+    # the six TPC-H closers, the txlog/lakehouse pair, and the udf_*
+    # API surface — exactly VERDICT r03's top-next list. The 14
+    # rows-only entries (weaker rows-only check) queue behind for r05.
+    # Slots 1-50 (+4 overflow): oracle-backed, never driver-attested,
+    # all selfcheck-green at sf0.01.
     never_attested_oracle = [
-        "tpch_q4",
-        "tpch_q6",
-        "tpch_q7",
-        "tpch_q8",
-        "tpch_q9",
-        "tpch_q10",
-        "tpch_q13",
-        "tpch_q14",
-        "tpch_q15",
-        "tpch_q17",
-        "tpch_q19",
-        "tpch_q22",
-        "topk_per_group_salted",
-        "timeseries_gapfill",
-        "zorder_layout",
-        "incremental_agg_merge",
-        "skew_diagnostics",
-        "window_dist",
-        "table_profile",
-        "join_null_safe",
-        "fk_orphans",
-        "basket_affinity",
-        "fuzzy_match",
-        "quantile_bins",
-        "feature_scale",
-        "latest_by_key",
-        "cumulative_reach",
-        "funnel_latency",
-        "event_transitions",
-        "pareto_abc",
-        "weighted_sample",
-        "histogram_width",
-        "embedding_norms",
-        "jsonl_roundtrip_sort",
-        "orc_roundtrip_sort",
-        "partitioned_prune_agg",
-        "salted_join_agg",
-    ]
-    # Slots 38-40: the LSH scale paths, oracle-upgraded this round so
-    # they hash-match rather than record the weaker rows-only check.
-    # Slots 41-50: this session's NEW oracle-backed operators — every
-    # window slot now earns a hash-verified green row (rows-only
-    # entries yield only a row-count check, so they queue BEHIND any
-    # oracle-backed never-attested entry; the BPE/ML/pagerank
-    # rows-only family follows in the tail for a later round).
-    never_attested_rest = [
-        "dedup_minhash_lsh",
-        "dedup_embedding_cosine_lsh",
-        "sim_cosine_topk_lsh",
-        "dedup_substring",
-        "sim_cosine_topk_pq",
-        "ngram_topk",
-        "cms_heavy_hitters",
-        "kmv_distinct",
-        "stream_cms_replay",
-        "graph_sssp",
-        "graph_label_propagation",
-        "anomaly_zscore",
-        "ml_tree_split",
-        # below the 50-entry window line: queued for the next rotation
+        "pagerank_events",
+        "tpch_q2",
+        "tpch_q11",
+        "tpch_q12",
+        "tpch_q16",
+        "tpch_q20",
+        "tpch_q21",
+        "txlog_time_travel",
+        "stream_txlog_ingest",
+        "udf_grouped_ols",
+        "udf_grouped_arrow",
+        "udf_cogroup_asof",
+        "sql_udf_funcs",
+        "graph_hits",
+        "graph_modularity",
+        "graph_kcore",
+        "graph_bfs_sql",
+        "ml_naive_bayes",
+        "ml_kmeans_relational",
+        "ml_linear_gd",
+        "ml_logreg_gd",
+        "kmv_jaccard",
+        "table_diff",
+        "variant_extract",
+        "lateral_topn",
+        "try_funcs",
+        "events_ewma",
+        "robust_stats",
+        "corr_matrix",
+        "jsonl_sink_roundtrip",
+        "dq_checks",
+        "compaction_plan",
+        "attribution_last_touch",
+        "attribution_linear",
+        "attribution_ushaped",
+        "peak_concurrency",
+        "session_path_topk",
+        "rolling_corr",
+        "item_cf_topk",
+        "survival_km",
+        "ab_test_zstat",
+        "changepoint_ph",
+        "seasonality_dow",
+        "revenue_gini",
+        "forecast_backtest",
         "sample_per_group",
+        "chunk_documents",
+        "synthdocs_profile",
+        "feature_hash_bow",
+        "text_unicode_clean",
+        # slots 51-54: oracle-backed overflow — r05's first entries
+        "stream_full_outer_join_replay",
+        "synthdocs_stream_profile",
+        "stream_window_topk",
+        "stream_attribution_replay",
+    ]
+    # Rows-only never-attested (row-count check only): behind every
+    # oracle-backed never-attested entry, retired in r05's window.
+    never_attested_rest = [
         "text_bpe_merges",
         "text_bpe_tokenize",
-        "pagerank_events",
-        "graph_kcore",
+        "text_compression_ratio",
         "ml_kmeans_fit",
         "ml_mlp_fit",
+        "ml_cnn_fit",
         "ml_linear_fit",
+        "ml_logreg_fit",
+        "ml_als_fit",
         "multimodal_features",
+        "multimodal_resize",
         "hll_rollup",
         "pagerank_synthetic",
         "pagerank_synthetic_broadcast",

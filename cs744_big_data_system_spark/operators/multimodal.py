@@ -1,10 +1,13 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode step is STUBBED (no image/audio libraries in this
-container) behind a deterministic fake — the Spark-side plumbing is
-real and tested: schema contracts, Arrow batch shapes, partition-local
-processing, and the UDF signatures a real decoder would drop into.
+Real stdlib(+numpy) decoders cover PPM/PGM, 24-bit BMP, 8-bit PNG
+(all five scanline filters, zlib DEFLATE), baseline JPEG (Huffman +
+IDCT + chroma upsample), and PCM WAV. Formats that genuinely need
+codec libraries (progressive JPEG, MP3, H.264 video) fall back to a
+deterministic stub — the Spark-side plumbing is identical either way:
+schema contracts, Arrow batch shapes, partition-local processing, and
+the UDF signatures a native decoder would drop into.
 
 Reference anchor: the closest thing in the reference is the CIFAR-10
 binary dataset source + per-sample transform pipeline
@@ -93,7 +96,9 @@ def assets_from_documents(documents: DataFrame) -> DataFrame:
 
 def _decode_stub(payload: bytes, modality: str) -> list[float]:
     """Deterministic fake 'decode + feature-extract' for payloads in
-    formats the container can't parse (JPEG/MP3/H.264 — no codec libs).
+    formats the container can't parse (progressive JPEG / MP3 / H.264
+    — these need real codec libs; baseline JPEG, PNG, PPM/PGM, BMP and
+    PCM WAV all decode for real in decode_media).
 
     A real deployment replaces this with PIL/torchaudio/ffmpeg frame
     sampling; everything around it (Arrow batching, schema, partition
@@ -263,6 +268,238 @@ def _decode_bmp(data: bytes):
     return w, h, rows[:, :, ::-1].astype(np.float64) / 255.0  # BGR → RGB
 
 
+def _jpeg_zigzag() -> list[int]:
+    """The JPEG zigzag scan as natural (row*8+col) indices, derived
+    rather than transcribed: diagonal d runs bottom-left→top-right for
+    even d and top-right→bottom-left for odd d (ITU T.81 Figure 5)."""
+    out = []
+    for d in range(15):
+        rs = range(max(0, d - 7), min(d, 7) + 1)
+        for r in rs if d % 2 == 1 else reversed(list(rs)):
+            out.append(r * 8 + (d - r))
+    return out
+
+
+class _JpegMarker(Exception):
+    """Raised by the bit reader when entropy data hits a marker."""
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    unstuffing; restart markers surface via sync_restart()."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.acc, self.n = data, pos, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise _JpegMarker(nxt)
+            self.acc, self.n = b, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, t: int) -> int:
+        v = 0
+        for _ in range(t):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.n = 0
+        if not (
+            self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("missing restart marker")
+        self.pos += 2
+
+
+def _jpeg_huff_decode(r: _JpegBits, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _decode_jpeg(data: bytes):
+    """Parse baseline sequential JPEG (SOF0, 8-bit, Huffman, 1 or 3
+    components, sampling factors ≤ 2, optional restart intervals) with
+    ONLY the stdlib + numpy: marker parse → Huffman entropy decode →
+    dequantize → 8x8 IDCT (one numpy matrix product per block) →
+    chroma upsample → YCbCr→RGB. Returns (width, height, pixels
+    [h, w, c] in 0..1) or None if not parseable baseline JPEG.
+
+    The Huffman loop is per-bit Python — fine for fixture-sized
+    images; production swaps in a native decoder behind the identical
+    (w, h, px) contract (same note as the PNG filter loops).
+    Progressive (SOF2) / arithmetic / 12-bit JPEGs return None."""
+    import numpy as np
+
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    try:
+        qt: dict[int, "np.ndarray"] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        frame = None  # (h, w, comps) with comps = [(cid, hs, vs, tq)]
+        restart = 0
+        pos = 2
+        zz = _jpeg_zigzag()
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                return None
+            marker = data[pos + 1]
+            if marker == 0xD9:  # EOI before SOS
+                return None
+            ln = int.from_bytes(data[pos + 2 : pos + 4], "big")
+            seg = data[pos + 4 : pos + 2 + ln]
+            if marker == 0xDB:  # DQT (possibly several tables)
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 0xF
+                    if pq != 0:
+                        return None  # 16-bit tables: not baseline
+                    tbl = np.zeros(64)
+                    for k in range(64):
+                        tbl[zz[k]] = seg[i + 1 + k]
+                    qt[tq] = tbl.reshape(8, 8)
+                    i += 65
+            elif marker == 0xC4:  # DHT (possibly several tables)
+                i = 0
+                while i < len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 0xF
+                    counts = seg[i + 1 : i + 17]
+                    syms = seg[i + 17 : i + 17 + sum(counts)]
+                    tbl, code, si = {}, 0, 0
+                    for length in range(1, 17):
+                        for _ in range(counts[length - 1]):
+                            tbl[(length, code)] = syms[si]
+                            code += 1
+                            si += 1
+                        code <<= 1
+                    huff[(tc, th)] = tbl
+                    i += 17 + sum(counts)
+            elif marker == 0xC0:  # SOF0 baseline
+                if seg[0] != 8:
+                    return None
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                nc = seg[5]
+                if nc not in (1, 3):
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                    comps.append((cid, hv >> 4, hv & 0xF, tq))
+                frame = (h, w, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline frame types
+            elif marker == 0xDD:  # DRI
+                restart = int.from_bytes(seg[0:2], "big")
+            elif marker == 0xDA:  # SOS — entropy data follows
+                if frame is None:
+                    return None
+                ns = seg[0]
+                sel = {}
+                for c in range(ns):
+                    sel[seg[1 + 2 * c]] = (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF)
+                return _jpeg_scan(
+                    np, data, pos + 2 + ln, frame, sel, qt, huff, restart, zz
+                )
+            pos += 2 + ln
+        return None
+    except (IndexError, KeyError, ValueError, _JpegMarker):
+        return None
+
+
+def _jpeg_scan(np, data, pos, frame, sel, qt, huff, restart, zz):
+    """Entropy-decode every MCU of a baseline scan and reconstruct."""
+    h, w, comps = frame
+    maxh = max(c[1] for c in comps)
+    maxv = max(c[2] for c in comps)
+    if not (1 <= maxh <= 2 and 1 <= maxv <= 2):
+        return None
+    mcux = (w + 8 * maxh - 1) // (8 * maxh)
+    mcuy = (h + 8 * maxv - 1) // (8 * maxv)
+    # IDCT basis: f = Aᵀ F A with A[u, x] = c(u)/2 · cos((2x+1)uπ/16)
+    u = np.arange(8)
+    A = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2
+    A[0, :] *= 1 / np.sqrt(2)
+    planes = {
+        cid: np.zeros((mcuy * vs * 8, mcux * hs * 8))
+        for cid, hs, vs, _ in comps
+    }
+    reader = _JpegBits(data, pos)
+    pred = dict.fromkeys(planes, 0)
+    for m in range(mcux * mcuy):
+        if restart and m and m % restart == 0:
+            reader.sync_restart()
+            pred = dict.fromkeys(planes, 0)
+        my, mx = divmod(m, mcux)
+        for cid, hs, vs, tq in comps:
+            dc_tbl = huff[(0, sel[cid][0])]
+            ac_tbl = huff[(1, sel[cid][1])]
+            for by in range(vs):
+                for bx in range(hs):
+                    coef = np.zeros(64)
+                    t = _jpeg_huff_decode(reader, dc_tbl)
+                    pred[cid] += _jpeg_extend(reader.bits(t), t)
+                    coef[0] = pred[cid]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_huff_decode(reader, ac_tbl)
+                        run, size = rs >> 4, rs & 0xF
+                        if size == 0:
+                            if run == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC overflow")
+                        coef[zz[k]] = _jpeg_extend(reader.bits(size), size)
+                        k += 1
+                    block = A.T @ (coef.reshape(8, 8) * qt[tq]) @ A + 128
+                    y0 = (my * vs + by) * 8
+                    x0 = (mx * hs + bx) * 8
+                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+    out = []
+    for cid, hs, vs, _ in comps:
+        p = planes[cid]
+        if hs < maxh:
+            p = np.repeat(p, maxh // hs, axis=1)
+        if vs < maxv:
+            p = np.repeat(p, maxv // vs, axis=0)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        px = out[0][:, :, None]
+    else:
+        y, cb, cr = out
+        px = np.stack(
+            [
+                y + 1.402 * (cr - 128),
+                y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+                y + 1.772 * (cb - 128),
+            ],
+            axis=2,
+        )
+    return w, h, np.clip(px, 0, 255) / 255.0
+
+
 def _decode_wav(data: bytes):
     """Parse PCM WAV via the stdlib ``wave`` module: (n_channels,
     sample_rate, samples ndarray in [-1, 1]) or None."""
@@ -293,8 +530,9 @@ def _decode_wav(data: bytes):
 def decode_media(payload: bytes, modality: str) -> list[float] | None:
     """REAL stdlib decode → 8 features, or None when the payload isn't
     one of the container-parseable formats (PPM/PGM, 24-bit BMP,
-    8-bit PNG, PCM WAV — none need codec libraries; JPEG/MP3/video
-    fall back to the documented stub in extract_features).
+    8-bit PNG, baseline JPEG, PCM WAV — none need codec libraries;
+    progressive JPEG/MP3/video fall back to the documented stub in
+    extract_features).
 
     Image features: [1, w/4096, h/4096, mean R, mean G, mean B,
     grayscale std, aspect w/h]. Audio features: [2, channels,
@@ -310,6 +548,7 @@ def decode_media(payload: bytes, modality: str) -> list[float] | None:
             _decode_ppm(bytes(payload))
             or _decode_bmp(bytes(payload))
             or _decode_png(bytes(payload))
+            or _decode_jpeg(bytes(payload))
         )
         if img is None:
             return None

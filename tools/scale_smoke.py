@@ -1,0 +1,111 @@
+"""sf0.1 → sf1 scale smoke: time the heaviest headline queries at both
+scales and report the scaling factor — the empirical leg of the 100 TB
+posture (VERDICT r03 next-step #6). A query whose shape is scale-safe
+(banded self-joins, bounded broadcasts, calendar-bounded windows)
+should scale ≲ linearly in rows (10x data → ≤ ~10x time, usually much
+less on local[32] where sf0.1 underutilizes the cores); a super-linear
+outlier means a pair blowup or a single-task stage and fails the run.
+
+Usage:
+    python tools/scale_data.py              # once: builds /tmp/scale_sf1
+    python tools/scale_smoke.py [out_md]    # writes BENCH_SF1.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cs744_big_data_system_spark.session import get_spark
+from cs744_big_data_system_spark.workloads import all_workloads
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/scale_sf1"
+
+#: the heaviest / most scale-exposed queries (r03 bench top + every
+#: family with a documented boundedness claim worth measuring)
+QUERIES = [
+    "dedup_substring",          # positional-shingle self-join
+    "dedup_ngram_jaccard",      # shingle self-join + df-cutoff
+    "dedup_minhash_lsh",        # banded LSH self-join
+    "dedup_embedding_cosine_lsh",
+    "llm_clean_corpus",         # whole-pipeline composition
+    "graph_hits",               # iterative, checkpoint+broadcast max
+    "graph_sssp",               # iterative frontier
+    "graph_modularity",
+    "kmv_jaccard",              # sketch pairs
+    "pagerank_events",          # the reference's flagship kernel
+    "basket_affinity",          # pair self-join on baskets
+    "tpch_q9",                  # multi-join fact query
+    "percentile",               # exact per-group sort
+    "peak_concurrency",         # calendar-bounded global carry
+    "sim_cosine_topk_ivf",      # bucketed ANN
+    "events_funnel",
+]
+
+
+def time_query(fn, spark, sf_dir, reps: int = 2) -> float:
+    times = []
+    df = None
+    for _ in range(reps + 1):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times.append(time.perf_counter() - t0)
+    cached = getattr(df, "cached_links", None)
+    if cached is not None:
+        cached.unpersist()
+    spark.sparkContext._jvm.System.gc()
+    return sum(times[1:]) / len(times[1:])
+
+
+def main() -> None:
+    out_md = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SF1.md"
+    if not os.path.exists(os.path.join(SF1, "lineitem.parquet")):
+        sys.exit("run tools/scale_data.py first")
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = all_workloads()
+    rows = []
+    for name in QUERIES:
+        fn, _ = reg[name]
+        t01 = time_query(fn, spark, SF01)
+        t1 = time_query(fn, spark, SF1)
+        ratio = t1 / t01 if t01 > 0 else float("inf")
+        rows.append((name, round(t01, 3), round(t1, 3), round(ratio, 2)))
+        print(json.dumps({"q": name, "sf0.1": rows[-1][1], "sf1": rows[-1][2], "x": rows[-1][3]}))
+    spark.stop()
+
+    lines = [
+        "# BENCH_SF1 — 10x scale smoke (sf0.1 vs sf1-equivalent)",
+        "",
+        "sf1 data = tools/scale_data.py's 10x key-offset replication of",
+        "the driver's sf0.1 parquet (fixed calendar span, 10x density —",
+        "see that tool's docstring). Same harness as bench.py: noop sink,",
+        "discard-first-rep, mean of 2. local[32], so sf0.1 underutilizes",
+        "cores and sub-10x ratios are expected for shuffle-bound plans;",
+        "anything clearly SUPER-linear (≫10x) would flag a pair blowup or",
+        "single-task stage.",
+        "",
+        "| query | sf0.1 (s) | sf1 (s) | ratio |",
+        "|---|---|---|---|",
+    ]
+    for name, t01, t1, ratio in rows:
+        lines.append(f"| {name} | {t01} | {t1} | {ratio}x |")
+    total01 = round(sum(r[1] for r in rows), 2)
+    total1 = round(sum(r[2] for r in rows), 2)
+    lines += [
+        f"| **total** | **{total01}** | **{total1}** | **{round(total1 / total01, 2)}x** |",
+        "",
+    ]
+    with open(out_md, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out_md}")
+
+
+if __name__ == "__main__":
+    main()

@@ -147,6 +147,17 @@ QUERIES = [
     "table_diff",
     "synthdocs_profile",
     "jsonl_sink_roundtrip",
+    # round-4 session additions: the rewritten normalization/bounded
+    # paths (graph_hits is checkpoint-truncated like BFS but its final
+    # join/crossJoin stage must stay Window-free — recorded for that),
+    # the bounded cogroup demo, and the global-window family whose
+    # SinglePartition exchanges are now plan-asserted
+    "graph_hits",
+    "udf_cogroup_asof",
+    "peak_concurrency",
+    "revenue_gini",
+    "survival_km",
+    "changepoint_ph",
 ]
 
 

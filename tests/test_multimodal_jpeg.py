@@ -247,3 +247,32 @@ def test_decode_media_tags_jpeg_as_real_image_decode():
     assert abs(feats[7] - 1.0) < 1e-9  # aspect ratio w/h
     ref = img.astype(np.float64) / 255.0
     assert abs(feats[3] - ref[:, :, 0].mean()) < 0.02  # mean R
+
+
+def test_jpeg_end_to_end_binaryfile_to_features(spark, tmp_path):
+    """Spark-side leg: a real baseline JPEG written to disk flows
+    binaryFile → ASSET_SCHEMA → extract_features (Arrow-batched
+    mapInPandas) and comes out tagged as a REAL image decode with the
+    right means/aspect — the same end-to-end contract the PPM/BMP/WAV
+    formats already pin."""
+    import hashlib
+
+    from cs744_big_data_system_spark.operators.multimodal import extract_features
+    from cs744_big_data_system_spark.sources.readers import read_binary_assets
+
+    img = np.zeros((16, 32, 3), dtype=np.uint8)
+    img[:, :16, 0] = 255  # left half red
+    img[:, 16:, 2] = 255  # right half blue
+    (tmp_path / "img.jpg").write_bytes(encode_jpeg(img))
+    assets = read_binary_assets(spark, str(tmp_path), glob="*.jpg")
+    feats = extract_features(assets).collect()
+    assert len(feats) == 1
+    aid = int(hashlib.md5(f"file:{tmp_path}/img.jpg".encode()).hexdigest()[:15], 16)
+    f = feats[0]
+    assert f.asset_id == aid and f.modality == "image"
+    v = f.feature
+    assert v[0] == 1.0                      # real-decode tag, not the stub
+    assert abs(v[7] - 2.0) < 1e-6           # aspect 32/16
+    assert abs(v[3] - 0.5) < 0.02           # mean R ~0.5
+    assert abs(v[5] - 0.5) < 0.02           # mean B ~0.5
+    assert v[4] < 0.1                       # mean G ~0 (4:4:4, mild q)

@@ -34,12 +34,18 @@ from cs744_big_data_system_spark.workloads import (
 def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     # ORDERING INVARIANT (keep this rule every round): the driver's
     # correctness harness verifies only the FIRST ~50 registry entries in
-    # order.  Rounds r01+r02 attested 100 distinct entries (see
-    # CORRECTNESS_r01/r02.json); the 51 entries never inside a window go
-    # first this round — oracle-backed ahead of rows-only.  Any NEW query
-    # added mid-round must be APPENDED AFTER the never-attested block (never
-    # inserted before it) until it has a driver-attested green row, so each
-    # round's window retires the oldest unattested prefix.
+    # order.  Rounds r01–r03 attested 150 distinct entries (see
+    # CORRECTNESS_r0*.json); the 68 never-attested go first — oracle-backed
+    # ahead of rows-only.  Any NEW query added mid-round must be APPENDED
+    # AFTER the never-attested block (never inserted before it) until it
+    # has a driver-attested green row, so each round's window retires the
+    # oldest unattested prefix.  NEXT ROTATION (round 5): after
+    # CORRECTNESS_r04 lands, promote the 4 oracle-backed overflow entries
+    # (stream_full_outer_join_replay, synthdocs_stream_profile,
+    # stream_window_topk, stream_attribution_replay) plus the 14
+    # rows-only entries in never_attested_rest to the front; that retires
+    # the whole backlog (18 < 50) and frees the rest of the window for
+    # any round-4/5 additions.
     reg: dict = {}
     reg.update(llm.WORKLOADS)
     reg.update(streaming_graph.WORKLOADS)

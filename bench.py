@@ -193,23 +193,29 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     print(json.dumps(detail))
+    print(summary_line(per_query, total, sf, os.path.basename(detail_path)))
+    spark.stop()
+
+
+def summary_line(
+    per_query: dict[str, float], total: float, sf: float, detail_file: str
+) -> str:
+    """The driver-facing final line: compact enough to always fit the
+    tail-capture window (tests pin < 1900 chars for the full suite)."""
     slowest = dict(
         sorted(per_query.items(), key=lambda kv: kv[1], reverse=True)[:12]
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_mean_sec_per_query_sum",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(per_query),
-                "queries": slowest,
-                "detail_file": os.path.basename(detail_path),
-            }
-        )
+    return json.dumps(
+        {
+            "metric": "headline_suite_mean_sec_per_query_sum",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(per_query),
+            "queries": slowest,
+            "detail_file": detail_file,
+        }
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -497,3 +497,41 @@ def test_peak_concurrency_global_carry_is_minute_bounded(spark):
     # exceeds the event count; at sf0.1 it's already 50× below, and the
     # gap widens with SF since the calendar span is fixed per dataset).
     assert buckets <= n_buckets_max, (buckets, n_buckets_max, n_events)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
+    """At 100 TB the cheapest row is one never shuffled: Catalyst's
+    runtime bloom filter builds a sketch from the filtered dim side and
+    semi-prunes the fact scan BEFORE the join shuffle. Thresholds are
+    size-based (defaults trigger at ≥10 GB application-side scans), so
+    the test lowers them to fixture scale; the capability — not the
+    threshold — is what must keep working."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        spark.range(0, 200_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).write.mode("overwrite").parquet(str(tmp_path / "fact"))
+        spark.range(0, 20_000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("tag")
+        ).write.mode("overwrite").parquet(str(tmp_path / "dim"))
+        fact = spark.read.parquet(str(tmp_path / "fact"))
+        dim = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("tag") == 3)
+        j = fact.join(dim, "k")
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt and "might_contain" in opt, opt
+        # and the filtered join still returns exactly the matching keys
+        assert j.count() == sum(1 for i in range(20_000) if i % 7 == 3)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -193,6 +193,88 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    block_col: str | None = "lang",
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: ordered pairs where doc_inner's shingle set
+    is mostly inside doc_outer's — containment(A→B) = |A∩B| / |A|.
+
+    Jaccard misses subset relationships (a doc quoted whole inside a
+    10x-longer page scores |A|/|B| ≈ 0.1 Jaccard but 1.0 containment),
+    and containment is the standard screen for quote/boilerplate-wrap
+    duplication in training corpora (the measure behind Broder's
+    "containment" resemblance variant). Relationally it is the SAME
+    bounded shingle self-join as ngram_jaccard_pairs — one undirected
+    common-shingle count per pair, then both orientations emitted and
+    filtered — so the scale shape (blocking + ``max_df`` df-cutoff
+    bounding per-key fan-out) is identical; no new shuffle is added
+    beyond the pair-count groupBy.
+    """
+    doc_cols = ["doc_id"] + ([block_col] if block_col else [])
+    sh = (
+        _with_canon_tokens(documents, *doc_cols)
+        .select(
+            *doc_cols,
+            F.explode(
+                F.transform(ngrams_from_tokens("_tk", n), md5_int60)
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        df_keys = ([block_col] if block_col else []) + ["shingle"]
+        w = Window.partitionBy(*df_keys)
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    left = sh.select(
+        F.col("doc_id").alias("doc_lo"),
+        *([F.col(block_col)] if block_col else []),
+        "shingle",
+    )
+    right = sh.select(
+        F.col("doc_id").alias("doc_hi"),
+        *([F.col(block_col).alias(f"{block_col}_b")] if block_col else []),
+        "shingle",
+    )
+    join_cond = [left.shingle == right.shingle, left.doc_lo < right.doc_hi]
+    if block_col:
+        join_cond.append(F.col(block_col) == F.col(f"{block_col}_b"))
+    common = (
+        left.join(right, join_cond)
+        .groupBy("doc_lo", "doc_hi")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    # one undirected count → both ordered orientations, each scored by
+    # ITS inner side's set size
+    directed = common.select(
+        F.col("doc_lo").alias("doc_inner"), F.col("doc_hi").alias("doc_outer"), "n_common"
+    ).unionByName(
+        common.select(
+            F.col("doc_hi").alias("doc_inner"), F.col("doc_lo").alias("doc_outer"), "n_common"
+        )
+    )
+    si = sizes.select(F.col("doc_id").alias("doc_inner"), F.col("n_shingles").alias("n_inner"))
+    return (
+        directed.join(si, "doc_inner")
+        .select(
+            "doc_inner",
+            "doc_outer",
+            F.round(F.col("n_common") / F.col("n_inner"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 #: Mersenne prime 2^31−1: the universal-hash modulus. (a·x + b) mod p
 #: with x,a,b < p keeps every product under 2^62 — no int64 overflow in
 #: Spark AND no INT128 widening surprises in the DuckDB oracle.

@@ -1550,8 +1550,99 @@ ORDER BY doc_id, bucket
 """
 
 
+# --- Asymmetric containment near-dup (quote / boilerplate-wrap screen) ---
+def q_dedup_containment(spark, sf_dir):
+    """Ordered pairs where doc_inner's 3-gram shingle set is ≥10%
+    inside doc_outer's — Broder's containment resemblance, the
+    asymmetric screen Jaccard misses (a doc quoted whole inside a much
+    longer page scores ~|A|/|B| Jaccard but 1.0 containment). Same
+    blocked + df-cut shingle self-join shape as dedup_ngram_jaccard."""
+    from cs744_big_data_system_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=3, threshold=0.1, block_col="lang", max_df=NGRAM_MAX_DF,
+    )
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_SQL_CANON_TOKS} AS tk FROM documents
+), grams AS (
+  SELECT doc_id, lang, unnest({_SQL_NGRAM3}) AS gram FROM toks
+), sh0 AS (
+  SELECT DISTINCT doc_id, lang, {_sql_md5_int60("gram")} AS shingle FROM grams
+), hot AS (
+  SELECT lang, shingle FROM sh0 GROUP BY lang, shingle HAVING count(*) > {NGRAM_MAX_DF}
+), sh AS (
+  SELECT s.* FROM sh0 s
+  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.lang = s.lang AND h.shingle = s.shingle)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), directed AS (
+  SELECT doc_lo AS doc_inner, doc_hi AS doc_outer, n_common FROM common
+  UNION ALL
+  SELECT doc_hi, doc_lo, n_common FROM common
+)
+SELECT doc_inner, doc_outer,
+       round(n_common * 1.0 / s.n, 6) AS containment
+FROM directed d JOIN sizes s ON s.doc_id = d.doc_inner
+WHERE round(n_common * 1.0 / s.n, 6) >= 0.1
+"""
+
+
+# --- Deterministic stratified train/valid/test split ---
+def q_train_test_split(spark, sf_dir):
+    """80/10/10 split assigned by md5(doc_id) — deterministic,
+    reshuffle-free, and stable under corpus growth (a doc's split never
+    changes when other docs arrive — the property random-number splits
+    lack). Reported per (lang, split) with counts and char volume: the
+    stratification audit a training pipeline runs before every export.
+    Pure scan-side projection + one aggregation — no shuffle beyond the
+    ~15-group rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+SQL_TRAIN_TEST_SPLIT = """
+WITH assigned AS (
+  SELECT lang, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS b
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM assigned
+GROUP BY 1, 2
+ORDER BY lang, split
+"""
+
+
 WORKLOADS = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
+    "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
     "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_minhash_sig": (q_minhash_sig, SQL_MINHASH_SIG),
     "dedup_minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),

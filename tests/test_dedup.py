@@ -236,3 +236,68 @@ def test_substring_coverage_planted_span(spark):
         assert abs(got[d].dup_share - 12 / 22) < 1e-6
     assert got[3].dup_tokens == 0 and got[3].dup_share == 0.0
     assert got[3].n_tokens == 22
+
+
+def test_containment_detects_quote_inside_longer_doc(spark):
+    """A short doc quoted whole inside a much longer one: Jaccard is
+    small (|A|/|B|), containment(A→B) is 1.0 — the asymmetric screen.
+    The reverse orientation (B inside A) must score low, and unrelated
+    docs must not pair at all."""
+    from cs744_big_data_system_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog near the old oak door"
+    filler = (
+        "many unrelated filler words describe completely other topics "
+        "including weather mountains rivers cities music painting "
+        "history science galaxies particles molecules gardens recipes "
+        "travel maps bridges tunnels trains airports harbors markets"
+    )
+    rows = [
+        (0, quote, "en", "s0", len(quote)),
+        (1, filler + " " + quote + " " + filler, "en", "s1", 0),
+        (2, "totally disjoint text about parquet scans and shuffle exchanges at scale", "en", "s2", 0),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    cont = {
+        (r.doc_inner, r.doc_outer): r.containment
+        for r in containment_pairs(docs, n=3, threshold=0.5, block_col=None).collect()
+    }
+    assert cont[(0, 1)] == 1.0          # quote fully inside the long doc
+    assert (1, 0) not in cont           # long doc is NOT inside the quote
+    assert not any(2 in k for k in cont)
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.0, block_col=None).collect()
+    }
+    assert jac[(0, 1)] < 0.5            # symmetric measure misses it
+
+
+def test_containment_blocking_and_df_cutoff(spark):
+    """Cross-language pairs never form (blocking) and a boilerplate
+    shingle shared by every doc can't create pairs once max_df cuts it."""
+    from cs744_big_data_system_spark.operators.dedup import containment_pairs
+
+    boiler = "all rights reserved contact us for more"
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, boiler + " " + shared, "en", "s", 0),
+        (1, boiler + " one two three four five six seven", "en", "s", 0),
+        (2, boiler + " " + shared + " extra tail words here", "en", "s", 0),
+        (3, boiler + " " + shared, "fr", "s", 0),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    cont = {
+        (r.doc_inner, r.doc_outer)
+        for r in containment_pairs(
+            docs, n=3, threshold=0.3, block_col="lang", max_df=2
+        ).collect()
+    }
+    # boilerplate shingles hit df=3 within en and are cut: doc 1 (only
+    # boilerplate in common) pairs with nothing; 0 and 2 still pair on
+    # their doc-specific shared shingles; the fr twin of doc 0 never
+    # crosses the lang block.
+    assert (0, 2) in cont
+    assert not any(1 in k or 3 in k for k in cont), cont

@@ -129,6 +129,11 @@ HEADLINE = [
     "seasonality_dow",
     "revenue_gini",
     "forecast_backtest",
+    # round-4 session additions: asymmetric containment near-dup (the
+    # third shingle self-join beside jaccard/substring) + the split
+    # audit scan
+    "dedup_containment",
+    "train_test_split",
 ]
 
 

@@ -316,6 +316,64 @@ def minhash_signatures(documents: DataFrame, n: int = 3, num_hashes: int = 32) -
     )
 
 
+def row_minhash_bands(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash) computed entirely SCAN-SIDE — no
+    shuffle, no aggregation — so it composes with Structured Streaming
+    (stateful ops forbid a pre-aggregation) and any per-row map stage.
+
+    Numerically identical to minhash_signatures + the
+    minhash_lsh_pairs banding: duplicates in the per-row gram array
+    don't affect the min, so skipping the distinct changes nothing;
+    docs with no shingles (empty/short text) are dropped exactly as
+    the explode path drops them. The equivalence is pinned by
+    tests/test_dedup.py::test_row_minhash_bands_equal_grouped_path."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    xs = F.transform(
+        ngrams_from_tokens("_tk", n), lambda g: md5_int60(g) % MINHASH_PRIME
+    )
+    d = (
+        _with_canon_tokens(documents, "doc_id")
+        .select("doc_id", xs.alias("_xs"))
+        .filter(F.size("_xs") > 0)
+    )
+    def _member(a: int, b: int):
+        # factory (not default-arg lambda): higher-order-function arity
+        # is inspected, and default args would read as extra parameters
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_PRIME
+
+    mins = []
+    for i in range(num_hashes):
+        a, b = minhash_params(i)
+        mins.append(F.array_min(F.transform("_xs", _member(a, b))).alias(f"h{i}"))
+    sig = d.select("doc_id", *mins)
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     n: int = 3,

@@ -1742,7 +1742,115 @@ FROM documents
 # registry, so oracle-backed entries come first and rows-only entries
 # (which get a weaker rows-only check regardless of position) fill the
 # tail — the prefix then hash-verifies every oracle we have.
+# --- TRUE streaming replay: MinHash-LSH near-dup detection ON INGEST ---
+def q_stream_minhash_dedup_replay(spark, sf_dir):
+    """Near-dup screening at ingest time: each micro-batch computes its
+    docs' MinHash band keys SCAN-SIDE (operators/dedup.row_minhash_bands
+    — stateful streaming forbids a pre-aggregation, so the signature
+    must be a per-row expression) and folds them into a streaming
+    (band_idx, band_hash) → min(doc_id) state. State size is bucket
+    cardinality (~docs × bands, near-uniform) — the same key space the
+    batch LSH self-join shuffles on, maintained incrementally instead.
+    A doc is a near-dup candidate iff any of its buckets was first
+    claimed by a smaller doc_id (order-independent: min is the same
+    whatever the micro-batch arrival order). Batch-side the streamed
+    bucket table joins back to the corpus for the per-lang audit; the
+    md5 hash family is deterministic, so the whole streaming path
+    hash-checks against the batch SQL mirror."""
+    from cs744_big_data_system_spark.operators.dedup import row_minhash_bands
+
+    buckets = replay_to_batch(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        lambda s: row_minhash_bands(s, n=3, num_hashes=32, bands=8)
+        .groupBy("band_idx", "band_hash")
+        .agg(F.min("doc_id").alias("first_doc")),
+        output_mode="complete",
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    bands = row_minhash_bands(docs, n=3, num_hashes=32, bands=8)
+    flags = (
+        bands.join(buckets, ["band_idx", "band_hash"])
+        .groupBy("doc_id")
+        .agg(
+            (F.min("first_doc") < F.col("doc_id")).cast("int").alias("is_dup")
+        )
+    )
+    return (
+        docs.join(flags, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_dup").cast("bigint").alias("n_dups"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_stream_minhash_dedup(num_hashes: int = 32, bands: int = 8) -> str:
+    """DuckDB mirror: same 32-member universal-hash minima and md5 band
+    keys as operators/dedup (deferred import — same pattern as
+    _sql_stream_cms)."""
+    from cs744_big_data_system_spark.operators.dedup import (
+        MINHASH_PRIME,
+        minhash_params,
+    )
+    from cs744_big_data_system_spark.workloads.llm import (
+        _SQL_CANON_TOKS,
+        _SQL_NGRAM3,
+        _sql_md5_int60,
+    )
+
+    rpb = num_hashes // bands
+    members = ",\n       ".join(
+        f"min(({minhash_params(i)[0]} * x + {minhash_params(i)[1]}) % {MINHASH_PRIME}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(concat_ws(',', "
+        + ", ".join(f"CAST(h{b * rpb + r} AS VARCHAR)" for r in range(rpb))
+        + ")) AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_CANON_TOKS} AS tk FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest({_SQL_NGRAM3}) AS shingle FROM toks
+), hashed AS (
+  SELECT doc_id, {_sql_md5_int60("shingle")} % {MINHASH_PRIME} AS x FROM sh
+), sig AS (
+  SELECT doc_id,
+       {members}
+  FROM hashed GROUP BY doc_id
+), bands AS (
+  {band_selects}
+), buckets AS (
+  SELECT band_idx, band_hash, min(doc_id) AS first_doc FROM bands GROUP BY 1, 2
+), flags AS (
+  SELECT b.doc_id,
+         CAST(min(u.first_doc) < b.doc_id AS INT) AS is_dup
+  FROM bands b
+  JOIN buckets u ON u.band_idx = b.band_idx AND u.band_hash = b.band_hash
+  GROUP BY b.doc_id
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(f.is_dup) AS BIGINT) AS n_dups
+FROM documents d JOIN flags f ON f.doc_id = d.doc_id
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
+_SQL_STREAM_MINHASH_DEDUP = _sql_stream_minhash_dedup()
+
+
 WORKLOADS = {
+    "stream_minhash_dedup_replay": (
+        q_stream_minhash_dedup_replay,
+        _SQL_STREAM_MINHASH_DEDUP,
+    ),
     "window_tumbling": (q_window_tumbling, SQL_WINDOW_TUMBLING),
     "window_sliding": (q_window_sliding, SQL_WINDOW_SLIDING),
     "stream_tumbling_replay": (q_stream_tumbling_replay, SQL_WINDOW_TUMBLING),

@@ -301,3 +301,34 @@ def test_containment_blocking_and_df_cutoff(spark):
     # crosses the lang block.
     assert (0, 2) in cont
     assert not any(1 in k or 3 in k for k in cont), cont
+
+
+def test_row_minhash_bands_equal_grouped_path(spark, docs):
+    """The scan-side per-row band computation (streaming-safe: no
+    shuffle) must equal the explode→groupBy signature path band for
+    band — duplicates in the gram array can't move a min, and docs
+    without shingles drop out of both."""
+    from cs744_big_data_system_spark.operators.dedup import (
+        minhash_signatures,
+        row_minhash_bands,
+    )
+    from pyspark.sql import functions as F
+
+    sig = minhash_signatures(docs, n=3, num_hashes=16)
+    rpb = 16 // 4
+    grouped = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws(",", *[
+                    F.element_at("sig", b * rpb + r + 1).cast("string")
+                    for r in range(rpb)
+                ])).alias("band_hash"),
+            )
+            for b in range(4)
+        ])).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    a = {tuple(r) for r in grouped.collect()}
+    b = {tuple(r) for r in row_minhash_bands(docs, n=3, num_hashes=16, bands=4).collect()}
+    assert a == b and len(a) > 0

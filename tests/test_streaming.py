@@ -202,3 +202,51 @@ def test_stream_attribution_state_carries_across_batches(spark):
     rows = {r.purchase_event_id: (r.touch_event_id, r.touch_type, r.latency_s)
             for r in out.collect()}
     assert rows == {3: (1, "click", 10)}  # user 8's purchase predates any touch
+
+
+def test_stream_minhash_dedup_flags_planted_near_dup(spark, tmp_path):
+    """Dedup on ingest: planted near-dups must come out flagged against
+    the FIRST (smallest doc_id) copy after a real streaming replay —
+    the original is kept, later arrivals are candidates — and an
+    unrelated doc stays clean."""
+    from pyspark.sql import functions as F
+
+    from cs744_big_data_system_spark.operators.dedup import row_minhash_bands
+    from cs744_big_data_system_spark.streaming.windows import replay_to_batch
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "on the warm mat near the old oak door in the quiet house"
+    )
+    rows = [
+        (0, base, "en", "s0", len(base)),
+        (1, base.upper(), "en", "s1", len(base)),   # canonical dup
+        (2, base.replace("quiet house", "noisy barn"), "en", "s2", len(base)),
+        (3, "completely different words about spark engines and columnar scans", "en", "s3", 60),
+    ]
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    buckets = replay_to_batch(
+        spark,
+        path,
+        lambda s: row_minhash_bands(s, n=3, num_hashes=32, bands=8)
+        .groupBy("band_idx", "band_hash")
+        .agg(F.min("doc_id").alias("first_doc")),
+        output_mode="complete",
+    )
+    docs = spark.read.parquet(path)
+    flags = {
+        r.doc_id: r.is_dup
+        for r in row_minhash_bands(docs, n=3, num_hashes=32, bands=8)
+        .join(buckets, ["band_idx", "band_hash"])
+        .groupBy("doc_id")
+        .agg((F.min("first_doc") < F.col("doc_id")).cast("int").alias("is_dup"))
+        .collect()
+    }
+    assert flags[0] == 0        # first copy is kept
+    assert flags[1] == 1        # exact dup (canonicalized) flagged
+    assert flags[2] == 1        # near dup shares ≥1 band with doc 0
+    assert flags[3] == 0        # unrelated doc untouched

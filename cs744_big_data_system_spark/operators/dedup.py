@@ -334,24 +334,53 @@ def row_minhash_bands(
     tests/test_dedup.py::test_row_minhash_bands_equal_grouped_path."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    xs = F.transform(
-        ngrams_from_tokens("_tk", n), lambda g: md5_int60(g) % MINHASH_PRIME
-    )
-    d = (
-        _with_canon_tokens(documents, "doc_id")
-        .select("doc_id", xs.alias("_xs"))
-        .filter(F.size("_xs") > 0)
-    )
-    def _member(a: int, b: int):
-        # factory (not default-arg lambda): higher-order-function arity
-        # is inspected, and default args would read as extra parameters
-        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_PRIME
+    d = _with_canon_tokens(documents, "doc_id").filter(F.size("_tk") >= n)
+    # The per-gram md5 must run per ROW here. Two traps measured at
+    # sf0.1: (1) a Catalyst F.transform lambda is an INTERPRETED
+    # HigherOrderFunction — 7.9s; (2) building the gram array JVM-side
+    # and shipping it to a pandas_udf Arrow-serializes ~3x the corpus
+    # bytes (every word copied into 3 grams) — 7.5s, the transfer
+    # dominating. Shipping the TOKEN array (1x bytes, already
+    # materialized by the canonical tokenizer) and forming grams inside
+    # the Arrow batch gets the whole projection to ~1.5s — on par with
+    # the exploded/codegen'd grouped path — while staying a STATELESS
+    # map, which is what the streaming plan requires. Gram semantics
+    # (' '.join of n consecutive tokens) are pinned to
+    # functions/text.ngrams_from_tokens by the equivalence test.
+    params = [minhash_params(i) for i in range(num_hashes)]
 
-    mins = []
-    for i in range(num_hashes):
-        a, b = minhash_params(i)
-        mins.append(F.array_min(F.transform("_xs", _member(a, b))).alias(f"h{i}"))
-    sig = d.select("doc_id", *mins)
+    @F.pandas_udf("array<long>")
+    def sig_udf(toks):
+        import hashlib  # noqa: PLC0415 — worker-side
+
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        A = np.array([p[0] for p in params], dtype=np.int64)[:, None]
+        B = np.array([p[1] for p in params], dtype=np.int64)[:, None]
+        hexd, prime = _HEX_DIGITS, MINHASH_PRIME
+        out = []
+        for ts in toks:
+            ts = list(ts)
+            m = len(ts) - 2
+            xs = np.fromiter(
+                (
+                    int(
+                        hashlib.md5(" ".join(ts[i : i + 3]).encode()).hexdigest()[:hexd],
+                        16,
+                    )
+                    % prime
+                    for i in range(m)
+                ),
+                dtype=np.int64,
+                count=m,
+            )
+            out.append(((A * xs[None, :] + B) % prime).min(axis=1))
+        return pd.Series(out)
+
+    if n != 3:  # the Arrow kernel inlines n=3 (the engine-wide shingle size)
+        raise NotImplementedError("row_minhash_bands supports n=3 shingles")
+    sig = d.select("doc_id", sig_udf("_tk").alias("_sig"))
     return sig.select(
         "doc_id",
         F.explode(
@@ -362,7 +391,7 @@ def row_minhash_bands(
                         F.concat_ws(
                             ",",
                             *[
-                                F.col(f"h{b * rows_per_band + r}").cast("string")
+                                F.element_at("_sig", b * rows_per_band + r + 1).cast("string")
                                 for r in range(rows_per_band)
                             ],
                         )

@@ -134,6 +134,7 @@ HEADLINE = [
     # audit scan
     "dedup_containment",
     "train_test_split",
+    "stream_minhash_dedup_replay",
 ]
 
 

@@ -45,6 +45,11 @@ QUERIES = [
     "peak_concurrency",         # calendar-bounded global carry
     "sim_cosine_topk_ivf",      # bucketed ANN
     "events_funnel",
+    # round-4 additions: the third shingle self-join and the
+    # streaming dedup-on-ingest path (replay machinery + bounded
+    # bucket state)
+    "dedup_containment",
+    "stream_minhash_dedup_replay",
 ]
 
 

@@ -752,3 +752,75 @@ def substring_dup_coverage(
             ).alias("dup_share"),
         )
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 16,
+    iterations: int = 2,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    the embedding space, then within each cluster drop every vector
+    whose cosine to a LOWER-ID cluster-mate reaches the threshold.
+
+    This is the cluster-bounded alternative to a blocked all-pairs
+    cosine screen (embedding_cosine_neardup): instead of trusting a
+    metadata blocking column, the geometry itself provides the blocks,
+    and near-dups that straddle metadata blocks are still caught as
+    long as they land in the same centroid cell. Returns one removal
+    verdict per pruned vector — (id, cluster, dup_of, cosine) where
+    ``dup_of`` is the best-matching earlier cluster-mate (max cosine,
+    lowest id on ties) — so the caller can either anti-join to dedup
+    or audit the evidence.
+
+    Determinism/oracle: clustering is ml/kmeans_relational (first-k
+    init, 6-dp distance rounding, 9-dp centroid rounding — a pure
+    function of the data), and the prune cosine is rounded to 6 dp, so
+    the whole operator hash-checks against an unrolled-CTE DuckDB
+    oracle like the other iterative kernels.
+
+    Scale shape: the paper runs k ≈ 10⁵ on LAION — k grows with the
+    corpus so per-cluster membership (and hence the within-cluster
+    pair fan-out) stays bounded; the k-means stage is one broadcast of
+    k centroids + a (code, dim) groupBy per iteration, and the prune
+    self-join shuffles on cluster id only. No all-pairs join at any
+    size.
+    """
+    from pyspark.sql import Window
+
+    from cs744_big_data_system_spark.functions.vectors import cosine_similarity
+    from cs744_big_data_system_spark.ml.kmeans_relational import kmeans_relational
+
+    asg = kmeans_relational(
+        embeddings, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
+    )
+    v = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    m = asg.join(v, id_col)
+    earlier = m.select(
+        F.col(id_col).alias("dup_of"), "cluster", F.col("_v").alias("_va")
+    )
+    later = m.select(F.col(id_col), "cluster", F.col("_v").alias("_vb"))
+    scored = (
+        later.join(earlier, "cluster")
+        .filter(F.col("dup_of") < F.col(id_col))
+        .select(
+            id_col,
+            "cluster",
+            "dup_of",
+            F.round(cosine_similarity("_va", "_vb"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("dup_of").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

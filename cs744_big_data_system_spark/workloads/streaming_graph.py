@@ -1475,7 +1475,10 @@ def q_ml_kmeans_relational(spark, sf_dir):
     return kmeans_relational(emb, k=8, iterations=3)
 
 
-def _sql_kmeans_relational(k: int = 8, iterations: int = 3, dim: int = 64) -> str:
+def _sql_kmeans_ctes(k: int = 8, iterations: int = 3, dim: int = 64) -> str:
+    """CTE body (no WITH, no final SELECT) for the unrolled Lloyd loop;
+    ends at ``afinal(vec_id, code)``. Shared by the kmeans oracle and
+    the SemDeDup oracle, which clusters then prunes."""
     dist = (
         f"list_sum(list_transform(range(1, {dim + 1}), i -> "
         "(CAST(v.embedding[i] AS DOUBLE) - c.emb[i]) * (CAST(v.embedding[i] AS DOUBLE) - c.emb[i])))"
@@ -1514,10 +1517,69 @@ def _sql_kmeans_relational(k: int = 8, iterations: int = 3, dim: int = 64) -> st
         parts.append(assign(f"c{i - 1}", f"a{i}"))
         parts.append(update(f"a{i}", f"c{i - 1}", f"c{i}"))
     parts.append(assign(f"c{iterations}", "afinal"))
-    return "WITH " + ",\n".join(parts) + "\nSELECT vec_id, code AS cluster FROM afinal"
+    return ",\n".join(parts)
+
+
+def _sql_kmeans_relational(k: int = 8, iterations: int = 3, dim: int = 64) -> str:
+    return (
+        "WITH "
+        + _sql_kmeans_ctes(k, iterations, dim)
+        + "\nSELECT vec_id, code AS cluster FROM afinal"
+    )
 
 
 SQL_ML_KMEANS_RELATIONAL = _sql_kmeans_relational()
+
+
+# --- SemDeDup: k-means clusters + within-cluster cosine prune ---
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table
+    (operators/dedup.semantic_dedup): 2 deterministic Lloyd iterations
+    partition the space into k=16 cells, then each cell is pruned of
+    vectors whose 6-dp cosine to a lower-id cell-mate is ≥ 0.4 —
+    geometry-derived blocking instead of a metadata block column. The
+    whole pipeline (clustering included) hash-checks against the
+    unrolled-CTE oracle; k grows with the corpus at scale so the
+    within-cell pair fan-out stays bounded."""
+    from cs744_big_data_system_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=16, iterations=2, threshold=0.4)
+
+
+def _sql_dedup_semantic(k: int = 16, iterations: int = 2, threshold: float = 0.4) -> str:
+    cos = (
+        "CASE WHEN (sqrt(list_sum(list_transform(range(1, 65),"
+        " i -> CAST(a.embedding[i] AS DOUBLE) * a.embedding[i])))"
+        " * sqrt(list_sum(list_transform(range(1, 65),"
+        " i -> CAST(b.embedding[i] AS DOUBLE) * b.embedding[i])))) > 0 THEN"
+        " list_sum(list_transform(range(1, 65),"
+        " i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))"
+        " / (sqrt(list_sum(list_transform(range(1, 65),"
+        " i -> CAST(a.embedding[i] AS DOUBLE) * a.embedding[i])))"
+        " * sqrt(list_sum(list_transform(range(1, 65),"
+        " i -> CAST(b.embedding[i] AS DOUBLE) * b.embedding[i])))) END"
+    )
+    return f"""
+WITH {_sql_kmeans_ctes(k, iterations)}, asg AS (
+  SELECT vec_id, code AS cluster FROM afinal
+), scored AS (
+  SELECT y.vec_id, y.cluster, x.vec_id AS dup_of,
+         round({cos}, 6) AS cosine
+  FROM asg y JOIN asg x ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  JOIN embeddings a ON a.vec_id = x.vec_id
+  JOIN embeddings b ON b.vec_id = y.vec_id
+  WHERE round({cos}, 6) >= {threshold}
+)
+SELECT vec_id, cluster, dup_of, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cosine DESC, dup_of ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+SQL_DEDUP_SEMANTIC = _sql_dedup_semantic()
 
 
 # --- Histogram decision-stump split finding — oracle-checked ML ---
@@ -1888,6 +1950,7 @@ WORKLOADS = {
     "ml_tree_split": (q_ml_tree_split, SQL_ML_TREE_SPLIT),
     "ml_naive_bayes": (q_ml_naive_bayes, SQL_ML_NAIVE_BAYES),
     "ml_kmeans_relational": (q_ml_kmeans_relational, SQL_ML_KMEANS_RELATIONAL),
+    "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "ml_linear_gd": (q_ml_linear_gd, SQL_ML_LINEAR_GD),
     "ml_logreg_gd": (q_ml_logreg_gd, SQL_ML_LOGREG_GD),
     "ml_mlp_fit": (q_ml_mlp_fit, None),  # iterative nonlinear training loop

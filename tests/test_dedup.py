@@ -332,3 +332,27 @@ def test_row_minhash_bands_equal_grouped_path(spark, docs):
     a = {tuple(r) for r in grouped.collect()}
     b = {tuple(r) for r in row_minhash_bands(docs, n=3, num_hashes=16, bands=4).collect()}
     assert a == b and len(a) > 0
+
+
+def test_semantic_dedup_prunes_within_cluster_only(spark):
+    """SemDeDup: two well-separated directions in R^4; each holds one
+    planted near-dup (cos ≈ 0.995) and one moderately-similar member
+    (cos ≈ 0.90-0.94). At threshold 0.98 exactly the two planted dups
+    are removed, each attributed to its own cluster's base vector."""
+    from cs744_big_data_system_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),    # cluster-A base (init centroid 0)
+        (1, [0.0, 1.0, 0.0, 0.0], 0),    # cluster-B base (init centroid 1)
+        (2, [0.99, 0.1, 0.0, 0.0], 0),   # near-dup of 0
+        (3, [0.1, 0.99, 0.0, 0.0], 0),   # near-dup of 1
+        (4, [0.9, 0.43, 0.0, 0.0], 0),   # same cell as 0, cos ~0.90
+        (5, [0.0, 0.9, 0.43, 0.0], 0),   # same cell as 1, cos ~0.90
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r.vec_id: r for r in
+           semantic_dedup(df, k=2, iterations=2, threshold=0.98).collect()}
+    assert set(out) == {2, 3}
+    assert out[2].dup_of == 0 and out[3].dup_of == 1
+    assert out[2].cluster != out[3].cluster
+    assert out[2].cosine > 0.99 and out[3].cosine > 0.99

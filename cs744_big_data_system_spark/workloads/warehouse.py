@@ -601,8 +601,63 @@ ORDER BY e.g1, e.g2
 """
 
 
+# --- Co-located fact⋈fact join via bucketed-at-rest layout ---
+def q_bucketed_join_agg(spark, sf_dir):
+    """The amortize-the-shuffle layout play: orders and lineitem are
+    written as managed tables bucketed 16 ways on the order key
+    (sources/writers.write_bucketed), then sort-merge-joined with NO
+    Exchange on either side — bucketing pre-pays the dominant cost of
+    every subsequent fact⋈fact join on that key, which at 100 TB is
+    the difference between re-shuffling petabytes per query and never
+    shuffling them again. Zero-exchange plan is pinned by
+    tests/test_plans.py::test_bucketed_join_has_no_shuffle and by the
+    registry-shape test; the ``merge`` hint keeps the demo on the
+    sort-merge path even where the dim side would broadcast. The
+    inline bucketed write makes the entry self-contained (hashed
+    pid+sf-stable table names, overwritten per call)."""
+    import hashlib
+    import os
+
+    from cs744_big_data_system_spark.sources.writers import write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_orders = f"bq_orders_{os.getpid()}_{tag}"
+    t_lineitem = f"bq_lineitem_{os.getpid()}_{tag}"
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"), t_orders, "o_orderkey", 16,
+        sort_col="o_orderkey",
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem"), t_lineitem, "l_orderkey", 16,
+        sort_col="l_orderkey",
+    )
+    o = spark.table(t_orders)
+    li = spark.table(t_lineitem)
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+SQL_BUCKETED_JOIN_AGG = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 WORKLOADS = {
     "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
+    "bucketed_join_agg": (q_bucketed_join_agg, SQL_BUCKETED_JOIN_AGG),
     "kmv_jaccard": (q_kmv_jaccard, SQL_KMV_JACCARD),
     "table_diff": (q_table_diff, SQL_TABLE_DIFF),
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),

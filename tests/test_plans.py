@@ -535,3 +535,19 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_join_agg_registry_query_joins_without_exchange(spark):
+    """The registry entry's plan must put the one and only shuffle at
+    the final groupBy: both join sides read bucketed-at-rest, so the
+    sort-merge join itself needs no Exchange on either input."""
+    from cs744_big_data_system_spark.plans.explain import formatted_plan
+    from cs744_big_data_system_spark.workloads.warehouse import q_bucketed_join_agg
+
+    plan = formatted_plan(q_bucketed_join_agg(spark, SF_SMALL))
+    assert "SortMergeJoin" in plan, plan
+    # the summary tree lists each operator once; exactly one Exchange
+    # (hashpartitioning for the aggregate), none under the join
+    tree = plan.split("\n\n")[0]
+    exchanges = [ln for ln in tree.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 1, plan

@@ -731,3 +731,62 @@ def feature_hash_bow(
         .filter(F.col("weight") != 0)
         .orderBy("doc_id", "bucket")
     )
+
+
+def zipf_fit(documents: DataFrame, topn: int = 200) -> DataFrame:
+    """Zipf power-law fit of the corpus token-frequency distribution:
+    OLS of ln(frequency) on ln(rank) over the top-``topn`` tokens.
+    Natural text follows freq ∝ rank^s with s ≈ −1; a corpus whose
+    fitted slope drifts far from −1 (or whose r² collapses) is the
+    classic symptom of templated/generated text flooding the head of
+    the vocabulary — this is the one-row corpus-health gauge run
+    alongside the per-doc quality filters.
+
+    Returns ONE row: (n_vocab, n_top, slope, intercept, r2), all fit
+    stats rounded to 6 dp so the closed-form sums hash-check against
+    the SQL oracle despite summation-order float noise (~1e-13 on
+    ``topn`` terms).
+
+    Scale shape: the corpus collapses to a vocab-sized table in one
+    map-side-combinable (token) groupBy; the global top-n is
+    orderBy+limit (distributed TakeOrdered — no single-partition
+    window; the only row_number window runs on the ``topn``-row
+    result); the OLS is a single aggregate over ``topn`` rows plus a
+    broadcast of the 1-row vocab count.
+    """
+    from pyspark.sql import Window
+
+    freq = (
+        documents.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    n_vocab = freq.agg(F.count(F.lit(1)).cast("long").alias("n_vocab"))
+    top = freq.orderBy(F.col("f").desc(), F.col("tok").asc()).limit(topn)
+    w = Window.orderBy(F.col("f").desc(), F.col("tok").asc())  # bounded: ≤ topn rows
+    xy = (
+        top.withColumn("r", F.row_number().over(w))
+        .select(F.log("r").alias("x"), F.log("f").alias("y"))
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = num / den_x
+    return (
+        s.crossJoin(F.broadcast(n_vocab))
+        .select(
+            "n_vocab",
+            F.col("n").cast("long").alias("n_top"),
+            F.round(slope, 6).alias("slope"),
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
+            F.round(num * num / (den_x * den_y), 6).alias("r2"),
+        )
+    )

@@ -1210,6 +1210,46 @@ FROM t GROUP BY lang, bucket
 """
 
 
+# --- Zipf power-law fit (one-row corpus-health gauge) ---
+def q_zipf_fit(spark, sf_dir):
+    """ln(freq) ~ ln(rank) OLS over the top-200 tokens
+    (operators/text_analysis.zipf_fit): natural text sits near slope
+    −1; drift flags templated/generated floods at the vocab head. The
+    corpus collapses to a vocab-sized groupBy, top-n is distributed
+    TakeOrdered, the fit is closed-form sums over 200 rows —
+    hash-checked at 6 dp."""
+    from cs744_big_data_system_spark.operators.text_analysis import zipf_fit
+
+    return zipf_fit(load_table(spark, sf_dir, "documents"), topn=200)
+
+
+SQL_ZIPF_FIT = f"""
+WITH tok AS (
+  SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+), freq AS (
+  SELECT tok, count(*) AS f FROM tok GROUP BY tok
+), vocab AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vocab FROM freq
+), top AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, tok ASC) AS r
+  FROM freq ORDER BY f DESC, tok ASC LIMIT 200
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(ln(r)) AS sx, sum(ln(f)) AS sy,
+         sum(ln(r) * ln(r)) AS sxx, sum(ln(f) * ln(f)) AS syy,
+         sum(ln(r) * ln(f)) AS sxy
+  FROM top
+)
+SELECT v.n_vocab, CAST(s.n AS BIGINT) AS n_top,
+       round((s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx), 6) AS slope,
+       round((s.sy - ((s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx)) * s.sx) / s.n, 6)
+         AS intercept,
+       round((s.n * s.sxy - s.sx * s.sy) * (s.n * s.sxy - s.sx * s.sy)
+             / ((s.n * s.sxx - s.sx * s.sx) * (s.n * s.syy - s.sy * s.sy)), 6) AS r2
+FROM s, vocab v
+"""
+
+
 # --- Domain mixture weights (rebalance to a uniform source mix) ---
 def q_domain_mix(spark, sf_dir):
     from cs744_big_data_system_spark.operators.text_analysis import domain_mix_weights
@@ -1671,6 +1711,7 @@ WORKLOADS = {
     "seq_pack_chunks": (q_seq_pack, SQL_SEQ_PACK),
     "feature_hash_bow": (q_feature_hash, SQL_FEATURE_HASH),
     "token_histogram": (q_token_histogram, SQL_TOKEN_HISTOGRAM),
+    "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "domain_mix_weights": (q_domain_mix, SQL_DOMAIN_MIX),
     "text_bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
     "text_perplexity_filter": (q_perplexity_filter, SQL_PERPLEXITY_FILTER),

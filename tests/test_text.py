@@ -393,3 +393,24 @@ def test_feature_hash_matches_hashlib(spark):
             want[(doc_id, bucket)] += sign
     want = {k: v for k, v in want.items() if v != 0}
     assert got == want
+
+
+def test_zipf_fit_recovers_planted_power_law(spark):
+    """Corpus with exact freq = 1000/rank head tokens must fit slope
+    ≈ −1 with near-perfect r²; vocab count covers ALL tokens while the
+    fit uses only the top-n."""
+    from cs744_big_data_system_spark.operators.text_analysis import zipf_fit
+
+    words = []
+    for rank, tok in enumerate(["alpha", "beta", "gamma", "delta", "epsilon"], start=1):
+        words += [tok] * (1000 // rank)
+    # tail singletons: in vocab, outside the top-5 fit
+    words += [f"tail{i}" for i in range(50)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i::10])) for i in range(10)], ["doc_id", "text"]
+    )
+    row = zipf_fit(docs, topn=5).collect()[0]
+    assert row.n_vocab == 5 + 50
+    assert row.n_top == 5
+    assert -1.05 < row.slope < -0.95, row
+    assert row.r2 > 0.999, row

@@ -135,6 +135,12 @@ HEADLINE = [
     "dedup_containment",
     "train_test_split",
     "stream_minhash_dedup_replay",
+    # round-4 continuation: SemDeDup (kmeans cells + cosine prune),
+    # the bucketed co-located join (inline bucketed write + zero-
+    # exchange SMJ), and the one-row Zipf corpus gauge
+    "dedup_semantic",
+    "bucketed_join_agg",
+    "zipf_fit",
 ]
 
 

@@ -48,6 +48,31 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table)
 
 
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    shard_col: str,
+    num_shards: int,
+    order_col: str,
+    mode: str = "overwrite",
+) -> None:
+    """Deterministic training-shard layout: one directory per shard
+    value (``partitionBy``), rows clustered so each shard is written by
+    one task (``repartition(num_shards, shard_col)``) and internally
+    sorted on ``order_col`` — the reproducible-shard contract a
+    training dataloader needs (same data → same shard files, same
+    in-file order, no cross-run nondeterminism from task scheduling).
+    At scale the shard column should be a content/id hash so shard
+    sizes stay balanced regardless of ingest order."""
+    (
+        df.repartition(num_shards, F.col(shard_col))
+        .sortWithinPartitions(shard_col, order_col)
+        .write.mode(mode)
+        .partitionBy(shard_col)
+        .parquet(path)
+    )
+
+
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines sink — the interchange format training-data tooling
     speaks. One JSON object per row, one file per partition."""

@@ -1210,6 +1210,56 @@ FROM t GROUP BY lang, bucket
 """
 
 
+# --- Deterministic training-shard export + read-back manifest ---
+def q_shard_export(spark, sf_dir):
+    """The output side of the training pipeline: hash-shard the corpus
+    into 8 deterministic shards (md5 of doc_id, so the layout is a
+    pure function of the data — not of ingest order or task
+    scheduling), write one directory per shard with in-file order
+    pinned (sources/writers.write_sharded), then READ THE FILES BACK
+    and emit a per-shard manifest whose fingerprint is the md5 of the
+    sorted doc-id list. The oracle computes the same manifest from the
+    source table, so a hash match proves the written shards carry
+    exactly the assigned rows — the roundtrip is verified, not
+    assumed."""
+    import os
+    import tempfile
+
+    from cs744_big_data_system_spark.operators.dedup import md5_int60
+    from cs744_big_data_system_spark.sources.writers import write_sharded
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sharded = docs.withColumn(
+        "shard", F.pmod(md5_int60(F.col("doc_id").cast("string")), F.lit(8)).cast("int")
+    )
+    path = os.path.join(tempfile.gettempdir(), f"shard_export_{os.getpid()}")
+    write_sharded(sharded, path, "shard", 8, "doc_id")
+    back = spark.read.parquet(path)
+    ids_sorted = F.array_sort(F.collect_list("doc_id"))
+    return back.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")))
+        .cast("long")
+        .alias("sum_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.md5(
+            F.concat_ws(",", F.transform(ids_sorted, lambda x: x.cast("string")))
+        ).alias("fingerprint"),
+    )
+
+
+SQL_SHARD_EXPORT = f"""
+SELECT CAST({_sql_md5_int60("CAST(doc_id AS VARCHAR)")} % 8 AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS sum_tokens,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS fingerprint
+FROM documents GROUP BY 1
+"""
+
+
 # --- Zipf power-law fit (one-row corpus-health gauge) ---
 def q_zipf_fit(spark, sf_dir):
     """ln(freq) ~ ln(rank) OLS over the top-200 tokens
@@ -1712,6 +1762,7 @@ WORKLOADS = {
     "feature_hash_bow": (q_feature_hash, SQL_FEATURE_HASH),
     "token_histogram": (q_token_histogram, SQL_TOKEN_HISTOGRAM),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
+    "shard_export": (q_shard_export, SQL_SHARD_EXPORT),
     "domain_mix_weights": (q_domain_mix, SQL_DOMAIN_MIX),
     "text_bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
     "text_perplexity_filter": (q_perplexity_filter, SQL_PERPLEXITY_FILTER),

@@ -949,3 +949,33 @@ def test_pushdown_reader_keeps_unsupported_filters():
     assert (r.lo, r.hi) == (10, 50)
     got = sorted(row[0] for p in r.partitions() for row in r.read(p))
     assert got == list(range(10, 50))
+
+
+def test_write_sharded_one_file_per_shard_in_sorted_order(spark, tmp_path):
+    """The reproducible-shard contract: every shard directory holds
+    exactly ONE part file (repartition(num_shards, shard) routes a
+    shard's rows to a single task) and rows inside it are sorted on
+    the order column — same data in, byte-identical layout out."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cs744_big_data_system_spark.sources.writers import write_sharded
+
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("int").alias("shard")
+    )
+    path = str(tmp_path / "shards")
+    write_sharded(df, path, "shard", 4, "k")
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("shard="):
+            continue
+        parts = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+        assert len(parts) == 1, (d, parts)
+        got = [
+            r.k
+            for r in spark.read.parquet(os.path.join(path, d, parts[0]))
+            .coalesce(1)
+            .collect()
+        ]
+        assert got == sorted(got) and len(got) == 50

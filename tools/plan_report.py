@@ -158,6 +158,15 @@ QUERIES = [
     "revenue_gini",
     "survival_km",
     "changepoint_ph",
+    # round-4 continuation: the third shingle self-join, split audit,
+    # SemDeDup prune, zero-exchange bucketed join, Zipf gauge, and the
+    # sharded-export read-back manifest
+    "dedup_containment",
+    "train_test_split",
+    "dedup_semantic",
+    "bucketed_join_agg",
+    "zipf_fit",
+    "shard_export",
 ]
 
 

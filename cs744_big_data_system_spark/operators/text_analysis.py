@@ -790,3 +790,82 @@ def zipf_fit(documents: DataFrame, topn: int = 200) -> DataFrame:
             F.round(num * num / (den_x * den_y), 6).alias("r2"),
         )
     )
+
+
+#: Gopher's stop-word presence list (Rae et al. 2021, §A1.1.2): a doc
+#: must contain ≥2 of these to look like running English prose.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    documents: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The Gopher quality-rule audit (Rae et al. 2021 §A1.1.2, the
+    heuristic filter set MassiveWeb popularized and most open corpora
+    reuse): per-document booleans for each rule plus the conjunction,
+    so the caller can both filter and see WHY a doc failed.
+
+    Every rule reduces to comparisons between integer counts (token
+    counts, character counts, line counts) divided pairwise — both
+    engines divide the same two ints in double precision, so the
+    booleans are bit-deterministic with no rounding escape hatch
+    needed. All signals are per-row column expressions (scan-side,
+    codegen'd, zero shuffle, zero Python).
+    """
+    toks = tokens("text")
+    n_words = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    mean_len = F.when(n_words > 0, sum_len.cast("double") / n_words).otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_ratio = F.when(n_words > 0, alpha_words.cast("double") / n_words).otherwise(F.lit(0.0))
+    hash_cnt = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    ell_cnt = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.when(
+        n_words > 0, (hash_cnt + ell_cnt).cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(F.split("text", "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    ellipsis_lines = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+    bullet_ratio = F.when(n_lines > 0, bullet_lines.cast("double") / n_lines).otherwise(F.lit(0.0))
+    ellipsis_ratio = F.when(
+        n_lines > 0, ellipsis_lines.cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
+    sw = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, lambda t: F.lower(t))),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    r_words = (n_words >= min_words) & (n_words <= max_words)
+    r_mean = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    r_alpha = alpha_ratio >= min_alpha_ratio
+    r_symbol = symbol_ratio <= max_symbol_ratio
+    r_bullet = bullet_ratio <= max_bullet_ratio
+    r_ellipsis = ellipsis_ratio <= max_ellipsis_ratio
+    r_stop = sw >= min_stopwords
+    return documents.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        r_words.alias("r_word_count"),
+        r_mean.alias("r_mean_word_len"),
+        r_alpha.alias("r_alpha_ratio"),
+        r_symbol.alias("r_symbol_ratio"),
+        r_bullet.alias("r_bullet_lines"),
+        r_ellipsis.alias("r_ellipsis_lines"),
+        r_stop.alias("r_stopwords"),
+        (r_words & r_mean & r_alpha & r_symbol & r_bullet & r_ellipsis & r_stop).alias(
+            "gopher_ok"
+        ),
+    )

@@ -1210,6 +1210,66 @@ FROM t GROUP BY lang, bucket
 """
 
 
+# --- Gopher quality-rule audit (Rae et al. 2021 §A1.1.2) ---
+def q_gopher_rules(spark, sf_dir):
+    """Per-document booleans for the seven MassiveWeb/Gopher heuristic
+    rules plus their conjunction (operators/text_analysis.gopher_rules)
+    — word count, mean word length, alpha-word ratio, #/ellipsis
+    symbol ratio, bullet/ellipsis line ratios, stop-word presence.
+    Every rule compares integer-count ratios, so the booleans are
+    bit-deterministic across engines; all signals are scan-side column
+    expressions, zero shuffle."""
+    from cs744_big_data_system_spark.operators.text_analysis import gopher_rules
+
+    return gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+SQL_GOPHER_RULES = f"""
+WITH t AS (
+  SELECT doc_id,
+         {_SQL_TOKS} AS toks,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+         length(text) - length(replace(text, '#', '')) AS hash_cnt,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS ell_cnt
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         list_sum(list_transform(toks, x -> length(x))) AS sum_len,
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+         len(lines) AS n_lines,
+         len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS bullet_lines,
+         len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS ell_lines,
+         hash_cnt, ell_cnt,
+         len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
+             ['the','be','to','of','and','that','have','with'])) AS sw
+  FROM t
+), r AS (
+  SELECT doc_id, n_words,
+         (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+         (CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE) / n_words ELSE 0.0 END >= 3.0
+          AND CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE) / n_words ELSE 0.0 END <= 10.0)
+           AS r_mean_word_len,
+         (CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE) / n_words ELSE 0.0 END >= 0.8)
+           AS r_alpha_ratio,
+         (CASE WHEN n_words > 0 THEN CAST(hash_cnt + ell_cnt AS DOUBLE) / n_words ELSE 0.0 END <= 0.1)
+           AS r_symbol_ratio,
+         (CASE WHEN n_lines > 0 THEN CAST(bullet_lines AS DOUBLE) / n_lines ELSE 0.0 END <= 0.9)
+           AS r_bullet_lines,
+         (CASE WHEN n_lines > 0 THEN CAST(ell_lines AS DOUBLE) / n_lines ELSE 0.0 END <= 0.3)
+           AS r_ellipsis_lines,
+         (sw >= 2) AS r_stopwords
+  FROM c
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       r_word_count, r_mean_word_len, r_alpha_ratio, r_symbol_ratio,
+       r_bullet_lines, r_ellipsis_lines, r_stopwords,
+       (r_word_count AND r_mean_word_len AND r_alpha_ratio AND r_symbol_ratio
+        AND r_bullet_lines AND r_ellipsis_lines AND r_stopwords) AS gopher_ok
+FROM r
+"""
+
+
 # --- Deterministic training-shard export + read-back manifest ---
 def q_shard_export(spark, sf_dir):
     """The output side of the training pipeline: hash-shard the corpus
@@ -1763,6 +1823,7 @@ WORKLOADS = {
     "token_histogram": (q_token_histogram, SQL_TOKEN_HISTOGRAM),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "shard_export": (q_shard_export, SQL_SHARD_EXPORT),
+    "text_gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "domain_mix_weights": (q_domain_mix, SQL_DOMAIN_MIX),
     "text_bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
     "text_perplexity_filter": (q_perplexity_filter, SQL_PERPLEXITY_FILTER),

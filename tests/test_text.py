@@ -414,3 +414,26 @@ def test_zipf_fit_recovers_planted_power_law(spark):
     assert row.n_top == 5
     assert -1.05 < row.slope < -0.95, row
     assert row.r2 > 0.999, row
+
+
+def test_gopher_rules_flag_expected_failures(spark):
+    from cs744_big_data_system_spark.operators.text_analysis import gopher_rules
+
+    good = (
+        "the quick brown foxes have jumped with vigor over that lazy "
+        "dog of summer to be happy and " * 4
+    ).strip()
+    rows = [
+        (0, good),                              # passes every rule
+        (1, "the cat sat"),                     # too short
+        (2, good + " #" * 20),                  # symbol-heavy → alpha + symbol fail
+        (3, "\n".join(["- item the have"] * 15)),  # all-bullet lines
+        (4, " ".join(["zzz"] * 60)),            # no stop words
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert out[0].gopher_ok
+    assert not out[1].r_word_count and not out[1].gopher_ok
+    assert not out[2].r_symbol_ratio and not out[2].r_alpha_ratio
+    assert not out[3].r_bullet_lines
+    assert not out[4].r_stopwords and out[4].r_word_count

@@ -869,3 +869,79 @@ def gopher_rules(
             "gopher_ok"
         ),
     )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    num_buckets: int = 10000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every raw document by how target-like its hashed n-gram
+    distribution is — the importance-resampling selector used to pick
+    pretraining data matching a high-quality target corpus.
+
+    Features are md5-hashed unigram+bigram buckets (``num_buckets``);
+    the target and raw corpora each induce an add-``alpha`` smoothed
+    bucket distribution, and a document's weight is
+    Σ_g [ln p_target(b_g) − ln p_raw(b_g)] over its gram occurrences
+    (counts, not distinct — the paper's bag-of-hashed-ngrams model).
+
+    Returns (doc_id, n_grams, dsir_logratio) for every raw doc;
+    resample ∝ exp(logratio) downstream.
+
+    Scale shape: both distributions are ``num_buckets``-row tables
+    built by one map-side-combinable groupBy each and BROADCAST (their
+    size is corpus-independent); the per-doc score is one more
+    map-side-combinable groupBy over the gram explode. No shuffle ever
+    carries more than (doc, bucket) pairs; nothing collects to the
+    driver. The 6-dp rounding absorbs cross-engine ln()/summation
+    noise (~1e-13) for the oracle hash check.
+    """
+    def doc_buckets(df: DataFrame) -> DataFrame:
+        tk = df.select(
+            "doc_id", tokens(normalized_text("text")).alias("_tk")
+        )
+        from cs744_big_data_system_spark.functions.text import ngrams_from_tokens
+
+        grams = tk.select(
+            "doc_id",
+            F.explode(
+                F.concat(F.col("_tk"), ngrams_from_tokens("_tk", 2))
+            ).alias("gram"),
+        )
+        return grams.select(
+            "doc_id", F.pmod(md5_int60(F.col("gram")), F.lit(num_buckets)).alias("b")
+        )
+
+    raw_b = doc_buckets(raw)
+    tgt_b = doc_buckets(target)
+    raw_dist = raw_b.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
+    tgt_dist = tgt_b.groupBy("b").agg(F.count(F.lit(1)).alias("c_t"))
+    raw_tot = raw_dist.agg(F.sum("c_r").alias("t_r"))
+    tgt_tot = tgt_dist.agg(F.sum("c_t").alias("t_t"))
+    ratio = (
+        raw_dist.join(tgt_dist, "b", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + alpha)
+                    / (F.col("t_t") + alpha * num_buckets)
+                )
+                - F.log((F.col("c_r") + alpha) / (F.col("t_r") + alpha * num_buckets))
+            ).alias("lr"),
+        )
+    )
+    per_doc_b = raw_b.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_doc_b.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_grams"),
+            F.round(F.sum(F.col("n") * F.col("lr")), 6).alias("dsir_logratio"),
+        )
+    )

@@ -1210,6 +1210,49 @@ FROM t GROUP BY lang, bucket
 """
 
 
+# --- DSIR importance weights (Xie et al. 2023) ---
+def q_dsir_weights(spark, sf_dir):
+    """Score every document by how en-like its hashed unigram+bigram
+    distribution is (operators/text_analysis.dsir_weights with the
+    lang='en' slice as the target corpus) — the importance-resampling
+    data selector. Both bucket distributions are 10k-row broadcasts;
+    per-doc scoring is one map-side-combinable groupBy over the gram
+    explode."""
+    from cs744_big_data_system_spark.operators.text_analysis import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(docs, docs.filter(F.col("lang") == "en"), num_buckets=10000)
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH tk_all AS (
+  SELECT doc_id, lang, {_SQL_CANON_TOKS} AS tk FROM documents
+), gr AS (
+  SELECT doc_id, lang, unnest(list_concat(tk, {_sql_ngram(2)})) AS gram FROM tk_all
+), bk AS (
+  SELECT doc_id, lang, {_sql_md5_int60("gram")} % 10000 AS b FROM gr
+), raw_dist AS (
+  SELECT b, count(*) AS c_r FROM bk GROUP BY b
+), tgt_dist AS (
+  SELECT b, count(*) AS c_t FROM bk WHERE lang = 'en' GROUP BY b
+), raw_tot AS (
+  SELECT CAST(sum(c_r) AS DOUBLE) AS t_r FROM raw_dist
+), tgt_tot AS (
+  SELECT CAST(sum(c_t) AS DOUBLE) AS t_t FROM tgt_dist
+), ratio AS (
+  SELECT rd.b,
+         ln((COALESCE(td.c_t, 0) + 1.0) / (tt.t_t + 10000.0))
+         - ln((rd.c_r + 1.0) / (rt.t_r + 10000.0)) AS lr
+  FROM raw_dist rd LEFT JOIN tgt_dist td ON rd.b = td.b, raw_tot rt, tgt_tot tt
+), pdb AS (
+  SELECT doc_id, b, count(*) AS n FROM bk GROUP BY doc_id, b
+)
+SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+       round(sum(n * lr), 6) AS dsir_logratio
+FROM pdb JOIN ratio USING (b) GROUP BY doc_id
+"""
+
+
 # --- Gopher quality-rule audit (Rae et al. 2021 §A1.1.2) ---
 def q_gopher_rules(spark, sf_dir):
     """Per-document booleans for the seven MassiveWeb/Gopher heuristic
@@ -1824,6 +1867,7 @@ WORKLOADS = {
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "shard_export": (q_shard_export, SQL_SHARD_EXPORT),
     "text_gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
+    "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "domain_mix_weights": (q_domain_mix, SQL_DOMAIN_MIX),
     "text_bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
     "text_perplexity_filter": (q_perplexity_filter, SQL_PERPLEXITY_FILTER),

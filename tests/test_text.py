@@ -437,3 +437,25 @@ def test_gopher_rules_flag_expected_failures(spark):
     assert not out[2].r_symbol_ratio and not out[2].r_alpha_ratio
     assert not out[3].r_bullet_lines
     assert not out[4].r_stopwords and out[4].r_word_count
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """Importance weights must rank docs resembling the target corpus
+    above off-target docs; n_grams counts unigrams+bigrams."""
+    from cs744_big_data_system_spark.operators.text_analysis import dsir_weights
+
+    cats = "the cat sat on the mat with the other cat and a kitten"
+    dogs = "a dog barked at the loud truck while another dog ran away fast"
+    raw = spark.createDataFrame(
+        [(0, cats), (1, dogs), (2, cats + " purring softly")],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame(
+        [(100, cats), (101, "cat and kitten nap on the mat")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in dsir_weights(raw, target, num_buckets=256).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0].dsir_logratio > out[1].dsir_logratio
+    assert out[2].dsir_logratio > out[1].dsir_logratio
+    # 13 tokens → 13 unigrams + 12 bigrams
+    assert out[0].n_grams == 25

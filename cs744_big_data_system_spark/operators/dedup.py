@@ -789,14 +789,18 @@ def semantic_dedup(
     self-join shuffles on cluster id only. No all-pairs join at any
     size.
     """
-    from pyspark.sql import Window
-
     from cs744_big_data_system_spark.functions.vectors import cosine_similarity
     from cs744_big_data_system_spark.ml.kmeans_relational import kmeans_relational
 
     asg = kmeans_relational(
         embeddings, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
     )
+    # The assignment feeds BOTH sides of the prune self-join; without a
+    # materialization the final kmeans assign (crossJoin + per-id
+    # window) executes once per consumer. Same executor-side
+    # localCheckpoint pattern as the iterative graph kernels — (id,
+    # cluster) rows only, values unchanged.
+    asg = asg.localCheckpoint(eager=True)
     v = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
@@ -816,11 +820,15 @@ def semantic_dedup(
         )
         .filter(F.col("cosine") >= threshold)
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("cosine").desc(), F.col("dup_of").asc()
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    # best earlier mate = argmax(cosine desc, dup_of asc), expressed as
+    # min-of-struct((−cosine, dup_of)) — identical pick to the oracle's
+    # row_number, but a map-side-combinable aggregate instead of a
+    # window sort over the pair table (cluster is constant per id, so
+    # min() just carries it).
+    best = F.min(F.struct((-F.col("cosine")).alias("nc"), F.col("dup_of").alias("d")))
+    return scored.groupBy(id_col).agg(
+        F.min("cluster").alias("cluster"),
+        best["d"].alias("dup_of"),
+        # +0.0 normalizes IEEE −0.0 (possible only at threshold ≤ 0)
+        (-best["nc"] + F.lit(0.0)).alias("cosine"),
     )

@@ -1535,7 +1535,7 @@ SQL_ML_KMEANS_RELATIONAL = _sql_kmeans_relational()
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over the embeddings table
     (operators/dedup.semantic_dedup): 2 deterministic Lloyd iterations
-    partition the space into k=16 cells, then each cell is pruned of
+    partition the space into k=32 cells, then each cell is pruned of
     vectors whose 6-dp cosine to a lower-id cell-mate is ≥ 0.4 —
     geometry-derived blocking instead of a metadata block column. The
     whole pipeline (clustering included) hash-checks against the
@@ -1544,10 +1544,10 @@ def q_dedup_semantic(spark, sf_dir):
     from cs744_big_data_system_spark.operators.dedup import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, k=16, iterations=2, threshold=0.4)
+    return semantic_dedup(emb, k=32, iterations=2, threshold=0.4)
 
 
-def _sql_dedup_semantic(k: int = 16, iterations: int = 2, threshold: float = 0.4) -> str:
+def _sql_dedup_semantic(k: int = 32, iterations: int = 2, threshold: float = 0.4) -> str:
     cos = (
         "CASE WHEN (sqrt(list_sum(list_transform(range(1, 65),"
         " i -> CAST(a.embedding[i] AS DOUBLE) * a.embedding[i])))"

@@ -424,3 +424,147 @@ def cosine_topk_pq(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def random_projection(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: x ∈ R^dim →
+    y_j = ⟨x, r_j⟩ / √out_dim for ``out_dim`` deterministic md5-derived
+    directions (the same family as the LSH hyperplanes, offset into
+    their own namespace) — the cheap dimensionality cut applied before
+    ANN indexing or pairwise screening when 64-d is still too wide at
+    corpus scale.
+
+    Returns long-format (id, j, proj) rounded to 6 dp so both engines
+    hash-match; the projection matrix is embedded as plan literals
+    (out_dim×dim doubles, corpus-independent) and the whole operator
+    is scan-side expression work — zero shuffle, zero Python.
+    """
+    projs = []
+    for j in range(out_dim):
+        coeffs = F.array(
+            *[F.lit(_plane_coeff(_RP_PLANE_BASE + j, t)) for t in range(dim)]
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), coeffs, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        projs.append(F.round(dot / float(out_dim) ** 0.5, 6))
+    return embeddings.select(
+        F.col(id_col), F.posexplode(F.array(*projs)).alias("j", "proj")
+    )
+
+
+#: plane-index namespace offset for random_projection, so projection
+#: directions never alias the LSH bucketing planes.
+_RP_PLANE_BASE = 10000
+
+
+def embedding_covariance(
+    embeddings: DataFrame,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact population covariance of the embedding coordinates —
+    long-format upper triangle (i, j, cov) with
+    cov_ij = E[x_i x_j] − E[x_i]E[x_j], rounded to 6 dp.
+
+    The summary statistic PCA / whitening / Mahalanobis screening all
+    start from. Scale shape: the corpus collapses through ONE
+    map-side-combinable groupBy keyed by (i, j) — dim·(dim+1)/2 groups
+    regardless of corpus size — built from a per-row coordinate-pair
+    explode; the per-dimension means are a dim-row broadcast join. No
+    driver collect, no window.
+    """
+    x = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "xi"),
+    )
+    y = x.select(
+        F.col("_id"), F.col("i").alias("j"), F.col("xi").alias("xj")
+    )
+    pairs = x.join(y, "_id").filter(F.col("i") <= F.col("j"))
+    stats = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("xi") * F.col("xj")).alias("sxy")
+    )
+    means = x.groupBy("i").agg(F.avg("xi").alias("m"))
+    ma = means.select(F.col("i"), F.col("m").alias("mi"))
+    mb = means.select(F.col("i").alias("j"), F.col("m").alias("mj"))
+    return (
+        stats.join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .select(
+            "i",
+            "j",
+            F.round(F.col("sxy") / F.col("n") - F.col("mi") * F.col("mj"), 6).alias("cov"),
+        )
+    )
+
+
+def pca_project(
+    embeddings: DataFrame,
+    k: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PCA projection onto the top-``k`` principal components: the
+    covariance matrix is reduced distributed (embedding_covariance —
+    bounded dim² output), eigendecomposed ON THE DRIVER (dim×dim is
+    corpus-independent, the legitimate bounded driver-side regime, like
+    ALS's bounded factor side), and the components are broadcast back
+    as plan literals for a scan-side projection.
+
+    Sign convention: each component is flipped so its
+    largest-|coefficient| entry is positive (ties broken by lower
+    index), making the output deterministic across eigensolvers up to
+    float noise. Returns (id, j, proj, explained_var_ratio) long-format,
+    6 dp. Driver-gate check is rows-only (the eigensolve is
+    engine-private float work); correctness is pinned by tests against
+    numpy PCA on the collected matrix.
+    """
+    import numpy as np
+
+    cov_rows = embedding_covariance(
+        embeddings, dim=dim, id_col=id_col, vec_col=vec_col
+    ).collect()  # dim*(dim+1)/2 rows — bounded, corpus-independent
+    C = np.zeros((dim, dim))
+    for r in cov_rows:
+        C[r.i, r.j] = r.cov
+        C[r.j, r.i] = r.cov
+    vals, vecs = np.linalg.eigh(C)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    total = float(vals.sum()) if float(vals.sum()) != 0.0 else 1.0
+    comps, ratios = [], []
+    for j, idx in enumerate(order):
+        v = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        comps.append([float(c) for c in v])
+        ratios.append(float(vals[idx]) / total)
+    projs = []
+    for j in range(k):
+        coeffs = F.array(*[F.lit(c) for c in comps[j]])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), coeffs, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        projs.append(
+            F.struct(
+                F.round(dot, 6).alias("proj"),
+                F.lit(round(ratios[j], 6)).alias("explained_var_ratio"),
+            )
+        )
+    return embeddings.select(
+        F.col(id_col), F.posexplode(F.array(*projs)).alias("j", "_s")
+    ).select(id_col, "j", F.col("_s.proj").alias("proj"),
+             F.col("_s.explained_var_ratio").alias("explained_var_ratio"))

@@ -1038,6 +1038,81 @@ WHERE len({_SQL_TOKS}) >= 5 AND len({_SQL_TOKS}) <= 100000
 """
 
 
+# --- JL random projection (deterministic dim cut before ANN) ---
+def q_embedding_random_projection(spark, sf_dir):
+    """64-d → 16-d Johnson–Lindenstrauss projection onto md5-derived
+    directions (operators/similarity.random_projection): the
+    projection matrix is plan literals, the whole operator scan-side
+    expression work — zero shuffle, zero Python; 6-dp hash-checked."""
+    from cs744_big_data_system_spark.operators.similarity import random_projection
+
+    return random_projection(load_table(spark, sf_dir, "embeddings"), out_dim=16)
+
+
+def _sql_random_projection(out_dim: int = 16) -> str:
+    from cs744_big_data_system_spark.operators.similarity import _RP_PLANE_BASE
+
+    planes = _sql_plane_values(range(_RP_PLANE_BASE, _RP_PLANE_BASE + out_dim))
+    return f"""
+WITH planes(plane_idx, coeffs) AS (
+  VALUES {planes}
+)
+SELECT e.vec_id, CAST(p.plane_idx - {_RP_PLANE_BASE} AS INT) AS j,
+       round(list_sum(list_transform(range(1, 65),
+             i -> CAST(e.embedding[i] AS DOUBLE) * p.coeffs[i]))
+             / sqrt({out_dim}.0), 6) AS proj
+FROM embeddings e CROSS JOIN planes p
+"""
+
+
+SQL_EMBEDDING_RANDOM_PROJECTION = _sql_random_projection()
+
+
+# --- Exact covariance matrix of the embedding coordinates ---
+def q_embedding_covariance(spark, sf_dir):
+    """Upper-triangle (i, j, cov) of the 64×64 population covariance
+    (operators/similarity.embedding_covariance): one map-side-
+    combinable groupBy with dim² groups regardless of corpus size +
+    a dim-row broadcast of the means — the input statistic for PCA /
+    whitening / Mahalanobis screening, hash-checked at 6 dp."""
+    from cs744_big_data_system_spark.operators.similarity import embedding_covariance
+
+    return embedding_covariance(load_table(spark, sf_dir, "embeddings"))
+
+
+SQL_EMBEDDING_COVARIANCE = """
+WITH x AS (
+  SELECT vec_id, u.i AS i, u.v AS v FROM (
+    SELECT vec_id, unnest(list_transform(embedding,
+           (e, k) -> struct_pack(i := k - 1, v := CAST(e AS DOUBLE)))) AS u
+    FROM embeddings
+  )
+), m AS (
+  SELECT i, avg(v) AS mv FROM x GROUP BY i
+), p AS (
+  SELECT a.i AS i, b.i AS j, count(*) AS n, sum(a.v * b.v) AS sxy
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+)
+SELECT p.i, p.j, round(p.sxy / p.n - ma.mv * mb.mv, 6) AS cov
+FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
+"""
+
+
+# --- PCA projection (driver-side dim×dim eigensolve; rows-only) ---
+def q_embedding_pca(spark, sf_dir):
+    """Top-8 principal-component projection
+    (operators/similarity.pca_project): covariance reduced
+    distributed, eigensolve on the driver over the bounded dim×dim
+    matrix, components broadcast back as plan literals with a
+    deterministic sign convention. Rows-only in the driver gate (the
+    eigensolve is engine-private float work); pinned against numpy PCA
+    in tests."""
+    from cs744_big_data_system_spark.operators.similarity import pca_project
+
+    return pca_project(load_table(spark, sf_dir, "embeddings"), k=8)
+
+
 # --- Symmetric int8 quantization of embeddings (ANN shard compression) ---
 def q_embedding_quantize(spark, sf_dir):
     """Per-vector int8 quantization (functions/vectors.quantize_int8);
@@ -1874,6 +1949,12 @@ WORKLOADS = {
     "llm_clean_corpus": (q_llm_clean_corpus, SQL_LLM_CLEAN_CORPUS),
     "label_mean_embedding": (q_label_mean_embedding, SQL_LABEL_MEAN_EMBEDDING),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
+    "embedding_random_projection": (
+        q_embedding_random_projection,
+        SQL_EMBEDDING_RANDOM_PROJECTION,
+    ),
+    "embedding_covariance": (q_embedding_covariance, SQL_EMBEDDING_COVARIANCE),
+    "embedding_pca": (q_embedding_pca, None),  # driver-side eigensolve
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "text_bpe_merges": (q_text_bpe_merges, None),  # iterative driver loop
     "text_bpe_tokenize": (q_text_bpe_tokenize, None),  # depends on learned merges

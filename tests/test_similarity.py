@@ -174,3 +174,74 @@ def test_pq_recall_on_clusters(spark, emb_df, vectors):
     hits = sum(len(set(got.get(q, [])) & set(t)) for q, t in truth.items())
     total = sum(len(t) for t in truth.values())
     assert hits / total >= 0.8, f"PQ recall {hits}/{total}"
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from cs744_big_data_system_spark.operators.similarity import embedding_covariance
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(40, 6)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(40)], ["vec_id", "embedding"]
+    )
+    got = {(r.i, r.j): r.cov for r in embedding_covariance(df, dim=6).collect()}
+    C = np.cov(X, rowvar=False, ddof=0)
+    assert len(got) == 21
+    for i in range(6):
+        for j in range(i, 6):
+            assert abs(got[(i, j)] - C[i, j]) < 1e-5, (i, j)
+
+
+def test_pca_project_matches_numpy_pca(spark):
+    import numpy as np
+
+    from cs744_big_data_system_spark.operators.similarity import pca_project
+
+    rng = np.random.RandomState(3)
+    # anisotropic cloud: two dominant directions
+    X = rng.randn(60, 5) * np.array([5.0, 3.0, 0.5, 0.2, 0.1])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(60)], ["vec_id", "embedding"]
+    )
+    out = pca_project(df, k=2, dim=5).collect()
+    C = np.cov(X, rowvar=False, ddof=0)
+    vals, vecs = np.linalg.eigh(np.round(C, 6))
+    order = np.argsort(vals)[::-1][:2]
+    ratios = {j: vals[idx] / vals.sum() for j, idx in enumerate(order)}
+    by_j = {}
+    for r in out:
+        by_j.setdefault(r.j, []).append(r)
+        assert abs(r.explained_var_ratio - ratios[r.j]) < 1e-4
+    # projected variance onto component j ≈ eigenvalue j (centered data
+    # ⇒ variance of scores = eigenvalue; our projection skips centering,
+    # which shifts the mean, not the variance)
+    for j, idx in enumerate(order):
+        scores = np.array([r.proj for r in by_j[j]])
+        assert abs(scores.var() - vals[idx]) / vals[idx] < 1e-3
+
+
+def test_random_projection_matches_host_side_planes(spark):
+    import numpy as np
+
+    from cs744_big_data_system_spark.operators.similarity import (
+        _RP_PLANE_BASE,
+        _plane_coeff,
+        random_projection,
+    )
+
+    rng = np.random.RandomState(11)
+    X = rng.randn(10, 64)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(10)], ["vec_id", "embedding"]
+    )
+    R = np.array(
+        [[_plane_coeff(_RP_PLANE_BASE + j, t) for t in range(64)] for j in range(16)]
+    )
+    expect = X @ R.T / np.sqrt(16)
+    got = {(r.vec_id, r.j): r.proj for r in random_projection(df, out_dim=16).collect()}
+    assert len(got) == 160
+    for i in range(10):
+        for j in range(16):
+            assert abs(got[(i, j)] - expect[i, j]) < 1e-5

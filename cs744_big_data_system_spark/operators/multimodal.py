@@ -675,3 +675,154 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+def synthetic_ppm_assets(
+    spark, n: int = 96, groups: int = 24, w: int = 16, h: int = 16
+) -> DataFrame:
+    """Deterministic REAL image fixture: ``n`` P6 PPM payloads whose
+    16×16 pixel grid is a pure function of ``asset_id % groups`` (a
+    pseudo-random 2×2-block pattern per group), with variants
+    (``asset_id // groups > 0``) inverting exactly one corner block —
+    so every group is a planted near-dup family (aHash hamming ≤ 2)
+    while cross-group images differ in ~half their hash bits. Built in
+    an Arrow batch kernel; payloads decode through the REAL PPM path.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def block_hi(base: int, cx: int, cy: int) -> bool:
+            # md5-mixed per (family, block): families get effectively
+            # independent patterns (a linear formula here aliased
+            # families whose bases were congruent mod the modulus)
+            d = hashlib.md5(f"ppm:{base}:{cx}:{cy}".encode()).digest()
+            return d[0] < 102  # ~40% bright blocks
+
+        for pdf in batches:
+            payloads = []
+            for aid in pdf["id"]:
+                base, var = int(aid) % groups, int(aid) // groups
+                header = f"P6\n{w} {h}\n255\n".encode()
+                px = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        hi = block_hi(base, x // 2, y // 2)
+                        if var > 0 and x < 2 and y < 2:
+                            hi = not hi  # variant: invert one block
+                        v = 200 if hi else 50
+                        px += bytes((v, v, v))
+                payloads.append(header + bytes(px))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["id"],
+                    "modality": ["image"] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    return spark.range(n).mapInPandas(
+        gen, schema="asset_id long, modality string, payload binary"
+    )
+
+
+def image_ahash(assets: DataFrame, hash_dim: int = 8) -> DataFrame:
+    """64-bit average-hash per decodable image: REAL decode
+    (PPM/PGM/BMP/PNG/baseline-JPEG), grayscale, nearest-neighbor
+    resample to ``hash_dim``², threshold at the mean — bit i set when
+    cell i is brighter than average. The standard perceptual
+    fingerprint for image near-dup screening: resize/re-encode
+    invariant, one int64 per image.
+
+    Arrow-batched mapInPandas; rows whose payload doesn't decode are
+    dropped (they can't be compared perceptually). Scale shape: pure
+    scan-side batch work, the corpus never shuffles here.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                img = (
+                    _decode_ppm(bytes(payload))
+                    or _decode_bmp(bytes(payload))
+                    or _decode_png(bytes(payload))
+                    or _decode_jpeg(bytes(payload))
+                )
+                if img is None:
+                    continue
+                iw, ih, px = img
+                gray = px.mean(axis=2)
+                ys = (np.arange(hash_dim) * ih) // hash_dim
+                xs = (np.arange(hash_dim) * iw) // hash_dim
+                cells = gray[np.ix_(ys, xs)]
+                bits = (cells > cells.mean()).flatten()
+                hval = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        hval |= 1 << i
+                ids.append(aid)
+                hashes.append(np.int64(hval - (1 << 64) if hval >= 1 << 63 else hval))
+            yield pd.DataFrame({"asset_id": ids, "phash": hashes})
+
+    return assets.mapInPandas(run, schema="asset_id long, phash long")
+
+
+def image_neardup_pairs(
+    assets: DataFrame, max_hamming: int = 6, bands: int = 4
+) -> DataFrame:
+    """Perceptual image near-dup pairs: aHash fingerprints, banded by
+    16-bit slices (pigeonhole: hamming ≤ 6 over 64 bits ⇒ at least one
+    of 4 bands is IDENTICAL — same guarantee as the SimHash text
+    screen), candidates from band-bucket collisions, verified by exact
+    popcount hamming. Returns (asset_a, asset_b, hamming).
+
+    Scale shape: the self-join key is (band_idx, 16-bit slice) —
+    cardinality grows with the corpus, per-bucket fan-out stays
+    bounded for natural image sets; the verify is a bit_count on the
+    candidate pairs only. No all-pairs comparison at any size.
+    """
+    h = image_ahash(assets)
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftrightunsigned(F.col("phash"), 16 * b)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("band_val"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = h.select(
+        "asset_id", "phash", F.explode(slices).alias("b")
+    ).select("asset_id", "phash", "b.band_idx", "b.band_val")
+    left = banded.select(
+        F.col("asset_id").alias("asset_a"),
+        F.col("phash").alias("ph_a"),
+        "band_idx",
+        "band_val",
+    )
+    right = banded.select(
+        F.col("asset_id").alias("asset_b"),
+        F.col("phash").alias("ph_b"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("asset_a") < F.col("asset_b"))
+        .select("asset_a", "asset_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "asset_a",
+            "asset_b",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1764,6 +1764,26 @@ def q_multimodal_resize(spark, sf_dir):
     )
 
 
+# --- Perceptual image near-dup (real decode → aHash → banded hamming) ---
+def q_image_neardup(spark, sf_dir):
+    """Image dedup over REAL decoded pixels: deterministic P6 PPM
+    fixtures (operators/multimodal.synthetic_ppm_assets — planted
+    near-dup families with one inverted block, sized off the doc count
+    so the workload scales with sf), 64-bit average-hash per image
+    through the real decoder, pigeonhole 16-bit bands for candidates,
+    exact popcount-hamming verify. Rows-only in the driver gate (SQL
+    cannot decode PPM); the planted-family recall/precision contract
+    is pinned in tests/test_multimodal_phash.py."""
+    from cs744_big_data_system_spark.operators.multimodal import (
+        image_neardup_pairs,
+        synthetic_ppm_assets,
+    )
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assets = synthetic_ppm_assets(spark, n=max(n_docs, 8), groups=max(n_docs // 4, 2))
+    return image_neardup_pairs(assets, max_hamming=6)
+
+
 # --- Multimodal over fixture data: the mapInPandas path, oracle-checked ---
 def q_multimodal_doc_features(spark, sf_dir):
     """Same Arrow-batched decode pipeline as multimodal_features, but
@@ -1928,6 +1948,7 @@ WORKLOADS = {
     "stream_stateful_counts": (q_stream_stateful_counts, SQL_STREAM_STATEFUL),
     "stream_late_data_drop": (q_stream_late_drop, SQL_STREAM_LATE_DROP),
     "multimodal_doc_features": (q_multimodal_doc_features, SQL_MULTIMODAL_DOC_FEATURES),
+    "image_neardup_phash": (q_image_neardup, None),  # real decode: no SQL mirror
     "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "graph_degree_histogram": (q_graph_degree_histogram, SQL_GRAPH_DEGREE_HISTOGRAM),
     "graph_bfs_hops": (q_graph_bfs_hops, SQL_GRAPH_BFS_HOPS),

@@ -141,6 +141,15 @@ HEADLINE = [
     "dedup_semantic",
     "bucketed_join_agg",
     "zipf_fit",
+    # round-4 continuation, second batch: export/quality/selection ops,
+    # the embedding dim-reduction trio, and the real-decode image dedup
+    "shard_export",
+    "text_gopher_rules",
+    "dsir_weights",
+    "embedding_random_projection",
+    "embedding_covariance",
+    "embedding_pca",
+    "image_neardup_phash",
 ]
 
 

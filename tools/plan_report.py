@@ -167,6 +167,12 @@ QUERIES = [
     "bucketed_join_agg",
     "zipf_fit",
     "shard_export",
+    "text_gopher_rules",
+    "dsir_weights",
+    "embedding_random_projection",
+    "embedding_covariance",
+    "embedding_pca",
+    "image_neardup_phash",
 ]
 
 

@@ -945,3 +945,57 @@ def dsir_weights(
             F.round(F.sum(F.col("n") * F.col("lr")), 6).alias("dsir_logratio"),
         )
     )
+
+
+def winnowing_fingerprints(
+    documents: DataFrame, k: int = 4, window: int = 4
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003 — the MOSS
+    document-fingerprint algorithm): positional k-gram hashes, and in
+    every sliding window of ``window`` consecutive hashes keep the
+    minimum (rightmost position on ties). The distinct kept
+    (hash, pos) pairs are the document's fingerprint set, with the
+    paper's guarantee: any token run of length ≥ k + window − 1 shared
+    between two documents contributes at least one shared fingerprint
+    hash — so fingerprint matching has no false negatives above the
+    guarantee threshold while storing only ~2/(window+1) of the grams.
+
+    Returns (doc_id, pos, gram_hash). Scale shape: one per-doc window
+    pass (partitioned by doc_id, frame bounded by ``window``) + a
+    distinct — no cross-doc work here at all; downstream match-finding
+    is a groupBy on gram_hash exactly like the substring-dedup join.
+    The rightmost-tie argmin is min-of-struct((hash, −pos)) over the
+    frame, the same map-friendly trick as the kmeans assignment.
+    """
+    tk = documents.select(
+        "doc_id", tokens(normalized_text("text")).alias("_tk")
+    )
+    from cs744_big_data_system_spark.functions.text import ngrams_from_tokens
+
+    ph = tk.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(ngrams_from_tokens("_tk", k), md5_int60)
+        ).alias("pos", "gh"),
+    )
+    from pyspark.sql import Window
+
+    w1 = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("pos").asc())
+        .rowsBetween(-(window - 1), 0)
+    )
+    sel = F.min(F.struct(F.col("gh"), (-F.col("pos")).alias("np"))).over(w1)
+    full = F.count(F.lit(1)).over(w1)
+    return (
+        ph.select(
+            "doc_id", sel.alias("_s"), full.alias("_n")
+        )
+        .filter(F.col("_n") == window)
+        .select(
+            "doc_id",
+            (-F.col("_s.np")).cast("long").alias("pos"),
+            F.col("_s.gh").alias("gram_hash"),
+        )
+        .distinct()
+    )

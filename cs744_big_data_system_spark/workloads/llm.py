@@ -1790,6 +1790,49 @@ FROM docs d LEFT JOIN ndup n USING (doc_id) LEFT JOIN cov c USING (doc_id)
 SQL_DEDUP_SUBSTRING = _sql_dedup_substring()
 
 
+# --- Winnowing fingerprints (Schleimer et al. 2003 / MOSS) ---
+def q_text_winnowing(spark, sf_dir):
+    """Per-document winnowing fingerprint sets
+    (operators/text_analysis.winnowing_fingerprints, k=4 w=4): the MOSS
+    selection — window minimum, rightmost tie — guarantees a shared
+    fingerprint for any shared run ≥ 7 tokens while keeping ~2/(w+1)
+    of the grams. One bounded per-doc window pass + distinct;
+    hash-checked against a windowed-self-join oracle."""
+    from cs744_big_data_system_spark.operators.text_analysis import (
+        winnowing_fingerprints,
+    )
+
+    return winnowing_fingerprints(load_table(spark, sf_dir, "documents"), k=4, window=4)
+
+
+def _sql_text_winnowing(k: int = 4, window: int = 4) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_CANON_TOKS} AS tk FROM documents
+), g AS (
+  SELECT doc_id, {_sql_ngram(k)} AS grams FROM toks
+), ph AS (
+  SELECT doc_id, u.pos AS pos, {_sql_md5_int60("u.g")} AS gh FROM (
+    SELECT doc_id, unnest(list_transform(grams,
+           (x, i) -> struct_pack(pos := i - 1, g := x))) AS u
+    FROM g
+  )
+), win AS (
+  SELECT e.doc_id, e.pos AS wend, m.gh, m.pos,
+         row_number() OVER (PARTITION BY e.doc_id, e.pos
+                            ORDER BY m.gh ASC, m.pos DESC) AS rn
+  FROM ph e JOIN ph m ON m.doc_id = e.doc_id
+        AND m.pos BETWEEN e.pos - {window - 1} AND e.pos
+  WHERE e.pos >= {window - 1}
+)
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, gh AS gram_hash
+FROM win WHERE rn = 1
+"""
+
+
+SQL_TEXT_WINNOWING = _sql_text_winnowing()
+
+
 # --- Feature hashing (hashing-trick BOW) ---
 def q_feature_hash(spark, sf_dir):
     """Stateless signed feature hashing into 256 buckets
@@ -1943,6 +1986,7 @@ WORKLOADS = {
     "shard_export": (q_shard_export, SQL_SHARD_EXPORT),
     "text_gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "text_winnowing": (q_text_winnowing, SQL_TEXT_WINNOWING),
     "domain_mix_weights": (q_domain_mix, SQL_DOMAIN_MIX),
     "text_bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
     "text_perplexity_filter": (q_perplexity_filter, SQL_PERPLEXITY_FILTER),

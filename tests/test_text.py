@@ -459,3 +459,40 @@ def test_dsir_weights_rank_target_like_docs_higher(spark):
     assert out[2].dsir_logratio > out[1].dsir_logratio
     # 13 tokens → 13 unigrams + 12 bigrams
     assert out[0].n_grams == 25
+
+
+def test_winnowing_matches_reference_and_guarantee(spark):
+    """Spark winnowing must equal a pure-Python reference (window min,
+    rightmost tie) per doc, and two docs sharing a >= k+w-1 token run
+    must share a fingerprint hash."""
+    import hashlib
+
+    from cs744_big_data_system_spark.operators.text_analysis import (
+        winnowing_fingerprints,
+    )
+
+    def py_winnow(text, k=4, w=4):
+        toks = text.lower().split()
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+        out = set()
+        for e in range(w - 1, len(hs)):
+            win = hs[e - w + 1 : e + 1]
+            m = min(win)
+            pos = e - w + 1 + max(i for i, v in enumerate(win) if v == m)
+            out.add((pos, m))
+        return out
+
+    shared = "alpha bravo charlie delta echo foxtrot golf"  # 7 tokens = k+w-1
+    d0 = "one two three four five six " + shared + " seven eight nine ten"
+    d1 = shared + " zulu yankee xray whiskey victor uniform tango"
+    docs = spark.createDataFrame([(0, d0), (1, d1)], ["doc_id", "text"])
+    got = {}
+    for r in winnowing_fingerprints(docs, k=4, window=4).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.gram_hash))
+    assert got[0] == py_winnow(d0)
+    assert got[1] == py_winnow(d1)
+    shared_hashes = {h for _, h in got[0]} & {h for _, h in got[1]}
+    assert shared_hashes, "guarantee: >=k+w-1 shared run must share a fingerprint"
+    # compression: far fewer fingerprints than grams (14 grams in d0)
+    assert len(got[0]) <= 8

@@ -568,3 +568,51 @@ def pca_project(
         F.col(id_col), F.posexplode(F.array(*projs)).alias("j", "_s")
     ).select(id_col, "j", F.col("_s.proj").alias("proj"),
              F.col("_s.explained_var_ratio").alias("explained_var_ratio"))
+
+
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every query
+    vector, the top-``k`` most-similar corpus vectors with a DIFFERENT
+    label — the highest-loss negatives an embedding model should train
+    against (the standard offline mining pass behind dual-encoder /
+    retrieval fine-tuning).
+
+    Same shape as the brute-force ANN baseline: the query side
+    broadcasts, norms are materialized once per vector before the
+    join, ranking is on the 6-dp rounded cosine with id tie-break so
+    the mined set is reproducible. The label inequality rides the join
+    condition, so same-label pairs are never scored. For corpus-scale
+    mining swap the crossJoin for the IVF/LSH candidate generators and
+    keep this ranking tail.
+    """
+    from cs744_big_data_system_spark.functions.vectors import dot, l2_norm
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        F.col(vec_col).alias("q_emb"),
+        l2_norm(vec_col).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("n_label"),
+        F.col(vec_col).alias("c_emb"),
+        l2_norm(vec_col).alias("_cn"),
+    )
+    pairs = F.broadcast(q).join(c, F.col("q_label") != F.col("n_label"))
+    denom = F.col("_qn") * F.col("_cn")
+    cos = F.when(denom > 0, dot("q_emb", "c_emb") / denom)
+    scored = pairs.select(
+        "query_id", "neg_id", F.round(cos, 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

@@ -420,6 +420,30 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
 """
 
 
+# --- Hard-negative mining (contrastive-training selection pass) ---
+def q_hard_negatives(spark, sf_dir):
+    """Top-5 most-similar DIFFERENT-label vectors per query
+    (operators/similarity.hard_negative_topk) — the offline mining
+    pass behind dual-encoder fine-tuning; label inequality rides the
+    join condition so same-label pairs are never scored."""
+    from cs744_big_data_system_spark.operators.similarity import hard_negative_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)
+
+
+SQL_HARD_NEGATIVES = f"""
+SELECT query_id, neg_id, cosine, rnk FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neg_id,
+         round({_SQL_COS}, 6) AS cosine,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_SQL_COS}, 6) DESC, b.vec_id ASC) AS rnk
+  FROM embeddings a JOIN embeddings b ON a.label <> b.label
+  WHERE a.vec_id < 20
+) WHERE rnk <= 5
+"""
+
+
 # --- IVF-style approximate top-k (deterministic, oracle-checked) ---
 def q_cosine_topk_ivf(spark, sf_dir):
     from cs744_big_data_system_spark.operators.similarity import cosine_topk_ivf
@@ -1987,6 +2011,7 @@ WORKLOADS = {
     "text_gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "text_winnowing": (q_text_winnowing, SQL_TEXT_WINNOWING),
+    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "domain_mix_weights": (q_domain_mix, SQL_DOMAIN_MIX),
     "text_bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
     "text_perplexity_filter": (q_perplexity_filter, SQL_PERPLEXITY_FILTER),

@@ -661,9 +661,33 @@ GROUP BY o_orderpriority
 """
 
 
+# --- k-anonymity audit (privacy pre-flight for data release) ---
+def q_k_anonymity_audit(spark, sf_dir):
+    """Group sizes under the (nation, market-segment) quasi-identifier
+    with an at_risk flag for equivalence classes smaller than k=5 —
+    the k-anonymity audit run before releasing or joining a dataset
+    (small classes re-identify individuals; the flagged rows are what
+    generalization/suppression must fix). One map-side-combinable
+    groupBy; class count is bounded by the QI domain, not the table."""
+    cust = load_table(spark, sf_dir, "customer")
+    n = F.count(F.lit(1))
+    return cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        n.alias("class_size"), (n < 5).alias("at_risk")
+    )
+
+
+SQL_K_ANONYMITY = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS class_size,
+       (count(*) < 5) AS at_risk
+FROM customer GROUP BY c_nationkey, c_mktsegment
+"""
+
+
 WORKLOADS = {
     "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
     "bucketed_join_agg": (q_bucketed_join_agg, SQL_BUCKETED_JOIN_AGG),
+    "k_anonymity_audit": (q_k_anonymity_audit, SQL_K_ANONYMITY),
     "kmv_jaccard": (q_kmv_jaccard, SQL_KMV_JACCARD),
     "table_diff": (q_table_diff, SQL_TABLE_DIFF),
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),

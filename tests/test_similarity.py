@@ -245,3 +245,22 @@ def test_random_projection_matches_host_side_planes(spark):
     for i in range(10):
         for j in range(16):
             assert abs(got[(i, j)] - expect[i, j]) < 1e-5
+
+
+def test_hard_negative_topk_excludes_same_label(spark):
+    from cs744_big_data_system_spark.operators.similarity import hard_negative_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], "a"),
+        (1, [0.99, 0.1, 0.0], "a"),   # same label as 0: must never appear
+        (2, [0.98, 0.2, 0.0], "b"),   # hardest negative for 0
+        (3, [0.0, 1.0, 0.0], "b"),
+        (4, [0.0, 0.0, 1.0], "c"),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = hard_negative_topk(
+        df.filter("vec_id = 0"), df, k=2, label_col="label"
+    ).collect()
+    got = [(r.neg_id, r.rnk) for r in sorted(out, key=lambda r: r.rnk)]
+    assert got == [(2, 1), (3, 2)]
+    assert all(r.neg_id != 1 for r in out)

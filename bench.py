@@ -150,6 +150,9 @@ HEADLINE = [
     "embedding_covariance",
     "embedding_pca",
     "image_neardup_phash",
+    "text_winnowing",
+    "hard_negatives",
+    "k_anonymity_audit",
 ]
 
 

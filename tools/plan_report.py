@@ -173,6 +173,9 @@ QUERIES = [
     "embedding_covariance",
     "embedding_pca",
     "image_neardup_phash",
+    "text_winnowing",
+    "hard_negatives",
+    "k_anonymity_audit",
 ]
 
 

@@ -189,3 +189,71 @@ def per_group_arrow_stats(documents, group_col: str = "lang"):
             ),
         )
     )
+
+
+def cogrouped_arrow_order_fill(orders, lineitem):
+    """Per-order fill reconciliation through ``cogroup().applyInArrow``
+    — the LAST cell of the Pandas/Arrow UDF matrix (grouped-map and
+    cogroup × pandas and Arrow; map/superstep and stateful streaming
+    cover the rest): both sides of each order-key cogroup arrive as
+    raw pyarrow Tables and all math runs in pyarrow.compute kernels.
+
+    Emits (o_orderkey, o_totalprice, n_lines, sum_qty, net_revenue)
+    per order that HAS lines — a plain join+agg relationally, which is
+    exactly why the API demo stays hash-checked against a SQL oracle.
+    Scale note: one shuffle per side keyed by the cogroup key; a
+    group's two slices must fit one task (bounded here by lines per
+    order, ≤ 7 in TPC-H).
+    """
+    import pyarrow as pa
+
+    def fill(left: pa.Table, right: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc  # noqa: PLC0415 — worker-side
+
+        if left.num_rows == 0 or right.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_totalprice": pa.array([], pa.float64()),
+                    "n_lines": pa.array([], pa.int64()),
+                    "sum_qty": pa.array([], pa.float64()),
+                    "net_revenue": pa.array([], pa.float64()),
+                }
+            )
+        rev = pc.multiply(
+            right.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), right.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "o_orderkey": [left.column("o_orderkey")[0].as_py()],
+                "o_totalprice": pa.array(
+                    [left.column("o_totalprice")[0].as_py()], pa.float64()
+                ),
+                "n_lines": pa.array([right.num_rows], pa.int64()),
+                "sum_qty": pa.array(
+                    [round(float(pc.sum(right.column("l_quantity")).as_py()), 6)],
+                    pa.float64(),
+                ),
+                "net_revenue": pa.array(
+                    [round(float(pc.sum(rev).as_py()), 6)], pa.float64()
+                ),
+            }
+        )
+
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .groupBy("o_orderkey")
+        .cogroup(
+            lineitem.select(
+                "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+            ).groupBy("l_orderkey")
+        )
+        .applyInArrow(
+            fill,
+            schema=(
+                "o_orderkey long, o_totalprice double, n_lines long, "
+                "sum_qty double, net_revenue double"
+            ),
+        )
+    )

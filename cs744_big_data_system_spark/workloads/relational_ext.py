@@ -1296,6 +1296,37 @@ GROUP BY event_type
 """
 
 
+def q_udf_cogroup_arrow(spark, sf_dir):
+    """Per-order fill reconciliation via cogroup().applyInArrow
+    (operators/grouped_pandas.cogrouped_arrow_order_fill) — the LAST
+    cell of the Pandas/Arrow UDF matrix; both per-key slices arrive as
+    raw pyarrow Tables, all math in pyarrow.compute kernels.
+    Relationally a join+agg, so the API demo hash-checks against a
+    plain SQL oracle; run on the same 1-in-10 key subsample as the
+    pandas cogroup demo to keep the per-key round-trip cost bounded."""
+    from cs744_big_data_system_spark.operators.grouped_pandas import (
+        cogrouped_arrow_order_fill,
+    )
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 7)
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 10 == 7
+    )
+    return cogrouped_arrow_order_fill(orders, lineitem)
+
+
+SQL_UDF_COGROUP_ARROW = """
+SELECT o_orderkey, o_totalprice,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS net_revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey % 10 = 7
+GROUP BY o_orderkey, o_totalprice
+"""
+
+
 def q_udf_cogroup_asof(spark, sf_dir):
     """Per-user as-of match (each purchase to the user's latest click
     ≤ 30 min before) via cogroup().applyInPandas — both sides' per-key
@@ -1834,6 +1865,7 @@ WORKLOADS = {
     "udf_grouped_ols": (q_udf_grouped_ols, SQL_UDF_GROUPED_OLS),
     "udf_grouped_arrow": (q_udf_grouped_arrow, SQL_UDF_GROUPED_ARROW),
     "udf_cogroup_asof": (q_udf_cogroup_asof, SQL_UDF_COGROUP_ASOF),
+    "udf_cogroup_arrow": (q_udf_cogroup_arrow, SQL_UDF_COGROUP_ARROW),
     "histogram_width": (q_histogram_width, SQL_HISTOGRAM_WIDTH),
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),

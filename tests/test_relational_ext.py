@@ -295,3 +295,36 @@ def test_apply_in_arrow_stats_match_groupby(spark):
         F.round(F.sum("n_chars") / F.count(F.lit(1)), 6).alias("m"),
         F.max("n_chars").alias("mx")).collect()}
     assert got == want
+
+
+def test_cogrouped_arrow_order_fill_equals_native_join_agg(spark):
+    """The applyInArrow cogroup demo must equal the native join+agg
+    plan row-for-row (it IS a join+agg, expressed through the API)."""
+    from pyspark.sql import functions as F
+
+    from cs744_big_data_system_spark.operators.grouped_pandas import (
+        cogrouped_arrow_order_fill,
+    )
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from tests.conftest import SF_SMALL
+
+    orders = load_table(spark, SF_SMALL, "orders").filter(F.col("o_orderkey") % 10 == 7)
+    li = load_table(spark, SF_SMALL, "lineitem").filter(F.col("l_orderkey") % 10 == 7)
+    got = {
+        r.o_orderkey: (r.o_totalprice, r.n_lines, r.sum_qty, r.net_revenue)
+        for r in cogrouped_arrow_order_fill(orders, li).collect()
+    }
+    expect = {
+        r.o_orderkey: (r.o_totalprice, r.n_lines, r.sum_qty, r.net_revenue)
+        for r in orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("net_revenue"),
+        )
+        .collect()
+    }
+    assert got == expect and len(got) > 0

@@ -139,6 +139,10 @@ def lsh_band_buckets_udf(dim: int, num_bands: int, planes_per_band: int):
     )  # (P, dim)
     weights = 1 << np.arange(planes_per_band, dtype=np.int64)  # bit i per plane-in-band
 
+    # NOTE: the legacy PandasUDFType form is deliberate — this module
+    # uses `from __future__ import annotations`, which stringizes the
+    # type hints pandas_udf's inference path needs, so the type-hint
+    # style raises UNSUPPORTED_SIGNATURE here.
     @pandas_udf(ArrayType(LongType()), PandasUDFType.SCALAR)
     def buckets(v: pd.Series) -> pd.Series:
         mat = np.array(v.tolist(), dtype=np.float64)  # (batch, dim)

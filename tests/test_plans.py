@@ -551,3 +551,31 @@ def test_bucketed_join_agg_registry_query_joins_without_exchange(spark):
     tree = plan.split("\n\n")[0]
     exchanges = [ln for ln in tree.splitlines() if "Exchange" in ln]
     assert len(exchanges) == 1, plan
+
+
+def test_round4_additions_plan_posture(spark):
+    """Scale-posture pins for the round-4 batch: zipf's top-n is a
+    distributed TakeOrdered (no global sort/window over the vocab),
+    DSIR's ratio table joins broadcast, and the scan-side ops
+    (gopher rules, random projection) have zero Exchange."""
+    from cs744_big_data_system_spark.plans.explain import formatted_plan
+    from cs744_big_data_system_spark.workloads import all_workloads
+
+    reg = all_workloads()
+
+    plan = formatted_plan(reg["zipf_fit"][0](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "WindowExec" not in plan
+
+    plan = formatted_plan(reg["dsir_weights"][0](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
+
+    for name in ("text_gopher_rules", "embedding_random_projection"):
+        plan = formatted_plan(reg[name][0](spark, SF_SMALL))
+        assert "Exchange" not in plan, (name, plan)
+
+    # the winnowing window must be keyed by doc_id with the bounded
+    # RowFrame, never partition-less
+    plan = formatted_plan(reg["text_winnowing"][0](spark, SF_SMALL))
+    assert "windowspecdefinition(doc_id" in plan, plan
+    assert "RowFrame, -3, currentrow" in plan, plan

@@ -50,6 +50,15 @@ QUERIES = [
     # bucket state)
     "dedup_containment",
     "stream_minhash_dedup_replay",
+    # round-4 continuation: geometry-blocked dedup, hashed-ngram
+    # selection, MOSS fingerprints, real-decode image dedup, the
+    # sharded-export roundtrip, and the zero-exchange bucketed join
+    "dedup_semantic",
+    "dsir_weights",
+    "text_winnowing",
+    "image_neardup_phash",
+    "shard_export",
+    "bucketed_join_agg",
 ]
 
 

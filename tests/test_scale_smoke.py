@@ -114,3 +114,21 @@ def test_dq_checks_catches_planted_pk_violations(spark):
     assert rows["orders_pk_unique"] == 2 * n, rows
     assert rows["lineitem_fk_orders"] == 0
     assert rows["l_quantity_range"] == 0
+
+
+def test_semantic_dedup_on_replicated_embeddings(spark):
+    """10×-replicated embeddings: every replica is an EXACT vector
+    duplicate of its base, so it must land in the base's kmeans cell
+    and be pruned against a lower id at any threshold ≤ 1.0 — an exact
+    semantic oracle for the whole SemDeDup pipeline at 10× volume."""
+    from cs744_big_data_system_spark.operators.dedup import semantic_dedup
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    emb = _inflate(load_table(spark, SF, "embeddings"), ["vec_id"], copies=10)
+    removed = {r.vec_id: r for r in
+               semantic_dedup(emb, k=16, iterations=1, threshold=0.99).collect()}
+    replicas = {r.vec_id for r in emb.collect() if r.vec_id >= 10_000_000}
+    assert replicas <= set(removed)           # every replica pruned
+    assert len(removed) - len(replicas) < 20  # only genuine near-dups beyond
+    # each replica's best mate is an identical vector
+    assert all(removed[v].cosine == 1.0 for v in replicas)

@@ -1296,6 +1296,85 @@ GROUP BY event_type
 """
 
 
+def q_table_transpose(spark, sf_dir):
+    """Spark 4's DataFrame.transpose over a BOUNDED aggregate: per-flag
+    lineitem stats (3 rows) flipped so metrics become rows and flags
+    become columns — the report-layout step after an aggregation.
+    transpose() materializes the first column driver-side for the new
+    column names, so it is only legal on already-aggregated bounded
+    tables (3 rows here); the oracle rebuilds the same layout with
+    conditional aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    stats = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+    return stats.transpose()
+
+
+SQL_TABLE_TRANSPOSE = """
+WITH s AS (
+  SELECT l_returnflag AS f,
+         round(sum(l_quantity), 2) AS sq,
+         round(avg(l_extendedprice), 4) AS ap
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT 'sum_qty' AS key,
+       max(CASE WHEN f = 'A' THEN sq END) AS A,
+       max(CASE WHEN f = 'N' THEN sq END) AS N,
+       max(CASE WHEN f = 'R' THEN sq END) AS R
+FROM s
+UNION ALL
+SELECT 'avg_price',
+       max(CASE WHEN f = 'A' THEN ap END),
+       max(CASE WHEN f = 'N' THEN ap END),
+       max(CASE WHEN f = 'R' THEN ap END)
+FROM s
+"""
+
+
+def q_sql_scripting(spark, sf_dir):
+    """Spark 4 SQL scripting (BEGIN…END with DECLARE/SET/IF): a
+    scripted control-flow block classifies total order volume — the
+    procedural-SQL surface warehouse users migrate stored procedures
+    onto. The script's result is a plain aggregate + CASE, so the API
+    demo stays hash-checked against a one-statement oracle."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("script_orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE total DOUBLE DEFAULT 0;
+          DECLARE n BIGINT DEFAULT 0;
+          DECLARE volume_class STRING DEFAULT 'low';
+          SET total = (SELECT round(sum(o_totalprice), 2) FROM script_orders);
+          SET n = (SELECT count(*) FROM script_orders);
+          IF total / n > 100000 THEN
+            SET volume_class = 'high';
+          ELSE
+            SET volume_class = 'low';
+          END IF;
+          SELECT total AS total_price, n AS n_orders, volume_class,
+                 round(total / n, 4) AS avg_order;
+        END
+        """
+    )
+
+
+SQL_SQL_SCRIPTING = """
+SELECT round(sum(o_totalprice), 2) AS total_price,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CASE WHEN round(sum(o_totalprice), 2) / count(*) > 100000
+            THEN 'high' ELSE 'low' END AS volume_class,
+       round(round(sum(o_totalprice), 2) / count(*), 4) AS avg_order
+FROM orders
+"""
+
+
 def q_udf_cogroup_arrow(spark, sf_dir):
     """Per-order fill reconciliation via cogroup().applyInArrow
     (operators/grouped_pandas.cogrouped_arrow_order_fill) — the LAST
@@ -1866,6 +1945,8 @@ WORKLOADS = {
     "udf_grouped_arrow": (q_udf_grouped_arrow, SQL_UDF_GROUPED_ARROW),
     "udf_cogroup_asof": (q_udf_cogroup_asof, SQL_UDF_COGROUP_ASOF),
     "udf_cogroup_arrow": (q_udf_cogroup_arrow, SQL_UDF_COGROUP_ARROW),
+    "table_transpose": (q_table_transpose, SQL_TABLE_TRANSPOSE),
+    "sql_scripting": (q_sql_scripting, SQL_SQL_SCRIPTING),
     "histogram_width": (q_histogram_width, SQL_HISTOGRAM_WIDTH),
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),

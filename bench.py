@@ -153,6 +153,9 @@ HEADLINE = [
     "text_winnowing",
     "hard_negatives",
     "k_anonymity_audit",
+    "udf_cogroup_arrow",
+    "table_transpose",
+    "sql_scripting",
 ]
 
 

@@ -45,15 +45,16 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # stream_window_topk, stream_attribution_replay) plus the 14
     # rows-only entries in never_attested_rest to the front; that retires
     # the whole backlog (18 < 50) and frees the rest of the window for
-    # any round-4/5 additions.  The round-4 session added 16 more
+    # any round-4/5 additions.  The round-4 session added 19 more
     # never-attested entries (dedup_containment, train_test_split,
     # stream_minhash_dedup_replay, dedup_semantic, bucketed_join_agg,
     # zipf_fit, shard_export, text_gopher_rules, dsir_weights,
     # text_winnowing, hard_negatives, k_anonymity_audit,
     # embedding_random_projection, embedding_covariance, embedding_pca,
-    # udf_cogroup_arrow, image_neardup_phash) — all selfcheck-green;
-    # promote them right behind the 18 above in r05 (34 + 18 < 2×50, so
-    # rounds 5-6 retire everything).
+    # udf_cogroup_arrow, image_neardup_phash, table_transpose,
+    # sql_scripting) — all selfcheck-green; promote them right behind
+    # the 18 above in r05 (37 + 18 > 50, so rounds 5-6 retire
+    # everything).
     reg: dict = {}
     reg.update(llm.WORKLOADS)
     reg.update(streaming_graph.WORKLOADS)

@@ -176,6 +176,9 @@ QUERIES = [
     "text_winnowing",
     "hard_negatives",
     "k_anonymity_audit",
+    "udf_cogroup_arrow",
+    "table_transpose",
+    "sql_scripting",
 ]
 
 

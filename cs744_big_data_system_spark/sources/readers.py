@@ -215,3 +215,15 @@ def edges_from_events(events: DataFrame) -> DataFrame:
         .filter(F.col("prev_type").isNotNull())
         .select(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
     )
+
+
+def read_xml(spark: SparkSession, path: str, schema: str, row_tag: str = "row") -> DataFrame:
+    """XML source (Spark 4 native) with a PINNED schema — inference
+    over XML text is avoidable cost and type drift; callers state the
+    contract like the JSONL reader does."""
+    return (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .schema(schema)
+        .load(path)
+    )

@@ -92,3 +92,12 @@ def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     cols = [F.col(c).cast("string") for c in df.columns]
     line = F.concat_ws("\t", *cols).alias("value")
     df.select(line).write.mode(mode).text(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, mode: str = "overwrite", row_tag: str = "row"
+) -> None:
+    """XML sink via Spark 4's native XML source (no external package) —
+    the fourth interchange format beside CSV/JSONL/ORC; one file per
+    partition like every other sink here."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)

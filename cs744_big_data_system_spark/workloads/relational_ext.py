@@ -451,6 +451,31 @@ def q_orc_roundtrip_sort(spark, sf_dir):
     )
 
 
+def q_xml_roundtrip_sort(spark, sf_dir):
+    """Same lossless contract as the CSV/JSONL/ORC round-trips but
+    through Spark 4's NATIVE XML source (sources/writers.write_xml /
+    readers.read_xml): write the events projection as row-tagged XML,
+    read it back with a pinned schema, globally sort. XML is the
+    fourth interchange format the S-family covers; the oracle never
+    sees the XML."""
+    import os
+    import tempfile
+
+    from cs744_big_data_system_spark.sources.readers import read_xml
+    from cs744_big_data_system_spark.sources.writers import write_xml
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    path = os.path.join(tempfile.gettempdir(), f"xml_roundtrip_{os.getpid()}")
+    write_xml(ev, path)
+    back = read_xml(
+        spark, path,
+        schema="event_id long, user_id long, event_type string, value double",
+    )
+    return back.orderBy(F.col("event_type").asc(), F.col("event_id").asc()).select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
 # --- §2.9 struct functions: build, field access, inline-explode ---
 def q_struct_funcs(spark, sf_dir):
     """Nested STRUCT round-trip: build per-order structs, collect an
@@ -1968,6 +1993,7 @@ WORKLOADS = {
     "jsonl_roundtrip_sort": (q_jsonl_roundtrip_sort, SQL_CSV_ROUNDTRIP_SORT),
     "jsonl_sink_roundtrip": (q_jsonl_sink_roundtrip, SQL_JSONL_SINK_ROUNDTRIP),
     "orc_roundtrip_sort": (q_orc_roundtrip_sort, SQL_CSV_ROUNDTRIP_SORT),
+    "xml_roundtrip_sort": (q_xml_roundtrip_sort, SQL_CSV_ROUNDTRIP_SORT),
     "partitioned_prune_agg": (q_partitioned_prune_agg, SQL_PARTITIONED_PRUNE_AGG),
     "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
     "salted_join_agg": (q_salted_join_agg, SQL_SALTED_JOIN_AGG),

@@ -250,3 +250,41 @@ def test_stream_minhash_dedup_flags_planted_near_dup(spark, tmp_path):
     assert flags[1] == 1        # exact dup (canonicalized) flagged
     assert flags[2] == 1        # near dup shares ≥1 band with doc 0
     assert flags[3] == 0        # unrelated doc untouched
+
+
+def test_rocksdb_state_store_equals_default_provider(spark):
+    """The RocksDB state store (the large-state scale path: state
+    spills to local disk instead of living on the executor heap, the
+    provider production deployments run) must produce bit-identical
+    results to the default HDFS-backed provider. rocksdbjni ships in
+    the Spark 4 distro, so this is a conf flip, not a dependency."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.streaming.windows import (
+        replay_to_batch,
+        tumbling_window_counts,
+    )
+
+    def run():
+        return sorted(
+            map(
+                tuple,
+                replay_to_batch(
+                    spark,
+                    f"{SF_SMALL}/events.parquet",
+                    lambda s: tumbling_window_counts(s, "10 minutes", watermark="365 days"),
+                    output_mode="complete",
+                ).collect(),
+            )
+        )
+
+    default_out = run()
+    key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocksdb_out = run()
+    finally:
+        spark.conf.unset(key)
+    assert rocksdb_out == default_out and len(default_out) > 0

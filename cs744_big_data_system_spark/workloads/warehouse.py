@@ -414,6 +414,52 @@ SELECT 3, count(*), round(sum(o_totalprice), 2) FROM c
 """
 
 
+# --- Txlog data skipping: log-level min/max file pruning ---
+def q_txlog_stats_skipping(spark, sf_dir):
+    """The Delta/Iceberg file-pruning mechanism end-to-end: orders
+    committed to a txlog table in four key-ranged files WITH per-file
+    min/max stats in the log (sources/txlog.txlog_append_with_stats),
+    then a selective key-range read planned from the LOG alone
+    (txlog_read_skipping — files that cannot contain the range are
+    never opened; at 100 TB this is the difference between scanning a
+    fraction of the table and listing millions of footers). The
+    pruned-read result hash-checks against a plain filtered oracle;
+    the files-actually-skipped contract is pinned in
+    tests/test_warehouse.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from cs744_big_data_system_spark.sources.txlog import (
+        txlog_append_with_stats,
+        txlog_read_skipping,
+    )
+
+    path = os.path.join(tempfile.gettempdir(), f"txlog_skip_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    # four disjoint key-ranged commits → four files with disjoint stats
+    for lo, hi in ((0, 4000), (4000, 8000), (8000, 12000), (12000, 10**9)):
+        txlog_append_with_stats(
+            orders.filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)),
+            path,
+            ["o_orderkey"],
+        )
+    pruned = txlog_read_skipping(spark, path, "o_orderkey", 4500, 7500)
+    return pruned.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+SQL_TXLOG_STATS_SKIPPING = """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders WHERE o_orderkey >= 4500 AND o_orderkey <= 7500
+GROUP BY o_orderstatus
+"""
+
+
 # --- K-minimum-values distinct sketch — deterministic, oracle-checked ---
 def q_kmv_distinct(spark, sf_dir):
     """Per-event-type distinct-user estimates via the KMV sketch
@@ -688,6 +734,7 @@ WORKLOADS = {
     "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
     "bucketed_join_agg": (q_bucketed_join_agg, SQL_BUCKETED_JOIN_AGG),
     "k_anonymity_audit": (q_k_anonymity_audit, SQL_K_ANONYMITY),
+    "txlog_stats_skipping": (q_txlog_stats_skipping, SQL_TXLOG_STATS_SKIPPING),
     "kmv_jaccard": (q_kmv_jaccard, SQL_KMV_JACCARD),
     "table_diff": (q_table_diff, SQL_TABLE_DIFF),
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),

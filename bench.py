@@ -156,6 +156,8 @@ HEADLINE = [
     "udf_cogroup_arrow",
     "table_transpose",
     "sql_scripting",
+    "xml_roundtrip_sort",
+    "txlog_stats_skipping",
 ]
 
 

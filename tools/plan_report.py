@@ -179,6 +179,8 @@ QUERIES = [
     "udf_cogroup_arrow",
     "table_transpose",
     "sql_scripting",
+    "xml_roundtrip_sort",
+    "txlog_stats_skipping",
 ]
 
 

@@ -783,13 +783,16 @@ def semantic_dedup(
     oracle like the other iterative kernels.
 
     Scale shape: the paper runs k ≈ 10⁵ on LAION — k grows with the
-    corpus so per-cluster membership (and hence the within-cluster
-    pair fan-out) stays bounded; the k-means stage is one broadcast of
-    k centroids + a (code, dim) groupBy per iteration, and the prune
-    self-join shuffles on cluster id only. No all-pairs join at any
-    size.
+    corpus so per-cell membership c stays bounded; the k-means stage is
+    one broadcast of k centroids + a (code, dim) groupBy per
+    iteration, and the prune is the paper's per-cell MATRIX
+    formulation via applyInPandas: one shuffle keyed by cluster moves
+    c·d doubles per cell, the pairwise screen is a BLAS gram matrix
+    in-task (a relational pair self-join would materialize and shuffle
+    c²·2d doubles per cell instead). A cell must fit one task — that
+    is the same c-bounded contract the clustering is sized for. No
+    all-pairs join at any size.
     """
-    from cs744_big_data_system_spark.functions.vectors import cosine_similarity
     from cs744_big_data_system_spark.ml.kmeans_relational import kmeans_relational
 
     asg = kmeans_relational(
@@ -805,30 +808,44 @@ def semantic_dedup(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
     m = asg.join(v, id_col)
-    earlier = m.select(
-        F.col(id_col).alias("dup_of"), "cluster", F.col("_v").alias("_va")
-    )
-    later = m.select(F.col(id_col), "cluster", F.col("_v").alias("_vb"))
-    scored = (
-        later.join(earlier, "cluster")
-        .filter(F.col("dup_of") < F.col(id_col))
-        .select(
-            id_col,
-            "cluster",
-            "dup_of",
-            F.round(cosine_similarity("_va", "_vb"), 6).alias("cosine"),
+
+    # Per-cell prune as the paper's matrix formulation: ONE shuffle
+    # keyed by cluster brings each cell's c vectors (c·d doubles) to a
+    # task, then the whole pairwise screen is a BLAS gram matrix
+    # (c²·d flops in-memory) — vs the relational pair self-join that
+    # materializes and shuffles c²·2d doubles per cell. Cosines are
+    # rounded to 6 dp, and the best earlier mate is the FIRST argmax
+    # along ascending ids (= max cosine, lowest id on ties), so the
+    # output is value-identical to the row_number oracle.
+    import pandas as pd
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        V = np.array(pdf["_v"].tolist(), dtype=np.float64)[order]
+        norms = np.linalg.norm(V, axis=1)
+        denom = np.outer(norms, norms)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0, (V @ V.T) / denom, -np.inf)
+        cos = np.round(cos, 6)
+        # candidates: strictly-lower triangle (earlier ids only)
+        tri = np.tril(cos, -1)
+        tri[np.triu_indices_from(tri)] = -np.inf
+        best_j = tri.argmax(axis=1)  # first max = lowest id on ties
+        best_v = tri[np.arange(len(ids)), best_j]
+        keep = best_v >= threshold
+        n_keep = int(keep.sum())
+        return pd.DataFrame(
+            {
+                id_col: ids[keep],
+                "cluster": np.full(n_keep, pdf["cluster"].iloc[0], dtype="int64"),
+                "dup_of": ids[best_j[keep]],
+                "cosine": best_v[keep],
+            }
         )
-        .filter(F.col("cosine") >= threshold)
-    )
-    # best earlier mate = argmax(cosine desc, dup_of asc), expressed as
-    # min-of-struct((−cosine, dup_of)) — identical pick to the oracle's
-    # row_number, but a map-side-combinable aggregate instead of a
-    # window sort over the pair table (cluster is constant per id, so
-    # min() just carries it).
-    best = F.min(F.struct((-F.col("cosine")).alias("nc"), F.col("dup_of").alias("d")))
-    return scored.groupBy(id_col).agg(
-        F.min("cluster").alias("cluster"),
-        best["d"].alias("dup_of"),
-        # +0.0 normalizes IEEE −0.0 (possible only at threshold ≤ 0)
-        (-best["nc"] + F.lit(0.0)).alias("cosine"),
+
+    return m.groupBy("cluster").applyInPandas(
+        prune, schema=f"{id_col} long, cluster int, dup_of long, cosine double"
     )

@@ -1406,16 +1406,20 @@ def q_udf_cogroup_arrow(spark, sf_dir):
     cell of the Pandas/Arrow UDF matrix; both per-key slices arrive as
     raw pyarrow Tables, all math in pyarrow.compute kernels.
     Relationally a join+agg, so the API demo hash-checks against a
-    plain SQL oracle; run on the same 1-in-10 key subsample as the
-    pandas cogroup demo to keep the per-key round-trip cost bounded."""
+    plain SQL oracle; run on a 1-in-100 key subsample (per-order
+    groups are ~10x finer than the asof demo's per-user ones) to keep
+    the per-key Python round-trip cost bounded."""
     from cs744_big_data_system_spark.operators.grouped_pandas import (
         cogrouped_arrow_order_fill,
     )
     from cs744_big_data_system_spark.sources.readers import load_table
 
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 7)
+    # 1-in-100 keys: the per-ORDER grouping is far finer than the
+    # asof demo's per-user one (15k cogroups at sf0.1 — each paying the
+    # Python round-trip), so the API demo bounds harder to stay ~0.5s
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 7)
     lineitem = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_orderkey") % 10 == 7
+        F.col("l_orderkey") % 100 == 7
     )
     return cogrouped_arrow_order_fill(orders, lineitem)
 
@@ -1426,7 +1430,7 @@ SELECT o_orderkey, o_totalprice,
        round(sum(l_quantity), 6) AS sum_qty,
        round(sum(l_extendedprice * (1 - l_discount)), 6) AS net_revenue
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-WHERE o_orderkey % 10 = 7
+WHERE o_orderkey % 100 = 7
 GROUP BY o_orderkey, o_totalprice
 """
 

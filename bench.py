@@ -158,6 +158,7 @@ HEADLINE = [
     "sql_scripting",
     "xml_roundtrip_sort",
     "txlog_stats_skipping",
+    "ann_recall_eval",
 ]
 
 

@@ -420,6 +420,63 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
 """
 
 
+# --- ANN recall evaluation: approximate vs exact, inside the gate ---
+def q_ann_recall_eval(spark, sf_dir):
+    """Per-query recall@5 of the IVF index at nprobe=1 and nprobe=2
+    against the exact brute-force top-5 — the eval harness an ANN
+    deployment runs before trusting an index, expressed as a left
+    join of candidate sets. All three inputs are the already-
+    oracle-checked operators, so even the RECALL measurement itself
+    hash-checks (nprobe=2 must dominate nprobe=1 by construction;
+    pinned in tests)."""
+    from cs744_big_data_system_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk_bruteforce(q, emb, k=5).select("query_id", "neighbor_id")
+    ivf1 = (
+        cosine_topk_ivf(q, emb, num_centroids=8, k=5)
+        .select("query_id", "neighbor_id")
+        .withColumn("h1", F.lit(1))
+    )
+    ivf2 = (
+        cosine_topk_ivf(q, emb, num_centroids=8, k=5, nprobe=2)
+        .select("query_id", "neighbor_id")
+        .withColumn("h2", F.lit(1))
+    )
+    return (
+        exact.join(ivf1, ["query_id", "neighbor_id"], "left")
+        .join(ivf2, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("h1").alias("n_hit_ivf1"),
+            F.count("h2").alias("n_hit_ivf2"),
+            F.round(F.count("h1") / 5.0, 6).alias("recall_ivf1"),
+            F.round(F.count("h2") / 5.0, 6).alias("recall_ivf2"),
+        )
+    )
+
+
+def _sql_ann_recall() -> str:
+    return f"""
+WITH exact_tk AS ({SQL_COSINE_TOPK}),
+ivf1 AS ({{IVF1}}),
+ivf2 AS ({{IVF2}})
+SELECT e.query_id,
+       CAST(count(i1.neighbor_id) AS BIGINT) AS n_hit_ivf1,
+       CAST(count(i2.neighbor_id) AS BIGINT) AS n_hit_ivf2,
+       round(count(i1.neighbor_id) / 5.0, 6) AS recall_ivf1,
+       round(count(i2.neighbor_id) / 5.0, 6) AS recall_ivf2
+FROM exact_tk e
+LEFT JOIN ivf1 i1 ON i1.query_id = e.query_id AND i1.neighbor_id = e.neighbor_id
+LEFT JOIN ivf2 i2 ON i2.query_id = e.query_id AND i2.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
 # --- Hard-negative mining (contrastive-training selection pass) ---
 def q_hard_negatives(spark, sf_dir):
     """Top-5 most-similar DIFFERENT-label vectors per query
@@ -521,6 +578,15 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
   WHERE q.vec_id < 20
 ) WHERE rnk <= 5
 """
+
+
+#: the recall-eval oracle nests the three already-checked top-k
+#: oracles as CTE bodies (DuckDB supports WITH inside a CTE).
+SQL_ANN_RECALL_EVAL = (
+    _sql_ann_recall()
+    .replace("{IVF1}", SQL_COSINE_TOPK_IVF)
+    .replace("{IVF2}", SQL_COSINE_TOPK_IVF2)
+)
 
 
 # --- LSH-bucketed approximate top-k (scale path) — oracle-checked ---
@@ -2012,6 +2078,7 @@ WORKLOADS = {
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "text_winnowing": (q_text_winnowing, SQL_TEXT_WINNOWING),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
+    "ann_recall_eval": (q_ann_recall_eval, SQL_ANN_RECALL_EVAL),
     "domain_mix_weights": (q_domain_mix, SQL_DOMAIN_MIX),
     "text_bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
     "text_perplexity_filter": (q_perplexity_filter, SQL_PERPLEXITY_FILTER),

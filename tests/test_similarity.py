@@ -264,3 +264,15 @@ def test_hard_negative_topk_excludes_same_label(spark):
     got = [(r.neg_id, r.rnk) for r in sorted(out, key=lambda r: r.rnk)]
     assert got == [(2, 1), (3, 2)]
     assert all(r.neg_id != 1 for r in out)
+
+
+def test_ann_recall_nprobe2_dominates_nprobe1(spark):
+    """The recall-eval query itself must show nprobe=2 ⊇ nprobe=1 hits
+    per query (widening the probe set can only add candidates)."""
+    from cs744_big_data_system_spark.workloads.llm import q_ann_recall_eval
+    from tests.conftest import SF_SMALL
+
+    rows = q_ann_recall_eval(spark, SF_SMALL).collect()
+    assert len(rows) == 20
+    assert all(r.n_hit_ivf2 >= r.n_hit_ivf1 for r in rows)
+    assert all(0.0 <= r.recall_ivf1 <= r.recall_ivf2 <= 1.0 for r in rows)

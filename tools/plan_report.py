@@ -181,6 +181,7 @@ QUERIES = [
     "sql_scripting",
     "xml_roundtrip_sort",
     "txlog_stats_skipping",
+    "ann_recall_eval",
 ]
 
 

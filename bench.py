@@ -159,6 +159,8 @@ HEADLINE = [
     "xml_roundtrip_sort",
     "txlog_stats_skipping",
     "ann_recall_eval",
+    "corpus_drift_kl",
+    "text_novelty",
 ]
 
 

@@ -999,3 +999,95 @@ def winnowing_fingerprints(
         )
         .distinct()
     )
+
+
+def corpus_drift_kl(
+    documents: DataFrame,
+    slice_col: str = "lang",
+    slice_value: str = "en",
+    num_buckets: int = 4096,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Corpus drift monitor: smoothed KL and Jensen–Shannon divergence
+    between the hashed-unigram distribution of one corpus slice
+    (``slice_col = slice_value``) and the rest — the one-row gauge a
+    pipeline tracks across ingest batches to catch topic/source drift
+    before it poisons a data mix.
+
+    Distributions are add-``alpha`` smoothed over md5-hash buckets
+    (both corpora share the full bucket union, so KL is finite by
+    construction). Returns ONE row: (n_p, n_q, kl_pq, kl_qp, js),
+    divergences in nats rounded to 6 dp — the bucket tables are
+    ``num_buckets``-row bounded aggregates, the final reduce is a
+    single sum over them; nothing scales with the corpus except the
+    one token-explode groupBy.
+    """
+    tok = documents.select(
+        F.col(slice_col).alias("_s"), F.explode(tokens("text")).alias("tok")
+    ).select("_s", F.pmod(md5_int60(F.col("tok")), F.lit(num_buckets)).alias("b"))
+    counts = tok.groupBy("b").agg(
+        F.sum(F.when(F.col("_s") == slice_value, 1).otherwise(0)).alias("c_p"),
+        F.sum(F.when(F.col("_s") != slice_value, 1).otherwise(0)).alias("c_q"),
+    )
+    tot = counts.agg(
+        F.sum("c_p").alias("n_p"), F.sum("c_q").alias("n_q")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    p = (F.col("c_p") + alpha) / (F.col("n_p") + alpha * num_buckets)
+    q = (F.col("c_q") + alpha) / (F.col("n_q") + alpha * num_buckets)
+    m = (p + q) / 2
+    return j.agg(
+        F.max("n_p").cast("long").alias("n_p"),
+        F.max("n_q").cast("long").alias("n_q"),
+        F.round(F.sum(p * F.log(p / q)), 6).alias("kl_pq"),
+        F.round(F.sum(q * F.log(q / p)), 6).alias("kl_qp"),
+        F.round(
+            (F.sum(p * F.log(p / m)) + F.sum(q * F.log(q / m))) / 2, 6
+        ).alias("js"),
+    )
+
+
+def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document novelty: the share of a doc's distinct n-gram
+    shingles whose FIRST appearance in the corpus (by ascending
+    doc_id — the ingest-order proxy) is this very document. Curation
+    uses it to separate generative/fresh content from recycled text:
+    a late doc full of already-seen shingles is a recombination.
+
+    Returns (doc_id, n_shingles, n_novel, novelty) with novelty
+    rounded to 6 dp. Scale shape: first-seen is one min(doc_id)
+    groupBy over the shingle explode (map-side combinable, keyed by
+    the 60-bit hash), joined back to the per-doc distinct shingles —
+    two near-uniform shuffles, no self-join, no window.
+    """
+    from cs744_big_data_system_spark.functions.text import ngrams_from_tokens
+
+    sh = (
+        documents.select(
+            "doc_id", tokens(normalized_text("text")).alias("_tk")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(ngrams_from_tokens("_tk", n), md5_int60)
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+    )

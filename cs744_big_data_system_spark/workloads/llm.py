@@ -1880,6 +1880,83 @@ FROM docs d LEFT JOIN ndup n USING (doc_id) LEFT JOIN cov c USING (doc_id)
 SQL_DEDUP_SUBSTRING = _sql_dedup_substring()
 
 
+# --- Corpus drift monitor: KL/JS between slice distributions ---
+def q_corpus_drift_kl(spark, sf_dir):
+    """One-row drift gauge (operators/text_analysis.corpus_drift_kl):
+    smoothed KL/JS divergence between the lang='en' slice's hashed
+    unigram distribution and the rest of the corpus — tracked across
+    ingest batches to catch topic/source drift. Bucket tables are
+    4096-row bounded aggregates; hash-checked at 6 dp."""
+    from cs744_big_data_system_spark.operators.text_analysis import corpus_drift_kl
+
+    return corpus_drift_kl(load_table(spark, sf_dir, "documents"))
+
+
+SQL_CORPUS_DRIFT_KL = f"""
+WITH tok AS (
+  SELECT lang, unnest({_SQL_TOKS}) AS tok FROM documents
+), bk AS (
+  SELECT lang, {_sql_md5_int60("tok")} % 4096 AS b FROM tok
+), counts AS (
+  SELECT b,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_p,
+         sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS c_q
+  FROM bk GROUP BY b
+), tot AS (
+  SELECT CAST(sum(c_p) AS DOUBLE) AS n_p, CAST(sum(c_q) AS DOUBLE) AS n_q
+  FROM counts
+)
+SELECT CAST(t.n_p AS BIGINT) AS n_p, CAST(t.n_q AS BIGINT) AS n_q,
+       round(sum(((c.c_p + 0.5) / (t.n_p + 0.5 * 4096))
+             * ln(((c.c_p + 0.5) / (t.n_p + 0.5 * 4096))
+                  / ((c.c_q + 0.5) / (t.n_q + 0.5 * 4096)))), 6) AS kl_pq,
+       round(sum(((c.c_q + 0.5) / (t.n_q + 0.5 * 4096))
+             * ln(((c.c_q + 0.5) / (t.n_q + 0.5 * 4096))
+                  / ((c.c_p + 0.5) / (t.n_p + 0.5 * 4096)))), 6) AS kl_qp,
+       round((sum(((c.c_p + 0.5) / (t.n_p + 0.5 * 4096))
+              * ln(((c.c_p + 0.5) / (t.n_p + 0.5 * 4096))
+                   / ((((c.c_p + 0.5) / (t.n_p + 0.5 * 4096))
+                       + ((c.c_q + 0.5) / (t.n_q + 0.5 * 4096))) / 2)))
+            + sum(((c.c_q + 0.5) / (t.n_q + 0.5 * 4096))
+              * ln(((c.c_q + 0.5) / (t.n_q + 0.5 * 4096))
+                   / ((((c.c_p + 0.5) / (t.n_p + 0.5 * 4096))
+                       + ((c.c_q + 0.5) / (t.n_q + 0.5 * 4096))) / 2)))) / 2,
+             6) AS js
+FROM counts c, tot t GROUP BY t.n_p, t.n_q
+"""
+
+
+# --- N-gram novelty: first-seen share per doc (recycled-text screen) ---
+def q_text_novelty(spark, sf_dir):
+    """Per-doc share of distinct 3-gram shingles first seen (by
+    ascending doc_id) in that very document
+    (operators/text_analysis.ngram_novelty) — the recycled-content
+    screen: late docs full of already-seen shingles are
+    recombinations. Two near-uniform shuffles, no self-join."""
+    from cs744_big_data_system_spark.operators.text_analysis import ngram_novelty
+
+    return ngram_novelty(load_table(spark, sf_dir, "documents"), n=3)
+
+
+SQL_TEXT_NOVELTY = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_CANON_TOKS} AS tk FROM documents
+), sh0 AS (
+  SELECT DISTINCT doc_id, {_sql_md5_int60("gram")} AS shingle FROM (
+    SELECT doc_id, unnest({_sql_ngram(3)}) AS gram FROM toks
+  )
+), fs AS (
+  SELECT shingle, min(doc_id) AS first_doc FROM sh0 GROUP BY shingle
+)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS novelty
+FROM sh0 s JOIN fs f USING (shingle) GROUP BY s.doc_id
+"""
+
+
 # --- Winnowing fingerprints (Schleimer et al. 2003 / MOSS) ---
 def q_text_winnowing(spark, sf_dir):
     """Per-document winnowing fingerprint sets
@@ -2079,6 +2156,8 @@ WORKLOADS = {
     "text_winnowing": (q_text_winnowing, SQL_TEXT_WINNOWING),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "ann_recall_eval": (q_ann_recall_eval, SQL_ANN_RECALL_EVAL),
+    "corpus_drift_kl": (q_corpus_drift_kl, SQL_CORPUS_DRIFT_KL),
+    "text_novelty": (q_text_novelty, SQL_TEXT_NOVELTY),
     "domain_mix_weights": (q_domain_mix, SQL_DOMAIN_MIX),
     "text_bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
     "text_perplexity_filter": (q_perplexity_filter, SQL_PERPLEXITY_FILTER),

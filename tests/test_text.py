@@ -496,3 +496,35 @@ def test_winnowing_matches_reference_and_guarantee(spark):
     assert shared_hashes, "guarantee: >=k+w-1 shared run must share a fingerprint"
     # compression: far fewer fingerprints than grams (14 grams in d0)
     assert len(got[0]) <= 8
+
+
+def test_corpus_drift_kl_orders_similar_vs_disjoint(spark):
+    from cs744_big_data_system_spark.operators.text_analysis import corpus_drift_kl
+
+    same = [(i, "alpha beta gamma delta " * 5, "en" if i % 2 == 0 else "fr")
+            for i in range(20)]
+    near_zero = corpus_drift_kl(
+        spark.createDataFrame(same, ["doc_id", "text", "lang"]),
+        num_buckets=64,
+    ).collect()[0]
+    disjoint = [(i, ("alpha beta gamma " if i % 2 == 0 else "omega psi chi ") * 5,
+                 "en" if i % 2 == 0 else "fr") for i in range(20)]
+    far = corpus_drift_kl(
+        spark.createDataFrame(disjoint, ["doc_id", "text", "lang"]),
+        num_buckets=64,
+    ).collect()[0]
+    assert abs(near_zero.js) < 1e-6 and abs(near_zero.kl_pq) < 1e-6
+    assert far.js > 0.3 and far.kl_pq > 1.0 and far.kl_qp > 1.0
+
+
+def test_ngram_novelty_flags_recycled_text(spark):
+    from cs744_big_data_system_spark.operators.text_analysis import ngram_novelty
+
+    a = "one two three four five six seven eight"
+    b = a                                   # full recycle of doc 0
+    c = "one two three four " + "nine ten eleven twelve"  # half recycled
+    docs = spark.createDataFrame([(0, a), (1, b), (2, c)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in ngram_novelty(docs, n=3).collect()}
+    assert out[0].novelty == 1.0
+    assert out[1].novelty == 0.0
+    assert 0.0 < out[2].novelty < 1.0 and out[2].n_novel < out[2].n_shingles

@@ -182,6 +182,8 @@ QUERIES = [
     "xml_roundtrip_sort",
     "txlog_stats_skipping",
     "ann_recall_eval",
+    "corpus_drift_kl",
+    "text_novelty",
 ]
 
 

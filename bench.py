@@ -161,6 +161,7 @@ HEADLINE = [
     "ann_recall_eval",
     "corpus_drift_kl",
     "text_novelty",
+    "embedding_frechet",
 ]
 
 

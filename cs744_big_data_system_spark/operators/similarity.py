@@ -620,3 +620,62 @@ def hard_negative_topk(
         F.col("cosine").desc(), F.col("neg_id").asc()
     )
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def embedding_frechet_diag(
+    embeddings: DataFrame,
+    slice_col: str = "label",
+    slice_value: int = 0,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FID-style corpus distance between two embedding slices under
+    the diagonal-Gaussian approximation: with per-dimension means μ
+    and variances σ² of slice P (``slice_col = slice_value``) and the
+    complement Q,
+
+        d² = Σ_d (μP_d − μQ_d)² + Σ_d (σ²P_d + σ²Q_d − 2·√(σ²P_d·σ²Q_d))
+
+    — the Fréchet inception distance with the full covariance replaced
+    by its diagonal, which keeps the statistic a pure closed-form
+    aggregate (full-covariance FID needs a matrix sqrt; the diagonal
+    form is the standard cheap monitor for embedding-distribution
+    drift between corpus slices or ingest batches).
+
+    Returns ONE row (n_p, n_q, mean_dist2, cov_dist, frechet2) at
+    6 dp. Scale shape: one (dim)-keyed groupBy over the coordinate
+    explode — 2·dim aggregate cells regardless of corpus size — and a
+    dim-row final reduce.
+    """
+    x = embeddings.select(
+        (F.col(slice_col) == slice_value).alias("_p"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "xi"),
+    )
+    per_dim = x.groupBy("d").agg(
+        F.sum(F.when(F.col("_p"), 1).otherwise(0)).alias("n_p"),
+        F.sum(F.when(~F.col("_p"), 1).otherwise(0)).alias("n_q"),
+        F.sum(F.when(F.col("_p"), F.col("xi")).otherwise(0.0)).alias("s_p"),
+        F.sum(F.when(~F.col("_p"), F.col("xi")).otherwise(0.0)).alias("s_q"),
+        F.sum(F.when(F.col("_p"), F.col("xi") * F.col("xi")).otherwise(0.0)).alias("ss_p"),
+        F.sum(F.when(~F.col("_p"), F.col("xi") * F.col("xi")).otherwise(0.0)).alias("ss_q"),
+    )
+    mu_p = F.col("s_p") / F.col("n_p")
+    mu_q = F.col("s_q") / F.col("n_q")
+    var_p = F.col("ss_p") / F.col("n_p") - mu_p * mu_p
+    var_q = F.col("ss_q") / F.col("n_q") - mu_q * mu_q
+    terms = per_dim.select(
+        "n_p",
+        "n_q",
+        ((mu_p - mu_q) * (mu_p - mu_q)).alias("md2"),
+        (var_p + var_q - 2 * F.sqrt(F.greatest(var_p * var_q, F.lit(0.0)))).alias("cd"),
+    )
+    # per-dim counts already equal the slice sizes (one coordinate row
+    # per vector per dim)
+    return terms.agg(
+        F.max("n_p").cast("long").alias("n_p"),
+        F.max("n_q").cast("long").alias("n_q"),
+        F.round(F.sum("md2"), 6).alias("mean_dist2"),
+        F.round(F.sum("cd"), 6).alias("cov_dist"),
+        F.round(F.sum("md2") + F.sum("cd"), 6).alias("frechet2"),
+    )

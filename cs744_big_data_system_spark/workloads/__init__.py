@@ -53,9 +53,10 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # embedding_random_projection, embedding_covariance, embedding_pca,
     # udf_cogroup_arrow, image_neardup_phash, table_transpose,
     # sql_scripting, xml_roundtrip_sort, txlog_stats_skipping,
-    # ann_recall_eval, corpus_drift_kl, text_novelty — 24 in all) —
-    # every one selfcheck-green; promote them right behind the 18
-    # above in r05 (42 + 18 > 50, so rounds 5-6 retire everything).
+    # ann_recall_eval, corpus_drift_kl, text_novelty,
+    # embedding_frechet — 25 in all) — every one selfcheck-green;
+    # promote them right behind the 18 above in r05 (43 + 18 > 50, so
+    # rounds 5-6 retire everything).
     reg: dict = {}
     reg.update(llm.WORKLOADS)
     reg.update(streaming_graph.WORKLOADS)

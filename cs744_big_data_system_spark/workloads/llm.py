@@ -1189,6 +1189,53 @@ FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
 """
 
 
+# --- FID-style slice distance (diagonal-Gaussian Fréchet) ---
+def q_embedding_frechet(spark, sf_dir):
+    """One-row Fréchet distance between the label=0 slice's embedding
+    distribution and the rest under the diagonal-Gaussian
+    approximation (operators/similarity.embedding_frechet_diag) — the
+    FID-shaped drift monitor for embedding batches, kept closed-form
+    (no matrix sqrt) so it stays a pure aggregate and hash-checks.
+    2·dim aggregate cells regardless of corpus size."""
+    from cs744_big_data_system_spark.operators.similarity import embedding_frechet_diag
+
+    return embedding_frechet_diag(load_table(spark, sf_dir, "embeddings"))
+
+
+SQL_EMBEDDING_FRECHET = """
+WITH x AS (
+  SELECT (label = 0) AS p, u.d AS d, u.xi AS xi FROM (
+    SELECT label, unnest(list_transform(embedding,
+           (e, k) -> struct_pack(d := k - 1, xi := CAST(e AS DOUBLE)))) AS u
+    FROM embeddings
+  )
+), per_dim AS (
+  SELECT d,
+         sum(CASE WHEN p THEN 1 ELSE 0 END) AS n_p,
+         sum(CASE WHEN NOT p THEN 1 ELSE 0 END) AS n_q,
+         sum(CASE WHEN p THEN xi ELSE 0.0 END) AS s_p,
+         sum(CASE WHEN NOT p THEN xi ELSE 0.0 END) AS s_q,
+         sum(CASE WHEN p THEN xi * xi ELSE 0.0 END) AS ss_p,
+         sum(CASE WHEN NOT p THEN xi * xi ELSE 0.0 END) AS ss_q
+  FROM x GROUP BY d
+), terms AS (
+  SELECT n_p, n_q,
+         (s_p / n_p - s_q / n_q) * (s_p / n_p - s_q / n_q) AS md2,
+         (ss_p / n_p - (s_p / n_p) * (s_p / n_p))
+         + (ss_q / n_q - (s_q / n_q) * (s_q / n_q))
+         - 2 * sqrt(greatest(
+             (ss_p / n_p - (s_p / n_p) * (s_p / n_p))
+             * (ss_q / n_q - (s_q / n_q) * (s_q / n_q)), 0.0)) AS cd
+  FROM per_dim
+)
+SELECT CAST(max(n_p) AS BIGINT) AS n_p, CAST(max(n_q) AS BIGINT) AS n_q,
+       round(sum(md2), 6) AS mean_dist2,
+       round(sum(cd), 6) AS cov_dist,
+       round(sum(md2) + sum(cd), 6) AS frechet2
+FROM terms
+"""
+
+
 # --- PCA projection (driver-side dim×dim eigensolve; rows-only) ---
 def q_embedding_pca(spark, sf_dir):
     """Top-8 principal-component projection
@@ -2158,6 +2205,7 @@ WORKLOADS = {
     "ann_recall_eval": (q_ann_recall_eval, SQL_ANN_RECALL_EVAL),
     "corpus_drift_kl": (q_corpus_drift_kl, SQL_CORPUS_DRIFT_KL),
     "text_novelty": (q_text_novelty, SQL_TEXT_NOVELTY),
+    "embedding_frechet": (q_embedding_frechet, SQL_EMBEDDING_FRECHET),
     "domain_mix_weights": (q_domain_mix, SQL_DOMAIN_MIX),
     "text_bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
     "text_perplexity_filter": (q_perplexity_filter, SQL_PERPLEXITY_FILTER),

@@ -276,3 +276,31 @@ def test_ann_recall_nprobe2_dominates_nprobe1(spark):
     assert len(rows) == 20
     assert all(r.n_hit_ivf2 >= r.n_hit_ivf1 for r in rows)
     assert all(0.0 <= r.recall_ivf1 <= r.recall_ivf2 <= 1.0 for r in rows)
+
+
+def test_embedding_frechet_diag_separates_shifted_slices(spark):
+    """Identical slices → distance ~0; a mean-shifted slice → the
+    mean term dominates and matches the planted shift."""
+    import numpy as np
+
+    from cs744_big_data_system_spark.operators.similarity import embedding_frechet_diag
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(40, 4)
+    same = [(i, [float(v) for v in base[i]], i % 2) for i in range(40)]
+    d0 = embedding_frechet_diag(
+        spark.createDataFrame(same, ["vec_id", "embedding", "label"]),
+        slice_value=0, dim=4,
+    ).collect()[0]
+    # identical generating distribution: small but nonzero sample noise
+    assert d0.frechet2 < 1.0
+
+    shifted = [(i, [float(v) + (3.0 if i % 2 == 0 else 0.0) for v in base[i]], i % 2)
+               for i in range(40)]
+    d1 = embedding_frechet_diag(
+        spark.createDataFrame(shifted, ["vec_id", "embedding", "label"]),
+        slice_value=0, dim=4,
+    ).collect()[0]
+    # planted +3 shift in all 4 dims → mean_dist2 ≈ 4 * 9 = 36
+    assert 25.0 < d1.mean_dist2 < 50.0
+    assert d1.frechet2 > d0.frechet2 + 20.0

@@ -184,6 +184,7 @@ QUERIES = [
     "ann_recall_eval",
     "corpus_drift_kl",
     "text_novelty",
+    "embedding_frechet",
 ]
 
 

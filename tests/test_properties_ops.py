@@ -617,3 +617,74 @@ def test_peak_concurrency_two_level_equals_flat_sweep(spark, offsets):
         peak = max(peak, cur)
     # all events fall on 2024-01-01 (offsets < 2h + 5min TTL)
     assert got["2024-01-01"] == peak, (got, endpoints)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(list("abcdef")), min_size=0, max_size=30).map(
+            lambda toks: " ".join(toks)
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    window=st.sampled_from([2, 4]),
+)
+@settings(**_SETTINGS)
+def test_winnowing_matches_pure_python_reference(spark, docs, window):
+    """Winnowing over arbitrary small-alphabet docs (heavy hash ties —
+    the tie-break stress case) must equal the rightmost-min reference."""
+    import hashlib
+
+    from cs744_big_data_system_spark.operators.text_analysis import (
+        winnowing_fingerprints,
+    )
+
+    k = 2
+
+    def py_winnow(text):
+        toks = text.lower().split()
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+        out = set()
+        for e in range(window - 1, len(hs)):
+            win = hs[e - window + 1 : e + 1]
+            m = min(win)
+            pos = e - window + 1 + max(i for i, v in enumerate(win) if v == m)
+            out.add((pos, m))
+        return out
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {}
+    for r in winnowing_fingerprints(df, k=k, window=window).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.gram_hash))
+    for i, text in enumerate(docs):
+        assert got.get(i, set()) == py_winnow(text), (i, text)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(list("wxyz")), min_size=3, max_size=12).map(
+            lambda toks: " ".join(toks)
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+)
+@settings(**_SETTINGS)
+def test_ngram_novelty_conservation(spark, docs):
+    """Σ n_novel over all docs == |distinct shingles in the corpus|
+    (every shingle is first-seen exactly once), and per-doc novelty is
+    n_novel / n_shingles."""
+    from cs744_big_data_system_spark.operators.text_analysis import ngram_novelty
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    rows = ngram_novelty(df, n=3).collect()
+    corpus_shingles = set()
+    for text in docs:
+        toks = text.lower().split()
+        corpus_shingles |= {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    assert sum(r.n_novel for r in rows) == len(corpus_shingles)
+    for r in rows:
+        assert abs(r.novelty - round(r.n_novel / r.n_shingles, 6)) < 1e-9

@@ -528,3 +528,19 @@ def test_ngram_novelty_flags_recycled_text(spark):
     assert out[0].novelty == 1.0
     assert out[1].novelty == 0.0
     assert 0.0 < out[2].novelty < 1.0 and out[2].n_novel < out[2].n_shingles
+
+
+def test_dsir_weights_self_target_is_exactly_zero(spark):
+    """With the target equal to the raw corpus, both bucket
+    distributions are identical, so every document's log-likelihood
+    ratio is exactly 0 — not approximately: each bucket's two smoothed
+    probabilities are the same double, and ln(p)−ln(p) is 0.0."""
+    from cs744_big_data_system_spark.operators.text_analysis import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i} the quick brown fox and token{i % 3}") for i in range(12)],
+        ["doc_id", "text"],
+    )
+    rows = dsir_weights(docs, docs, num_buckets=128).collect()
+    assert len(rows) == 12
+    assert all(r.dsir_logratio == 0.0 for r in rows)

@@ -59,6 +59,10 @@ QUERIES = [
     "image_neardup_phash",
     "shard_export",
     "bucketed_join_agg",
+    "text_novelty",
+    "corpus_drift_kl",
+    "embedding_frechet",
+    "ann_recall_eval",
 ]
 
 

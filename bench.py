@@ -162,6 +162,13 @@ HEADLINE = [
     "corpus_drift_kl",
     "text_novelty",
     "embedding_frechet",
+    "dedup_keep_best",
+    "bloom_decontaminate",
+    "entity_match_pairs",
+    "inverted_index",
+    "bitext_margin_mining",
+    "dedup_recall_eval",
+    "cdc_apply",
 ]
 
 

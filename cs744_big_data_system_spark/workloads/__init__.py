@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from cs744_big_data_system_spark.workloads import (
+    curation,
     llm,
     pipeline_ext,
     relational,
@@ -54,8 +55,11 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # udf_cogroup_arrow, image_neardup_phash, table_transpose,
     # sql_scripting, xml_roundtrip_sort, txlog_stats_skipping,
     # ann_recall_eval, corpus_drift_kl, text_novelty,
-    # embedding_frechet — 25 in all) — every one selfcheck-green;
-    # promote them right behind the 18 above in r05 (43 + 18 > 50, so
+    # embedding_frechet — 25 in all, plus the curation batch:
+    # dedup_keep_best, bloom_decontaminate, entity_match_pairs,
+    # inverted_index, bitext_margin_mining, dedup_recall_eval,
+    # cdc_apply — 32 in all) — every one selfcheck-green;
+    # promote them right behind the 18 above in r05 (50 + 18 > 50, so
     # rounds 5-6 retire everything).
     reg: dict = {}
     reg.update(llm.WORKLOADS)
@@ -67,6 +71,10 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # Appended AFTER the never-attested block per the ordering invariant:
     # these earn their first driver-attested row in a later window.
     reg.update(pipeline_ext.WORKLOADS)
+    # curation batch 4b (added late in round 4, all oracle-backed):
+    # promote with the rest of the round-4 additions in the r05/r06
+    # rotation per the note above.
+    reg.update(curation.WORKLOADS)
 
     # ROUND-4 ROTATION: r01–r03 attested 150 distinct entries; the 68
     # never-attested remain. The 54 oracle-backed ones go first (the

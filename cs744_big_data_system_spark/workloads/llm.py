@@ -83,7 +83,12 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
-SQL_NGRAM_JACCARD = f"""
+def _sql_ngram_jaccard(threshold: float = 0.05) -> str:
+    """DuckDB mirror of operators/dedup.ngram_jaccard_pairs at an
+    arbitrary threshold (curation.dedup_recall_eval reuses it at the
+    truth-set threshold); ``_sql_ngram_jaccard(0.05)`` is byte-identical
+    to the original SQL_NGRAM_JACCARD literal."""
+    return f"""
 WITH toks AS (
   SELECT doc_id, lang, {_SQL_CANON_TOKS} AS tk FROM documents
 ), grams AS (
@@ -109,8 +114,11 @@ SELECT doc_a, doc_b,
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.05
+WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= {threshold}
 """
+
+
+SQL_NGRAM_JACCARD = _sql_ngram_jaccard()
 
 
 # --- MinHash signature (first 4 hash-family members), oracle-checked ---

@@ -63,6 +63,15 @@ QUERIES = [
     "corpus_drift_kl",
     "embedding_frechet",
     "ann_recall_eval",
+    # curation batch 4b: the bloom broadcast, the CC-based survivor
+    # pick, the banded-LSH recall audit, and the windowless CDC agg
+    "dedup_keep_best",
+    "bloom_decontaminate",
+    "entity_match_pairs",
+    "inverted_index",
+    "bitext_margin_mining",
+    "dedup_recall_eval",
+    "cdc_apply",
 ]
 
 

@@ -169,6 +169,10 @@ HEADLINE = [
     "bitext_margin_mining",
     "dedup_recall_eval",
     "cdc_apply",
+    "temperature_resample",
+    "quality_classifier_nb",
+    "graph_personalized_pagerank",
+    "stream_cdc_replay",
 ]
 
 
@@ -187,9 +191,10 @@ def time_query(fn, spark, sf_dir, reps: int = 2) -> float:
     # expose it as cached_links; all reps share the one cache entry
     # (CacheManager dedupes by plan), so release it here to keep a long
     # bench session from accumulating blocks.
-    cached = getattr(df, "cached_links", None)
-    if cached is not None:
-        cached.unpersist()
+    for attr in ("cached_links", "cached_nodes"):
+        cached = getattr(df, attr, None)
+        if cached is not None:
+            cached.unpersist()
     # Iterative queries leave localCheckpoint blocks behind until the
     # driver GC lets the ContextCleaner reap them; across a 60+-query
     # session the backlog grows until the block manager churns (BFS

@@ -96,3 +96,58 @@ def last_touch_attribution(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cdc_current_state(events: DataFrame) -> DataFrame:
+    """Streaming CDC apply: per-key group state is the CURRENT row —
+    (last ts, event id, op, value) plus op counters — updated as
+    change events arrive and re-emitted every micro-batch the key
+    appears in (output mode `update`). The online sibling of
+    workloads/curation.q_cdc_apply: with time-ordered waves the last
+    emission per key equals the batch max-of-struct pick, so the
+    replay hash-matches the SAME DuckDB oracle (SQL_CDC_APPLY).
+
+    Expects columns (user_id, ts_us, event_id, op, value); state is
+    constant bytes per key regardless of stream length.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            ts, eid, op, val, n, d = state.get
+        else:
+            ts, eid, op, val, n, d = -1, -1, "", 0.0, 0, 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for r in pdf.itertuples():
+                # Micro-batch rows arrive unordered relative to state:
+                # apply only changes NEWER than the current row (the
+                # batch oracle's (ts, event_id) max pick).
+                if (r.ts_us, r.event_id) > (ts, eid):
+                    ts, eid, op, val = int(r.ts_us), int(r.event_id), r.op, float(r.value)
+            n += len(pdf)
+            d += int((pdf["op"] == "D").sum())
+        state.update((ts, eid, op, val, n, d))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_ts": [ts],
+                "last_op": [op],
+                "value": [val],
+                "n_ops": [n],
+                "n_deletes": [d],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, last_ts long, last_op string, value double, "
+            "n_ops long, n_deletes long"
+        ),
+        stateStructType=(
+            "ts long, eid long, op string, val double, n long, d long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -55,12 +55,13 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # udf_cogroup_arrow, image_neardup_phash, table_transpose,
     # sql_scripting, xml_roundtrip_sort, txlog_stats_skipping,
     # ann_recall_eval, corpus_drift_kl, text_novelty,
-    # embedding_frechet — 25 in all, plus the curation batch:
+    # embedding_frechet — 25 in all, plus the curation batches:
     # dedup_keep_best, bloom_decontaminate, entity_match_pairs,
     # inverted_index, bitext_margin_mining, dedup_recall_eval,
-    # cdc_apply — 32 in all) — every one selfcheck-green;
-    # promote them right behind the 18 above in r05 (50 + 18 > 50, so
-    # rounds 5-6 retire everything).
+    # cdc_apply, temperature_resample, quality_classifier_nb,
+    # graph_personalized_pagerank, stream_cdc_replay — 36 in all) —
+    # every one selfcheck-green; promote them right behind the 18
+    # above in r05 (54 + 18 > 50, so rounds 5-6 retire everything).
     reg: dict = {}
     reg.update(llm.WORKLOADS)
     reg.update(streaming_graph.WORKLOADS)

@@ -329,6 +329,11 @@ FROM per GROUP BY token
 #: k nearest neighbors on each side).
 BITEXT_K = 4
 BITEXT_MARGIN_MIN = 1.0
+#: src-side shard bound for the demo query — production mining runs
+#: shard-by-shard over the full src set (each shard is this shape), so
+#: the demo mines one fixed shard rather than timing |src|x|tgt| brute
+#: force that the IVF path exists to avoid.
+BITEXT_SRC_CAP = 600
 
 
 def q_bitext_margin_mining(spark, sf_dir):
@@ -347,7 +352,9 @@ def q_bitext_margin_mining(spark, sf_dir):
     top-k's ride ONE pairs subplan (ReuseExchange), then two
     block-keyed window ranks."""
     emb = load_table(spark, sf_dir, "embeddings")
-    src = emb.filter(F.col("vec_id") % 2 == 0).select(
+    src = emb.filter(
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < BITEXT_SRC_CAP)
+    ).select(
         F.col("vec_id").alias("src_id"),
         F.col("embedding").alias("s_emb"),
         l2_norm("embedding").alias("s_n"),
@@ -400,7 +407,7 @@ SQL_BITEXT_MARGIN_MINING = f"""
 WITH pairs AS (
   SELECT a.vec_id AS src_id, b.vec_id AS tgt_id, round({_SQL_COS}, 6) AS cosine
   FROM embeddings a CROSS JOIN embeddings b
-  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+  WHERE a.vec_id % 2 = 0 AND a.vec_id < {BITEXT_SRC_CAP} AND b.vec_id % 2 = 1
 ), ranked AS (
   SELECT *,
     row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, tgt_id ASC) AS rf,
@@ -563,3 +570,367 @@ WORKLOADS = {
     "dedup_recall_eval": (q_dedup_recall_eval, SQL_DEDUP_RECALL_EVAL),
     "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
 }
+
+
+# --- Temperature-based domain resampling ---
+#: mixing temperature: target share of domain d ∝ n_d^ALPHA (α=1 keeps
+#: the natural mix, α→0 flattens to uniform — 0.5 is the GPT-3/Pile
+#: middle ground).
+MIX_ALPHA = 0.5
+
+
+def q_temperature_resample(spark, sf_dir):
+    """Rebalance the corpus toward a temperature-smoothed domain mix:
+    target share q_d ∝ n_d^α, per-doc keep probability
+    p_d = min(1, q_d·N/n_d), membership decided by the md5-uniform
+    draw u(doc) < p_d — fully deterministic, so the SAME docs are kept
+    on every engine and every rerun (reproducible corpus builds).
+
+    p_d is rounded to 9 dp BEFORE the comparison on both engines: the
+    Σ n^α normalizer is the only order-sensitive float here and 9 dp
+    sits ~7 orders above its accumulation noise. u is an exact
+    60-bit-over-2^60 dyadic, so ties against the 9 dp grid cannot
+    flip across engines.
+
+    Scale shape: the per-domain table is |domains| rows (broadcast);
+    the corpus side is one scan + one broadcast join + a scan-side
+    filter. No shuffle of the corpus at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_d"))
+    tot = counts.agg(
+        F.sum("n_d").alias("n_tot"),
+        F.sum(F.pow(F.col("n_d").cast("double"), F.lit(MIX_ALPHA))).alias("z"),
+    )
+    p = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_d",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.pow(F.col("n_d").cast("double"), F.lit(MIX_ALPHA))
+                / F.col("z")
+                * F.col("n_tot")
+                / F.col("n_d"),
+            ),
+            9,
+        ).alias("p_keep"),
+    )
+    u = md5_int60(F.concat(F.lit("tr:"), F.col("doc_id").cast("string"))) / F.lit(
+        float(1 << 60)
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(p), "source")
+        .withColumn("u", u)
+        .filter(F.col("u") < F.col("p_keep"))
+        .select("doc_id", "source", "p_keep")
+    )
+
+
+SQL_TEMPERATURE_RESAMPLE = f"""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_d FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_d) AS BIGINT) AS n_tot,
+         sum(pow(CAST(n_d AS DOUBLE), {MIX_ALPHA})) AS z
+  FROM counts
+), p AS (
+  SELECT source, n_d,
+         round(least(1.0, pow(CAST(n_d AS DOUBLE), {MIX_ALPHA}) / z * n_tot / n_d), 9) AS p_keep
+  FROM counts, tot
+)
+SELECT d.doc_id, d.source, p.p_keep
+FROM documents d JOIN p USING (source)
+WHERE {_sql_md5_int60("'tr:' || CAST(d.doc_id AS VARCHAR)")} / {float(1 << 60)!r} < p.p_keep
+"""
+
+
+# --- Weak-label NB quality classifier (fasttext-style filter) ---
+#: weak-label predicate: "long-form" docs (>= this many whitespace
+#: tokens) are the positive class. Pluggable — production swaps in a
+#: curated positive set (e.g. wiki/books vs raw crawl); the synthetic
+#: corpus fails Gopher's stopword gate wholesale, so the Gopher
+#: conjunction would be a degenerate label here.
+QUALITY_MIN_WORDS = 80
+QUALITY_VOCAB = 100
+
+
+def q_quality_classifier_nb(spark, sf_dir):
+    """The CCNet/fasttext-style quality filter, trained and scored in
+    one relational pipeline: weak binary labels -> multinomial NB with
+    Laplace smoothing over a bounded vocab -> per-doc log-odds. Reuses
+    the micro-nat quantization discipline of ml/naive_bayes.py (every
+    log-prob becomes an integer; all scores are BIGINT sums), so
+    training AND scoring hash-check against the DuckDB oracle.
+
+    Scale shape: two corpus passes (vocab count, scoring); the model
+    is a |V|-row delta table (log-odds per token) — bounded, broadcast;
+    scoring is explode + broadcast join + one (doc_id) sum."""
+    from cs744_big_data_system_spark.functions.text import normalized_text
+    from cs744_big_data_system_spark.ml.naive_bayes import _q_ln
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(normalized_text("text")).alias("_tk")
+    )
+    labeled = docs.select(
+        "doc_id",
+        "_tk",
+        (F.size("_tk") >= QUALITY_MIN_WORDS).cast("int").alias("y"),
+    )
+    tok = labeled.select("doc_id", "y", F.explode("_tk").alias("token"))
+
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "token")
+        .limit(QUALITY_VOCAB)
+        .select("token")
+    )
+    classes = labeled.groupBy("y").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = classes.agg(F.sum("n_docs").alias("n"))
+    priors = classes.crossJoin(F.broadcast(total)).select(
+        "y", _q_ln(F.col("n_docs") * 1.0 / F.col("n")).alias("prior_i")
+    )
+    tc = (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy("y", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    grid = (
+        classes.select("y")
+        .crossJoin(F.broadcast(vocab))
+        .join(tc, ["y", "token"], "left")
+        .select("y", "token", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    totals = grid.groupBy("y").agg(F.sum("c").alias("total_c"))
+    lp = grid.join(totals, "y").select(
+        "y",
+        "token",
+        _q_ln(
+            (F.col("c") + F.lit(1.0)) / (F.col("total_c") + F.lit(QUALITY_VOCAB))
+        ).alias("lp_i"),
+    )
+    # |V|-row log-odds delta: lp(token|good) - lp(token|bad)
+    delta = (
+        lp.groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("y") == 1, F.col("lp_i")).otherwise(-F.col("lp_i"))).alias(
+                "d_i"
+            )
+        )
+    )
+    prior_delta = priors.groupBy().agg(
+        F.sum(
+            F.when(F.col("y") == 1, F.col("prior_i")).otherwise(-F.col("prior_i"))
+        ).alias("pd_i")
+    )
+    sums = (
+        tok.select("doc_id", "token")
+        .join(F.broadcast(delta), "token")
+        .groupBy("doc_id")
+        .agg(F.sum("d_i").alias("tok_i"))
+    )
+    return (
+        labeled.select("doc_id", "y")
+        .join(sums, "doc_id", "left")
+        .crossJoin(F.broadcast(prior_delta))
+        .select(
+            "doc_id",
+            F.col("y").alias("y_weak"),
+            (F.col("pd_i") + F.coalesce("tok_i", F.lit(0))).alias("log_odds_unats"),
+            (F.col("pd_i") + F.coalesce("tok_i", F.lit(0)) > 0).alias("pred_good"),
+        )
+    )
+
+
+def _sql_quality_nb(v: int = QUALITY_VOCAB, min_words: int = QUALITY_MIN_WORDS) -> str:
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {_SQL_CANON_TOKS} AS tk FROM documents
+), labeled AS (
+  SELECT doc_id, tk, CAST(len(tk) >= {min_words} AS INT) AS y FROM docs
+), tok AS (
+  SELECT doc_id, y, unnest(tk) AS token FROM labeled
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS c FROM tok GROUP BY token
+    ORDER BY c DESC, token LIMIT {v})
+), classes AS (
+  SELECT y, count(*) AS n_docs FROM labeled GROUP BY y
+), total AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM classes),
+priors AS (
+  SELECT y,
+         CAST(floor(ln(n_docs * 1.0 / n) * 1000000 + 0.5 + 1e-9) AS BIGINT) AS prior_i
+  FROM classes, total
+), tc AS (
+  SELECT t.y, t.token, count(*) AS c
+  FROM tok t JOIN vocab v USING (token) GROUP BY t.y, t.token
+), grid AS (
+  SELECT c.y, v.token, COALESCE(tc.c, 0) AS c
+  FROM classes c CROSS JOIN vocab v
+  LEFT JOIN tc ON tc.y = c.y AND tc.token = v.token
+), totals AS (
+  SELECT y, CAST(sum(c) AS BIGINT) AS total_c FROM grid GROUP BY y
+), lp AS (
+  SELECT g.y, g.token,
+         CAST(floor(ln((g.c + 1.0) / (t.total_c + {v})) * 1000000 + 0.5 + 1e-9) AS BIGINT) AS lp_i
+  FROM grid g JOIN totals t USING (y)
+), delta AS (
+  SELECT token,
+         CAST(sum(CASE WHEN y = 1 THEN lp_i ELSE -lp_i END) AS BIGINT) AS d_i
+  FROM lp GROUP BY token
+), prior_delta AS (
+  SELECT CAST(sum(CASE WHEN y = 1 THEN prior_i ELSE -prior_i END) AS BIGINT) AS pd_i
+  FROM priors
+), sums AS (
+  SELECT tok.doc_id, CAST(sum(d.d_i) AS BIGINT) AS tok_i
+  FROM tok JOIN delta d USING (token) GROUP BY tok.doc_id
+)
+SELECT l.doc_id, l.y AS y_weak,
+       pd.pd_i + COALESCE(s.tok_i, 0) AS log_odds_unats,
+       (pd.pd_i + COALESCE(s.tok_i, 0)) > 0 AS pred_good
+FROM labeled l
+LEFT JOIN sums s USING (doc_id)
+CROSS JOIN prior_delta pd
+"""
+
+
+SQL_QUALITY_NB = _sql_quality_nb()
+
+
+# --- Personalized PageRank (seeded trust propagation) ---
+PPR_SEEDS = ("signup",)
+PPR_ITER = 8
+PPR_DAMPING = 0.85
+
+
+def q_graph_personalized_pagerank(spark, sf_dir):
+    """Seeded PageRank on the events-derived event-type graph
+    (graph/pagerank.personalized_pagerank): restart mass pinned to the
+    seed set, full node vector carried so unreachable nodes report an
+    explicit 0.0 — the trusted-seed domain-ranking primitive of web
+    corpus curation. Hash-checked against an unrolled-CTE oracle like
+    pagerank_events (the damping constants are emitted via Python
+    float repr, so both engines use the identical doubles)."""
+    from cs744_big_data_system_spark.graph.pagerank import personalized_pagerank
+    from cs744_big_data_system_spark.sources.readers import edges_from_events
+
+    edges = edges_from_events(load_table(spark, sf_dir, "events"))
+    ranks = personalized_pagerank(
+        edges,
+        seeds=list(PPR_SEEDS),
+        iterations=PPR_ITER,
+        damping=PPR_DAMPING,
+        num_partitions=4,
+    )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _sql_personalized_pagerank(
+    iterations: int = PPR_ITER, damping: float = PPR_DAMPING
+) -> str:
+    seed_in = "('" + "', '".join(PPR_SEEDS) + "')"
+    seed_term = f"CASE WHEN n.node IN {seed_in} THEN 1.0 ELSE 0.0 END"
+    parts = [
+        f"""e AS (
+  SELECT prev_type AS src, event_type AS dst FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+  ) WHERE prev_type IS NOT NULL
+), links0 AS (
+  SELECT src, dst, count(*) AS n_para FROM e GROUP BY 1, 2
+), degree AS (
+  SELECT src, CAST(sum(n_para) AS BIGINT) AS out_degree FROM links0 GROUP BY 1
+), l AS MATERIALIZED (
+  SELECT l.src, l.dst, l.n_para, d.out_degree FROM links0 l JOIN degree d USING (src)
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM links0 UNION ALL SELECT dst FROM links0)
+), r0 AS (
+  SELECT n.node, {seed_term} AS rank FROM nodes n)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         {1.0 - damping!r} * {seed_term} + {damping!r} * COALESCE(s.c, 0.0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT l.dst AS node, sum(r.rank * l.n_para / l.out_degree) AS c
+    FROM l JOIN r{i - 1} r ON r.node = l.src GROUP BY l.dst) s USING (node)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
+    )
+
+
+SQL_PERSONALIZED_PAGERANK = _sql_personalized_pagerank()
+
+
+# --- Streaming CDC apply (stateful replay, same oracle as batch) ---
+def q_stream_cdc_replay(spark, sf_dir):
+    """The streaming twin of cdc_apply: per-key current-row state via
+    applyInPandasWithState, replayed in three time-ordered waves; the
+    final emission per key equals the batch max-of-struct pick, so the
+    replay hash-checks against the SAME oracle (SQL_CDC_APPLY) —
+    proving the online and offline CDC formulations agree."""
+    from cs744_big_data_system_spark.streaming.stateful import cdc_current_state
+    from cs744_big_data_system_spark.streaming.windows import replay_waves_to_batch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "value",
+    )
+    cuts_us = [
+        F.unix_micros(F.lit("2024-01-11 00:00:00").cast("timestamp")),
+        F.unix_micros(F.lit("2024-01-21 00:00:00").cast("timestamp")),
+    ]
+    waves = [
+        ev.filter(F.col("ts_us") < cuts_us[0]),
+        ev.filter((F.col("ts_us") >= cuts_us[0]) & (F.col("ts_us") < cuts_us[1])),
+        ev.filter(F.col("ts_us") >= cuts_us[1]),
+    ]
+    out = replay_waves_to_batch(spark, waves, cdc_current_state, output_mode="update")
+    # one update row per (key, batch-with-activity); the final state is
+    # the emission with the highest cumulative n_ops (strictly
+    # increasing across a key's emissions)
+    final = (
+        out.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("n_ops", "last_ts", "last_op", "value", "n_deletes")
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("s.last_ts").alias("last_ts"),
+            F.col("s.last_op").alias("last_op"),
+            F.when(
+                F.col("s.last_op") != "D", F.round(F.col("s.value"), 6)
+            ).alias("final_value"),
+            F.col("s.n_ops").alias("n_ops"),
+            F.col("s.n_deletes").alias("n_deletes"),
+        )
+    )
+    return final
+
+
+WORKLOADS.update(
+    {
+        "temperature_resample": (q_temperature_resample, SQL_TEMPERATURE_RESAMPLE),
+        "quality_classifier_nb": (q_quality_classifier_nb, SQL_QUALITY_NB),
+        "graph_personalized_pagerank": (
+            q_graph_personalized_pagerank,
+            SQL_PERSONALIZED_PAGERANK,
+        ),
+        "stream_cdc_replay": (q_stream_cdc_replay, SQL_CDC_APPLY),
+    }
+)

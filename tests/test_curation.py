@@ -184,3 +184,94 @@ def test_curation_plan_posture(spark):
 
     plan = formatted_plan(q_entity_match_pairs(spark, SF_SMALL))
     assert "windowspecdefinition(c_nationkey" in plan, plan
+
+
+def test_personalized_pagerank_matches_numpy_power_iteration(spark):
+    """PPR ranks must equal an explicit dense power iteration with the
+    same recurrence, seed vector, and damping."""
+    import numpy as np
+
+    from cs744_big_data_system_spark.sources.readers import (
+        edges_from_events,
+        load_table,
+    )
+    from cs744_big_data_system_spark.workloads.curation import (
+        PPR_DAMPING,
+        PPR_ITER,
+        PPR_SEEDS,
+        q_graph_personalized_pagerank,
+    )
+
+    edges = edges_from_events(load_table(spark, SF_SMALL, "events")).collect()
+    nodes = sorted({e.src for e in edges} | {e.dst for e in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    w = np.zeros((len(nodes), len(nodes)))
+    for e in edges:
+        w[idx[e.src], idx[e.dst]] += 1.0
+    deg = w.sum(axis=1)
+    s = np.array([1.0 if n in PPR_SEEDS else 0.0 for n in nodes])
+    r = s.copy()
+    for _ in range(PPR_ITER):
+        contrib = np.zeros(len(nodes))
+        for u in range(len(nodes)):
+            if deg[u] > 0:
+                contrib += r[u] * w[u] / deg[u]
+        r = (1 - PPR_DAMPING) * s + PPR_DAMPING * contrib
+    got = {row.node: row.rank for row in q_graph_personalized_pagerank(spark, SF_SMALL).collect()}
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert abs(got[n] - round(r[idx[n]], 6)) < 2e-6, (n, got[n], r[idx[n]])
+
+
+def test_stream_cdc_replay_equals_batch_apply(spark):
+    from cs744_big_data_system_spark.workloads.curation import (
+        q_cdc_apply,
+        q_stream_cdc_replay,
+    )
+
+    batch = {r.user_id: r for r in q_cdc_apply(spark, SF_SMALL).collect()}
+    stream = {r.user_id: r for r in q_stream_cdc_replay(spark, SF_SMALL).collect()}
+    assert set(batch) == set(stream)
+    for uid, b in batch.items():
+        s = stream[uid]
+        assert (b.last_ts, b.last_op, b.final_value, b.n_ops, b.n_deletes) == (
+            s.last_ts, s.last_op, s.final_value, s.n_ops, s.n_deletes
+        ), (uid, b, s)
+
+
+def test_temperature_resample_is_deterministic_and_bounded(spark):
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.workloads.curation import q_temperature_resample
+
+    a = sorted(r.doc_id for r in q_temperature_resample(spark, SF_SMALL).collect())
+    b = sorted(r.doc_id for r in q_temperature_resample(spark, SF_SMALL).collect())
+    assert a == b, "resample must be a pure function of the data"
+    rows = q_temperature_resample(spark, SF_SMALL).collect()
+    n_by_src: dict = {}
+    for r in rows:
+        assert 0 < r.p_keep <= 1.0
+        n_by_src[r.source] = n_by_src.get(r.source, 0) + 1
+    docs = load_table(spark, SF_SMALL, "documents").groupBy("source").count().collect()
+    for d in docs:
+        assert n_by_src.get(d.source, 0) <= d["count"]
+
+
+def test_quality_classifier_sign_and_label_consistency(spark):
+    from cs744_big_data_system_spark.functions.text import normalized_text, tokens
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.workloads.curation import (
+        QUALITY_MIN_WORDS,
+        q_quality_classifier_nb,
+    )
+    from pyspark.sql import functions as FF
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", FF.size(tokens(normalized_text("text"))).alias("n_tok")
+    )
+    n_tok = {r.doc_id: r.n_tok for r in docs.collect()}
+    rows = q_quality_classifier_nb(spark, SF_SMALL).collect()
+    assert len(rows) == len(n_tok)
+    assert {r.y_weak for r in rows} == {0, 1}, "weak label must not be degenerate"
+    for r in rows:
+        assert r.pred_good == (r.log_odds_unats > 0), r
+        assert r.y_weak == (1 if n_tok[r.doc_id] >= QUALITY_MIN_WORDS else 0), r

@@ -192,6 +192,8 @@ QUERIES = [
     "bitext_margin_mining",
     "dedup_recall_eval",
     "cdc_apply",
+    "temperature_resample",
+    "quality_classifier_nb",
 ]
 
 

@@ -72,6 +72,9 @@ QUERIES = [
     "bitext_margin_mining",
     "dedup_recall_eval",
     "cdc_apply",
+    "temperature_resample",
+    "quality_classifier_nb",
+    "graph_personalized_pagerank",
 ]
 
 
@@ -83,9 +86,10 @@ def time_query(fn, spark, sf_dir, reps: int = 2) -> float:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         times.append(time.perf_counter() - t0)
-    cached = getattr(df, "cached_links", None)
-    if cached is not None:
-        cached.unpersist()
+    for attr in ("cached_links", "cached_nodes"):
+        cached = getattr(df, attr, None)
+        if cached is not None:
+            cached.unpersist()
     spark.sparkContext._jvm.System.gc()
     return sum(times[1:]) / len(times[1:])
 

@@ -688,7 +688,10 @@ def q_ab_test_zstat(spark, sf_dir):
         F.col("conv_b").cast("long").alias("conv_b"),
         F.round(p_a, 6).alias("rate_a"),
         F.round(p_b, 6).alias("rate_b"),
-        F.round((p_a - p_b) / se, 6).alias("z"),
+        # try_divide: NULL on se == 0 under BOTH ANSI modes (a degenerate
+        # fixture where every user converts pools to p=1.0, se=0; plain `/`
+        # would throw DIVIDE_BY_ZERO under ANSI-on vanilla sessions).
+        F.round(F.try_divide(p_a - p_b, se), 6).alias("z"),
     )
 
 

@@ -1124,10 +1124,19 @@ def q_graph_modularity(spark, sf_dir):
             F.col("n_nodes").cast("long").alias("n_nodes"),
             F.col("intra_dir").cast("long").alias("intra_dir"),
             F.col("degree_sum").cast("long").alias("degree_sum"),
-            F.round(
-                F.col("intra_dir") / F.col("_g")
-                - (F.col("degree_sum") / F.col("_g")) ** 2,
-                6,
+            # x*x (not **2, which routes through Math.pow and can differ by
+            # an ulp from the oracle's self-multiplication), and `+ 0.0`
+            # after round to normalize IEEE -0.0: a community whose
+            # intra/expected terms cancel rounds to signed zero otherwise,
+            # and the driver's canonical hash distinguishes -0.0 from 0.0.
+            (
+                F.round(
+                    F.col("intra_dir") / F.col("_g")
+                    - (F.col("degree_sum") / F.col("_g"))
+                    * (F.col("degree_sum") / F.col("_g")),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("q_contrib"),
         )
         .orderBy("label")
@@ -1156,7 +1165,7 @@ tagged AS (
   SELECT label, CAST(count(*) AS BIGINT) AS n_nodes FROM l{iterations} GROUP BY label
 )
 SELECT p.label, n.n_nodes, p.intra_dir, p.degree_sum,
-       round(p.intra_dir * 1.0 / t._g - (p.degree_sum * 1.0 / t._g) * (p.degree_sum * 1.0 / t._g), 6) AS q_contrib
+       round(p.intra_dir * 1.0 / t._g - (p.degree_sum * 1.0 / t._g) * (p.degree_sum * 1.0 / t._g), 6) + 0.0 AS q_contrib
 FROM per_c p JOIN nodes_per n ON n.label = p.label, tot t
 ORDER BY p.label"""
     )

@@ -5,7 +5,19 @@ entry exists, the oracle on DuckDB over the same parquet tables; then
 compares row count, column-name set, and an order-insensitive value
 comparison (columns sorted by name, rows sorted by stringified values).
 
-Usage: python tools/selfcheck.py [sf_dir] [query ...]
+The canonical form is deliberately AT LEAST as strict as the driver's:
+floats are repr'd after a 9 dp round with NO signed-zero normalization
+(the r04 driver hash distinguished -0.0 from 0.0 on graph_modularity;
+a ``+ 0.0`` mask here hid that locally — never reintroduce it).
+
+Usage: python tools/selfcheck.py [--vanilla] [sf_dir] [query ...]
+
+--vanilla: run the Spark side on a BARE ``SparkSession.builder`` session
+(no ENGINE_CONF: ANSI **on** — the Spark 4 default — no nanosAsLong /
+NTZ / timezone pins), which is the environment the driver's harness
+actually uses. The two r04 driver-red rows were both engine-vs-vanilla
+session divergences that the default (engine-session) sweep could not
+see; run the vanilla sweep before every round boundary.
 """
 
 from __future__ import annotations
@@ -19,13 +31,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-from cs744_big_data_system_spark.session import get_spark
 from cs744_big_data_system_spark.sources.readers import TABLES
 
 
 def canon(df_pandas):
     """Canonical form: columns sorted by name, every value stringified
-    (floats repr'd), rows sorted — order-insensitive like the driver."""
+    (floats repr'd), rows sorted — order-insensitive like the driver.
+    Signed zero is preserved (repr(-0.0) = '-0.0') so a -0.0/0.0
+    divergence between engines fails HERE, not first at the driver."""
     import math
 
     cols = sorted(df_pandas.columns)
@@ -36,9 +49,7 @@ def canon(df_pandas):
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 vals.append("∅")
             elif isinstance(v, float):
-                # + 0.0 normalizes IEEE -0.0 to +0.0 so the two engines
-                # can't mismatch on signed zero.
-                vals.append(repr(round(v, 9) + 0.0))
+                vals.append(repr(round(v, 9)))
             elif isinstance(v, bool):
                 vals.append(str(bool(v)))
             else:
@@ -48,14 +59,37 @@ def canon(df_pandas):
     return cols, rows
 
 
+def _vanilla_spark():
+    """A bare session, config-wise identical to what the driver builds:
+    only a master and app name — ANSI on (Spark 4 default), no engine
+    conf. Queries must self-heal any conf they need (e.g. load_table
+    sets nanosAsLong at runtime)."""
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("selfcheck-vanilla")
+        .getOrCreate()
+    )
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    vanilla = "--vanilla" in argv
+    argv = [a for a in argv if a != "--vanilla"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
 
-    spark = get_spark("selfcheck")
+    if vanilla:
+        spark = _vanilla_spark()
+    else:
+        from cs744_big_data_system_spark.session import get_spark
+
+        spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -101,7 +135,8 @@ def main():
     n_ok = sum(1 for s, _ in results.values() if s == "OK")
     n_ro = sum(1 for s, _ in results.values() if s == "ROWS-ONLY")
     n_bad = len(results) - n_ok - n_ro
-    print(f"\n=== {n_ok} OK, {n_ro} rows-only, {n_bad} FAILING of {len(results)} ===")
+    mode = "vanilla" if vanilla else "engine"
+    print(f"\n=== [{mode} session] {n_ok} OK, {n_ro} rows-only, {n_bad} FAILING of {len(results)} ===")
     spark.stop()
     sys.exit(1 if n_bad else 0)
 

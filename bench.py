@@ -176,10 +176,20 @@ HEADLINE = [
 ]
 
 
-def time_query(fn, spark, sf_dir, reps: int = 2) -> float:
+def time_query(fn, spark, sf_dir, reps: int = 2, fresh_memo: bool = False) -> float:
     times = []
     df = None
     for i in range(reps + 1):
+        if fresh_memo:
+            # Producer of a session-memoized table (the simhash→CC
+            # cluster pipeline): clear the memo so EVERY rep pays the
+            # full pipeline and the reported number stays honest.
+            # Consumers (dedup_keep_best) keep the memo and report the
+            # marginal cost given a session that already clustered —
+            # which is the design claim being measured.
+            from cs744_big_data_system_spark.workloads import llm as _llm
+
+            _llm._CC_CLUSTER_CACHE.clear()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         # noop sink: computes EVERY output column and keeps sorts —
@@ -217,7 +227,9 @@ def main() -> None:
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = reg[name]
-        per_query[name] = round(time_query(fn, spark, sf_dir), 4)
+        per_query[name] = round(
+            time_query(fn, spark, sf_dir, fresh_memo=(name == "dedup_clusters")), 4
+        )
 
     total = round(sum(per_query.values()), 4)
     # The driver captures only the LAST ~2000 chars of stdout and parses

@@ -459,7 +459,9 @@ def random_projection(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        projs.append(F.round(dot / float(out_dim) ** 0.5, 6))
+        # + 0.0 normalizes IEEE -0.0 (a tiny negative dot rounds to
+        # signed zero; driver hashes distinguish it from DuckDB's 0.0).
+        projs.append(F.round(dot / float(out_dim) ** 0.5, 6) + F.lit(0.0))
     return embeddings.select(
         F.col(id_col), F.posexplode(F.array(*projs)).alias("j", "proj")
     )
@@ -507,7 +509,11 @@ def embedding_covariance(
         .select(
             "i",
             "j",
-            F.round(F.col("sxy") / F.col("n") - F.col("mi") * F.col("mj"), 6).alias("cov"),
+            # + 0.0: near-zero covariances can round to IEEE -0.0.
+            (
+                F.round(F.col("sxy") / F.col("n") - F.col("mi") * F.col("mj"), 6)
+                + F.lit(0.0)
+            ).alias("cov"),
         )
     )
 

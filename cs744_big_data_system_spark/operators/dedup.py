@@ -403,31 +403,13 @@ def row_minhash_bands(
     ).select("doc_id", "band.band_idx", "band.band_hash")
 
 
-def minhash_lsh_pairs(
-    documents: DataFrame,
-    n: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
-    threshold: float = 0.4,
-) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash-LSH, then exact-ish
-    verification by signature agreement.
-
-    b bands × r rows (r = num_hashes/b): docs agreeing on ALL r hashes
-    of any band collide. The self-join key is (band_idx, band_hash) —
-    at 100 TB that is the only shuffle that matters and its
-    cardinality is ~num_docs × b with near-uniform distribution.
-
-    Returns (doc_a, doc_b, est_jaccard) where est_jaccard = fraction of
-    agreeing minhashes, filtered at ``threshold``.
-    """
-    assert num_hashes % bands == 0
+def _minhash_band_entries(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, sig, band_idx, band_hash): one row per (doc, band),
+    band key = md5 of the band's signature slice — the shared banding
+    expression behind minhash_lsh_pairs (self-join dedup) and
+    incremental_lsh_dedup (batch-vs-corpus dedup)."""
     rows_per_band = num_hashes // bands
-    # No persist (see ngram_jaccard_pairs) — the band self-join's two
-    # sides are the same subplan; ReuseExchange computes it once.
-    sig = minhash_signatures(documents, n, num_hashes)
-
-    band_entries = sig.select(
+    return sig.select(
         "doc_id",
         "sig",
         F.explode(
@@ -448,6 +430,112 @@ def minhash_lsh_pairs(
             ])
         ).alias("band"),
     ).select("doc_id", "sig", "band.band_idx", "band.band_hash")
+
+
+def incremental_lsh_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Incremental-ingest dedup: flag each NEW (batch) document that
+    near-duplicates the EXISTING corpus — the shape a 100 TB pipeline
+    actually runs day to day, where re-self-joining the whole corpus
+    per arriving shard would be quadratic over the pipeline's lifetime.
+
+    The corpus side is banded once into an LSH index keyed by
+    (band_idx, band_hash); the batch side bands itself the same way and
+    joins AGAINST that index — the only shuffle is ~|batch| × bands
+    probe rows against near-uniform hash keys, independent of corpus
+    row order, and at scale the corpus index is the thing you persist
+    between runs (here both sides derive from the same fixture scan).
+    Candidates verify by exact signature agreement (same statistic as
+    minhash_lsh_pairs); the best match per batch doc is a
+    min-of-struct aggregate on INTEGER keys (32 - agree, corpus_id) —
+    map-side combinable, no window.
+
+    Returns one row per batch doc_id: (doc_id, is_dup, match_id,
+    est_jaccard, n_matches); docs with no verified corpus match (or too
+    short to shingle) report is_dup = 0 with NULL match columns.
+    """
+    assert num_hashes % bands == 0
+    sig_c = minhash_signatures(corpus, n, num_hashes)
+    sig_b = minhash_signatures(batch, n, num_hashes)
+    idx = _minhash_band_entries(sig_c, num_hashes, bands).select(
+        F.col("doc_id").alias("match_id"),
+        F.col("sig").alias("sig_c"),
+        "band_idx",
+        "band_hash",
+    )
+    probe = _minhash_band_entries(sig_b, num_hashes, bands).select(
+        F.col("doc_id").alias("batch_id"),
+        F.col("sig").alias("sig_b"),
+        "band_idx",
+        "band_hash",
+    )
+    cand = (
+        probe.join(idx, ["band_idx", "band_hash"])
+        .select("batch_id", "match_id", "sig_b", "sig_c")
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_b", "sig_c", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    verified = cand.select(
+        "batch_id", "match_id", agree.alias("agree")
+    ).filter(F.round(F.col("agree") / F.lit(float(num_hashes)), 6) >= threshold)
+    best = verified.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min(
+            F.struct(
+                (F.lit(num_hashes) - F.col("agree")).alias("neg_agree"),
+                F.col("match_id").alias("m"),
+            )
+        ).alias("b"),
+    )
+    return (
+        batch.select("doc_id")
+        .join(best, batch["doc_id"] == best["batch_id"], "left")
+        .select(
+            "doc_id",
+            F.when(F.col("batch_id").isNotNull(), 1).otherwise(0).alias("is_dup"),
+            F.col("b.m").alias("match_id"),
+            F.round(
+                (F.lit(num_hashes) - F.col("b.neg_agree")) / F.lit(float(num_hashes)), 6
+            ).alias("est_jaccard"),
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH, then exact-ish
+    verification by signature agreement.
+
+    b bands × r rows (r = num_hashes/b): docs agreeing on ALL r hashes
+    of any band collide. The self-join key is (band_idx, band_hash) —
+    at 100 TB that is the only shuffle that matters and its
+    cardinality is ~num_docs × b with near-uniform distribution.
+
+    Returns (doc_a, doc_b, est_jaccard) where est_jaccard = fraction of
+    agreeing minhashes, filtered at ``threshold``.
+    """
+    assert num_hashes % bands == 0
+    # No persist (see ngram_jaccard_pairs) — the band self-join's two
+    # sides are the same subplan; ReuseExchange computes it once.
+    sig = minhash_signatures(documents, n, num_hashes)
+    band_entries = _minhash_band_entries(sig, num_hashes, bands)
 
     a = band_entries.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),

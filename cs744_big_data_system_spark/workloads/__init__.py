@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cs744_big_data_system_spark.workloads import (
     curation,
+    curation2,
     llm,
     pipeline_ext,
     relational,
@@ -50,6 +51,9 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     reg.update(relational_ext.WORKLOADS)
     reg.update(pipeline_ext.WORKLOADS)
     reg.update(curation.WORKLOADS)
+    # round-5 additions: appended after the never-attested block per
+    # the ordering invariant; they enter the r06 window.
+    reg.update(curation2.WORKLOADS)
 
     # ROUND-5 ROTATION. Front of window, in order:
     #   1. the two CORRECTNESS_r04 non-green rows, now FIXED (ab_test_zstat:

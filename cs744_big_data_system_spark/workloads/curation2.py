@@ -1,0 +1,427 @@
+"""Round-5 curation / analytics batch: the operational shapes a
+large-scale training-data pipeline runs day to day that the r01–r04
+registry didn't yet cover —
+
+  * ``dedup_incremental`` — new-batch-vs-indexed-corpus near-dup
+    flagging (the incremental-ingest twin of the corpus self-join);
+  * ``retrieval_ndcg`` — graded ranking quality (NDCG@k) of the ANN
+    index against exact cosine truth, the metric that catches "recall
+    is fine but the ORDER is wrong";
+  * ``graph_clustering_coeff`` — per-node local clustering coefficient
+    binned by degree (triangle closure vs degree, the classic
+    structure probe on the interaction graph);
+  * ``skyline_2d`` — the Pareto-optimal (non-dominated) frontier over
+    two measures, as a sort + running-extremum scan instead of the
+    quadratic NOT EXISTS.
+
+Every query is oracle-backed; per the registry ordering invariant
+these are APPENDED after the never-attested block and enter the
+driver's attestation window in round 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cs744_big_data_system_spark.operators.dedup import (
+    MINHASH_PRIME,
+    incremental_lsh_dedup,
+    minhash_params,
+)
+from cs744_big_data_system_spark.sources.readers import load_table
+from cs744_big_data_system_spark.workloads.llm import (
+    _SQL_CANON_TOKS,
+    _SQL_NGRAM3,
+    _sql_md5_int60,
+)
+
+__all__ = ["WORKLOADS"]
+
+
+# --- Incremental (batch-vs-corpus) near-dup dedup ---
+#: deterministic ingest split: every 10th doc_id arrives as the "new
+#: batch", the rest is the already-indexed corpus.
+_BATCH_MOD = 10
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Flag each newly-ingested document that near-duplicates the
+    existing corpus (operators/dedup.incremental_lsh_dedup): corpus
+    banded once into an LSH index, batch probes it — the day-to-day
+    shape at 100 TB, where the corpus index persists between runs and
+    only the delta shuffles. Candidates verify by exact signature
+    agreement; best match picked by an integer min-of-struct (no
+    window). Fully deterministic (md5 + universal hashes mod a fixed
+    prime), hence hash-checked like dedup_minhash_lsh."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % _BATCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _BATCH_MOD != 0)
+    return incremental_lsh_dedup(
+        corpus, batch, n=3, num_hashes=32, bands=8, threshold=0.4
+    )
+
+
+def _sql_dedup_incremental(
+    num_hashes: int = 32, bands: int = 8, threshold: float = 0.4
+) -> str:
+    """DuckDB mirror of incremental_lsh_dedup over the same %-split:
+    identical universal-hash minima, identical md5 band keys, the
+    directional batch→corpus candidate join, row_number best pick
+    (== the engine's integer min-of-struct)."""
+    rows_per_band = num_hashes // bands
+    members = ",\n       ".join(
+        f"min(({minhash_params(i)[0]} * x + {minhash_params(i)[1]}) % {MINHASH_PRIME}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(concat_ws(',', "
+        + ", ".join(
+            f"CAST(h{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        + ")) AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    agree = "\n         + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_CANON_TOKS} AS tk FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest({_SQL_NGRAM3}) AS shingle FROM toks
+), hashed AS (
+  SELECT doc_id, {_sql_md5_int60("shingle")} % {MINHASH_PRIME} AS x FROM sh
+), sig AS (
+  SELECT doc_id,
+       {members}
+  FROM hashed GROUP BY doc_id
+), bands AS (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS match_id
+  FROM bands b
+  JOIN bands c ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash
+  WHERE b.doc_id % {_BATCH_MOD} = 0 AND c.doc_id % {_BATCH_MOD} <> 0
+), verified AS (
+  SELECT cand.batch_id, cand.match_id, ({agree}) AS agree
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.batch_id
+  JOIN sig sb ON sb.doc_id = cand.match_id
+  WHERE round(({agree}) / {float(num_hashes)}, 6) >= {threshold}
+), ranked AS (
+  SELECT batch_id, match_id, agree,
+         row_number() OVER (PARTITION BY batch_id
+                            ORDER BY agree DESC, match_id ASC) AS rn
+  FROM verified
+), counts AS (
+  SELECT batch_id, CAST(count(*) AS BIGINT) AS n_matches
+  FROM verified GROUP BY batch_id
+)
+SELECT d.doc_id,
+       CASE WHEN r.batch_id IS NULL THEN 0 ELSE 1 END AS is_dup,
+       r.match_id AS match_id,
+       round(r.agree / {float(num_hashes)}, 6) AS est_jaccard,
+       COALESCE(c.n_matches, 0) AS n_matches
+FROM documents d
+LEFT JOIN ranked r ON r.batch_id = d.doc_id AND r.rn = 1
+LEFT JOIN counts c ON c.batch_id = d.doc_id
+WHERE d.doc_id % {_BATCH_MOD} = 0
+"""
+
+
+SQL_DEDUP_INCREMENTAL = _sql_dedup_incremental()
+
+
+# --- NDCG@k of the ANN index vs exact-cosine graded truth ---
+_NDCG_K = 10
+
+
+def _ndcg_gain_table() -> dict[int, int]:
+    """Integer micro-gain lookup: gain(rel, pos) = floor(1e6 · rel /
+    log2(pos+1) + 0.5), keyed rel·100+pos. Computed HOST-side once and
+    emitted as identical literals into both engines, so no cross-engine
+    log2 ulp can reach the output (the same pinning trick as the NB
+    micro-nat log-odds)."""
+    import math
+
+    return {
+        rel * 100 + pos: int(math.floor(1e6 * rel / math.log2(pos + 1) + 0.5))
+        for rel in range(1, _NDCG_K + 1)
+        for pos in range(1, _NDCG_K + 1)
+    }
+
+
+_NDCG_GAINS = _ndcg_gain_table()
+#: ideal DCG: the truth list itself in order (rel = K..1 at pos = 1..K)
+_NDCG_IDCG = sum(_NDCG_GAINS[(_NDCG_K + 1 - p) * 100 + p] for p in range(1, _NDCG_K + 1))
+
+
+def q_retrieval_ndcg(spark, sf_dir):
+    """Graded ranking quality of the IVF ANN index: NDCG@10 per query
+    against exact brute-force cosine truth (rel = 11 − exact rank).
+    Recall@k (ann_recall_eval) only checks set overlap; NDCG catches
+    the failure mode where the index returns the right neighbors in
+    the wrong ORDER. DCG terms come from a host-computed integer
+    micro-gain table emitted as plan literals into both engines, so
+    the whole metric hash-checks.
+
+    Scale shape: both rankings are the already-audited top-k operators
+    (broadcast queries, bucketed IVF probe); the eval itself is a
+    query-keyed left join of two k-row-per-query tables + one
+    aggregation — cost ∝ queries · k, independent of corpus size."""
+    from cs744_big_data_system_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = cosine_topk_bruteforce(queries, emb, k=_NDCG_K).select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(_NDCG_K + 1) - F.col("rnk")).alias("rel"),
+    )
+    approx = cosine_topk_ivf(queries, emb, num_centroids=8, k=_NDCG_K).select(
+        "query_id", "neighbor_id", F.col("rnk").alias("pos")
+    )
+    gain_map = F.create_map(
+        *[F.lit(x) for kv in sorted(_NDCG_GAINS.items()) for x in kv]
+    )
+    j = approx.join(truth, ["query_id", "neighbor_id"], "left")
+    term = F.when(
+        F.col("rel").isNotNull(),
+        F.element_at(gain_map, (F.col("rel") * 100 + F.col("pos")).cast("int")),
+    ).otherwise(F.lit(0))
+    per_q = j.groupBy("query_id").agg(
+        F.sum(term).cast("long").alias("dcg_ppm"),
+        F.sum(F.col("rel").isNotNull().cast("int")).cast("long").alias("n_hits"),
+    )
+    return per_q.select(
+        "query_id",
+        "dcg_ppm",
+        "n_hits",
+        F.round(F.col("dcg_ppm") / F.lit(float(_NDCG_IDCG)), 6).alias("ndcg"),
+    )
+
+
+def _sql_retrieval_ndcg() -> str:
+    from cs744_big_data_system_spark.workloads.llm import _SQL_COS, _SQL_COS_QN, _SQL_COS_VC
+
+    gains_values = ", ".join(f"({k}, {g})" for k, g in sorted(_NDCG_GAINS.items()))
+    return f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id, {_NDCG_K + 1} - rnk AS rel FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY round({_SQL_COS}, 6) DESC, b.vec_id ASC) AS rnk
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < 20
+  ) WHERE rnk <= {_NDCG_K}
+), cent AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round({_SQL_COS_VC}, 6) DESC, c.centroid_id ASC) AS rn
+    FROM embeddings v CROSS JOIN cent c
+  ) WHERE rn = 1
+), approx AS (
+  SELECT query_id, neighbor_id, rnk AS pos FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round({_SQL_COS_QN}, 6) DESC, n.vec_id ASC) AS rnk
+    FROM embeddings q
+    JOIN assign qa ON qa.vec_id = q.vec_id
+    JOIN assign na ON na.centroid_id = qa.centroid_id
+    JOIN embeddings n ON n.vec_id = na.vec_id AND n.vec_id <> q.vec_id
+    WHERE q.vec_id < 20
+  ) WHERE rnk <= {_NDCG_K}
+), gains(k, g) AS (
+  VALUES {gains_values}
+), terms AS (
+  SELECT s.query_id,
+         COALESCE(g.g, 0) AS term,
+         CASE WHEN t.rel IS NULL THEN 0 ELSE 1 END AS hit
+  FROM approx s
+  LEFT JOIN truth t ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+  LEFT JOIN gains g ON g.k = t.rel * 100 + s.pos
+)
+SELECT query_id,
+       CAST(sum(term) AS BIGINT) AS dcg_ppm,
+       CAST(sum(hit) AS BIGINT) AS n_hits,
+       round(CAST(sum(term) AS BIGINT) / {float(_NDCG_IDCG)!r}, 6) AS ndcg
+FROM terms GROUP BY query_id
+"""
+
+
+SQL_RETRIEVAL_NDCG = _sql_retrieval_ndcg()
+
+
+# --- Local clustering coefficient, binned by degree ---
+def q_graph_clustering_coeff(spark, sf_dir):
+    """Per-node local clustering coefficient on the synthetic hash
+    graph — cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — reported as a
+    degree-binned profile (degree, n_nodes, sum_tri, mean_cc_ppm), the
+    triangle-closure-vs-degree curve that distinguishes clustered from
+    random structure.
+
+    Numerics: cc is computed in integer ppm via floor(x + 0.5) —
+    IEEE division of identical integers is exactly rounded, and
+    floor/+ are exact, so BOTH engines produce bit-identical BIGINTs
+    with no round()-mode exposure; the binned mean is again
+    integer-over-integer.
+
+    Scale shape: wedges are Σ deg(v)² rows from one self-join of the
+    undirected edge list; at web scale the degree-oriented variant
+    (graph/triangles.py, O(m^1.5)) bounds this — the per-node profile
+    here keeps the straightforward wedge join, keyed by near-uniform
+    node ids, and everything after is a two-level integer aggregation."""
+    from cs744_big_data_system_spark.workloads.streaming_graph import _hash_graph
+
+    g = _hash_graph(spark).filter(F.col("src") != F.col("dst"))
+    canon = g.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    und = canon.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        canon.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    w1 = und.select(F.col("a").alias("node"), F.col("b").alias("x"))
+    w2 = und.select(F.col("a").alias("node"), F.col("b").alias("y"))
+    wedges = w1.join(w2, "node").filter(F.col("x") < F.col("y"))
+    tri = (
+        wedges.join(
+            canon, (wedges["x"] == canon["u"]) & (wedges["y"] == canon["v"])
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    per_node = (
+        deg.join(tri, deg["a"] == tri["node"], "left")
+        .select(
+            F.col("deg"),
+            F.coalesce("tri", F.lit(0)).alias("tri"),
+        )
+        .withColumn(
+            "cc_ppm",
+            F.when(
+                F.col("deg") >= 2,
+                F.floor(
+                    F.lit(2000000.0)
+                    * F.col("tri")
+                    / (F.col("deg") * (F.col("deg") - 1))
+                    + F.lit(0.5)
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+    return (
+        per_node.groupBy("deg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("tri").cast("long").alias("sum_tri"),
+            F.floor(
+                F.sum("cc_ppm") / F.count(F.lit(1)) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("mean_cc_ppm"),
+        )
+        .select(F.col("deg").cast("long").alias("degree"), "n_nodes", "sum_tri", "mean_cc_ppm")
+        .orderBy("degree")
+    )
+
+
+def _sql_graph_clustering_coeff() -> str:
+    from cs744_big_data_system_spark.workloads.streaming_graph import _SQL_CANON_GRAPH
+
+    return f"""
+WITH canon AS ({_SQL_CANON_GRAPH}),
+und AS (
+  SELECT u AS a, v AS b FROM canon
+  UNION ALL
+  SELECT v AS a, u AS b FROM canon
+), deg AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY a
+), tri AS (
+  SELECT w1.a AS node, CAST(count(*) AS BIGINT) AS tri
+  FROM und w1
+  JOIN und w2 ON w2.a = w1.a AND w1.b < w2.b
+  JOIN canon c ON c.u = w1.b AND c.v = w2.b
+  GROUP BY w1.a
+), per_node AS (
+  SELECT d.deg,
+         COALESCE(t.tri, 0) AS tri,
+         CASE WHEN d.deg >= 2 THEN
+           CAST(floor(2000000.0 * COALESCE(t.tri, 0)
+                      / (d.deg * (d.deg - 1)) + 0.5) AS BIGINT)
+         ELSE 0 END AS cc_ppm
+  FROM deg d LEFT JOIN tri t ON t.node = d.a
+)
+SELECT deg AS degree,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(tri) AS BIGINT) AS sum_tri,
+       CAST(floor(CAST(sum(cc_ppm) AS BIGINT) * 1.0 / count(*) + 0.5) AS BIGINT) AS mean_cc_ppm
+FROM per_node GROUP BY deg ORDER BY deg
+"""
+
+
+SQL_GRAPH_CLUSTERING_COEFF = _sql_graph_clustering_coeff()
+
+
+# --- 2-D skyline (Pareto frontier) ---
+def q_skyline_2d(spark, sf_dir):
+    """The Pareto-optimal parts under (minimize p_retailprice,
+    maximize p_size): a part is dominated if some other part is no
+    worse on both measures and strictly better on one. Computed as the
+    classic sort-scan — collapse to one row per price (the per-price
+    max size), then keep a price point iff its max size strictly
+    exceeds the running max over all cheaper prices — O(n log n) and
+    expressible as one aggregation plus one window over the ~|distinct
+    prices| table, never the quadratic NOT-EXISTS pair test. The
+    oracle IS the quadratic NOT-EXISTS (different algorithm, same
+    rows), so the equivalence itself is what's hash-checked.
+
+    Scale shape: one groupBy on price (map-side combinable) + a window
+    over the price-distinct table (orders of magnitude smaller than
+    the input; a range-partitioned sort at worst) + one semi-join back
+    to recover the surviving part rows."""
+    part = load_table(spark, sf_dir, "part")
+    per_price = part.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    w = (
+        Window.orderBy(F.col("p_retailprice").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        per_price.withColumn("rm", F.max("gmax").over(w))
+        .filter(F.col("rm").isNull() | (F.col("gmax") > F.col("rm")))
+        .select("p_retailprice", F.col("gmax").alias("p_size"))
+    )
+    return (
+        part.join(frontier, ["p_retailprice", "p_size"])
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+SQL_SKYLINE_2D = """
+SELECT p_partkey, p_retailprice, p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+ORDER BY p_partkey
+"""
+
+
+WORKLOADS = {
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "retrieval_ndcg": (q_retrieval_ndcg, SQL_RETRIEVAL_NDCG),
+    "graph_clustering_coeff": (q_graph_clustering_coeff, SQL_GRAPH_CLUSTERING_COEFF),
+    "skyline_2d": (q_skyline_2d, SQL_SKYLINE_2D),
+}

@@ -1,0 +1,142 @@
+"""Laws for the round-5 curation batch (workloads/curation2.py):
+incremental dedup, NDCG ranking eval, clustering coefficient, skyline.
+Each query is also oracle-backed via the registry; these tests pin the
+algorithmic invariants the SQL mirror can't express."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_incremental_dedup_consistent_with_selfjoin(spark):
+    """Every (batch, corpus) near-dup the full self-join finds must be
+    found by the incremental probe too, and vice versa — the incremental
+    path is a RESTRICTION of the pair set, never a different statistic."""
+    from cs744_big_data_system_spark.operators.dedup import (
+        incremental_lsh_dedup,
+        minhash_lsh_pairs,
+    )
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+
+    inc = incremental_lsh_dedup(corpus, batch, threshold=0.4)
+    full = minhash_lsh_pairs(docs, threshold=0.4)
+    cross = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+        for r in full.collect()
+        if (r.doc_a % 10 == 0) != (r.doc_b % 10 == 0)
+    }
+    batch_dups = {r.doc_id for r in inc.collect() if r.is_dup == 1}
+    assert batch_dups == {a if a % 10 == 0 else b for a, b in cross}
+
+    rows = {r.doc_id: r for r in inc.collect()}
+    all_batch = {r.doc_id for r in batch.select("doc_id").collect()}
+    assert set(rows) == all_batch  # every batch doc reported exactly once
+    for r in rows.values():
+        if r.is_dup == 0:
+            assert r.match_id is None and r.n_matches == 0
+        else:
+            assert r.match_id % 10 != 0  # match is a corpus doc
+            assert r.est_jaccard >= 0.4 and r.n_matches >= 1
+
+
+def test_ndcg_bounds_and_perfect_ranking(spark):
+    """0 ≤ NDCG ≤ 1 always; a system ranking identical to the truth
+    ranking must score exactly 1.0; n_hits bounded by k."""
+    from cs744_big_data_system_spark.workloads.curation2 import (
+        _NDCG_GAINS,
+        _NDCG_IDCG,
+        _NDCG_K,
+        q_retrieval_ndcg,
+    )
+
+    out = q_retrieval_ndcg(spark, SF).collect()
+    assert out
+    for r in out:
+        assert 0.0 <= r.ndcg <= 1.0
+        assert 0 <= r.n_hits <= _NDCG_K
+        assert 0 <= r.dcg_ppm <= _NDCG_IDCG
+    # perfect ranking == IDCG by construction of the gain table
+    assert _NDCG_IDCG == sum(
+        _NDCG_GAINS[(_NDCG_K + 1 - p) * 100 + p] for p in range(1, _NDCG_K + 1)
+    )
+    # gain table matches the closed form it claims
+    for rel in (1, 5, 10):
+        for pos in (1, 2, 10):
+            assert _NDCG_GAINS[rel * 100 + pos] == int(
+                math.floor(1e6 * rel / math.log2(pos + 1) + 0.5)
+            )
+
+
+def test_clustering_coeff_matches_bruteforce(spark):
+    """Degree-binned profile equals a driver-side brute-force recount
+    on the (small, synthetic) hash graph."""
+    from cs744_big_data_system_spark.workloads.curation2 import (
+        q_graph_clustering_coeff,
+    )
+    from cs744_big_data_system_spark.workloads.streaming_graph import _hash_graph
+
+    edges = {
+        (min(r.src, r.dst), max(r.src, r.dst))
+        for r in _hash_graph(spark).collect()
+        if r.src != r.dst
+    }
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    import collections
+
+    bins = collections.defaultdict(lambda: [0, 0, 0])  # n, sum_tri, sum_ccppm
+    for node, nbrs in adj.items():
+        d = len(nbrs)
+        ns = sorted(nbrs)
+        tri = sum(
+            1
+            for i in range(len(ns))
+            for j in range(i + 1, len(ns))
+            if (min(ns[i], ns[j]), max(ns[i], ns[j])) in edges
+        )
+        cc_ppm = int(math.floor(2e6 * tri / (d * (d - 1)) + 0.5)) if d >= 2 else 0
+        bins[d][0] += 1
+        bins[d][1] += tri
+        bins[d][2] += cc_ppm
+    want = {
+        d: (n, st, int(math.floor(sc / n + 0.5)))
+        for d, (n, st, sc) in bins.items()
+    }
+    got = {
+        r.degree: (r.n_nodes, r.sum_tri, r.mean_cc_ppm)
+        for r in q_graph_clustering_coeff(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_skyline_is_exactly_the_nondominated_set(spark):
+    """The sort-scan skyline equals the quadratic dominance definition."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.workloads.curation2 import q_skyline_2d
+
+    pts = [
+        (r.p_partkey, float(r.p_retailprice), r.p_size)
+        for r in load_table(spark, SF, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+    def dominated(a):
+        return any(
+            b[1] <= a[1] and b[2] >= a[2] and (b[1] < a[1] or b[2] > a[2])
+            for b in pts
+        )
+
+    want = {p[0] for p in pts if not dominated(p)}
+    got = {r.p_partkey for r in q_skyline_2d(spark, SF).collect()}
+    assert got == want and got  # non-empty frontier

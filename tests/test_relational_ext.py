@@ -257,9 +257,12 @@ def test_ewma_matches_pandas_recursive(spark):
 def test_registry_invariants():
     """Driver-contract guards: every oracle key maps to a query, no
     empty SQL, and the verification window (first 50 entries — the
-    prefix the driver attests) holds only oracle-backed queries so
-    every attested slot earns a hash-verified row (the rotation rule
-    documented in workloads/__init__.py)."""
+    prefix the driver attests) is ordered oracle-backed first, then
+    rows-only, with no interleaving — every hash-verifiable slot is
+    spent before any weaker rows-only check (the rotation rule
+    documented in workloads/__init__.py). The round-5 window finishes
+    the never-attested backlog, whose tail is rows-only by design, so
+    the window may legitimately END with rows-only entries."""
     from cs744_big_data_system_spark import workloads
 
     reg = workloads.all_workloads()
@@ -268,9 +271,16 @@ def test_registry_invariants():
     oracles = {n: sql for n, (_, sql) in reg.items() if sql is not None}
     for n, sql in oracles.items():
         assert sql.strip(), n
-    assert all(n in oracles for n in names[:50]), [
-        n for n in names[:50] if n not in oracles
-    ]
+    window = names[:50]
+    backing = [n in oracles for n in window]
+    first_rows_only = backing.index(False) if False in backing else len(window)
+    assert all(backing[:first_rows_only]), window
+    assert not any(backing[first_rows_only:]), (
+        "oracle-backed entry queued behind a rows-only one in the window",
+        [n for n, b in zip(window, backing) if b and window.index(n) >= first_rows_only],
+    )
+    # the two round-4 driver-red rows lead the window for re-attestation
+    assert window[:2] == ["ab_test_zstat", "graph_modularity"]
     # every registry entry is callable
     assert all(callable(fn) for fn, _ in reg.values())
 

@@ -194,6 +194,11 @@ QUERIES = [
     "cdc_apply",
     "temperature_resample",
     "quality_classifier_nb",
+    # round-5 additions
+    "dedup_incremental",
+    "retrieval_ndcg",
+    "graph_clustering_coeff",
+    "skyline_2d",
 ]
 
 

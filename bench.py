@@ -178,6 +178,8 @@ HEADLINE = [
     "retrieval_ndcg",
     "graph_clustering_coeff",
     "skyline_2d",
+    "graph_link_prediction",
+    "data_card_report",
 ]
 
 

@@ -419,9 +419,212 @@ ORDER BY p_partkey
 """
 
 
+# --- Link prediction by neighbor Jaccard ---
+_LINKPRED_K = 20
+
+
+def q_graph_link_prediction(spark, sf_dir):
+    """Top-k missing-edge predictions on the hash graph by neighbor
+    Jaccard — score(u,w) = |N(u)∩N(w)| / |N(u)∪N(w)| over two-hop
+    candidate pairs that are NOT already edges, the classic
+    common-neighbors recommender. All integer counts until the final
+    ppm score (floor(x+0.5) on an IEEE-exact division), so the ranking
+    hash-checks.
+
+    Scale shape: candidates come from the same wedge join as the
+    triangle/clustering pass (Σ deg² rows, hub-capped at web scale);
+    scoring is one count aggregation keyed by the candidate pair, two
+    broadcast-size degree joins, and a global top-k (TakeOrdered — no
+    full sort)."""
+    from cs744_big_data_system_spark.workloads.streaming_graph import _hash_graph
+
+    g = _hash_graph(spark).filter(F.col("src") != F.col("dst"))
+    canon = g.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    und = canon.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        canon.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    w1 = und.select(F.col("a").alias("mid"), F.col("b").alias("u"))
+    w2 = und.select(F.col("a").alias("mid"), F.col("b").alias("w"))
+    edges_uw = canon.select(F.col("u"), F.col("v").alias("w"))
+    cand = (
+        w1.join(w2, "mid")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .join(edges_uw, ["u", "w"], "left_anti")
+    )
+    du = deg.select(F.col("a").alias("u"), F.col("deg").alias("deg_u"))
+    dw = deg.select(F.col("a").alias("w"), F.col("deg").alias("deg_w"))
+    scored = (
+        cand.join(F.broadcast(du), "u")
+        .join(F.broadcast(dw), "w")
+        .select(
+            "u",
+            "w",
+            "common",
+            (F.col("deg_u") + F.col("deg_w") - F.col("common")).alias("union_cnt"),
+        )
+        .withColumn(
+            "score_ppm",
+            F.floor(
+                F.lit(1000000.0) * F.col("common") / F.col("union_cnt") + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("score_ppm").desc(), F.col("u").asc(), F.col("w").asc()
+        )
+        .limit(_LINKPRED_K)
+        .select(
+            F.col("u").cast("long").alias("u"),
+            F.col("w").cast("long").alias("w"),
+            F.col("common").cast("long").alias("common"),
+            F.col("union_cnt").cast("long").alias("union_cnt"),
+            "score_ppm",
+        )
+    )
+
+
+def _sql_graph_link_prediction() -> str:
+    from cs744_big_data_system_spark.workloads.streaming_graph import _SQL_CANON_GRAPH
+
+    return f"""
+WITH canon AS ({_SQL_CANON_GRAPH}),
+und AS (
+  SELECT u AS a, v AS b FROM canon
+  UNION ALL
+  SELECT v AS a, u AS b FROM canon
+), deg AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY a
+), cand AS (
+  SELECT w1.b AS u, w2.b AS w, CAST(count(*) AS BIGINT) AS common
+  FROM und w1
+  JOIN und w2 ON w2.a = w1.a AND w1.b < w2.b
+  GROUP BY w1.b, w2.b
+), noedge AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM canon e WHERE e.u = c.u AND e.v = c.w)
+), scored AS (
+  SELECT n.u, n.w, n.common,
+         du.deg + dw.deg - n.common AS union_cnt,
+         CAST(floor(1000000.0 * n.common / (du.deg + dw.deg - n.common) + 0.5)
+              AS BIGINT) AS score_ppm
+  FROM noedge n
+  JOIN deg du ON du.a = n.u
+  JOIN deg dw ON dw.a = n.w
+)
+SELECT u, w, common, union_cnt, score_ppm
+FROM scored
+ORDER BY score_ppm DESC, u ASC, w ASC
+LIMIT {_LINKPRED_K}
+"""
+
+
+SQL_GRAPH_LINK_PREDICTION = _sql_graph_link_prediction()
+
+
+# --- Per-source corpus datasheet ("data card") ---
+def q_data_card_report(spark, sf_dir):
+    """One datasheet row per corpus source — the nutrition label a
+    training-data pipeline publishes per ingest: volume (docs, chars,
+    whitespace tokens), language spread (distinct langs + dominant
+    lang by count with lexicographic tiebreak), exact-duplicate rate
+    (md5 text groups), and the exact median length.
+
+    Scale shape: everything reduces through source-keyed map-side-
+    combinable aggregates except the exact median (one per-source
+    percentile — at 100 TB you'd swap in approx_percentile; the exact
+    twin keeps this row hash-checkable) and the dup count (one
+    (source, text-hash) pre-aggregation, same key family as
+    dedup_exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_toks"),
+    )
+    base = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
+    )
+    langs = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.min(
+                F.struct((F.lit(0) - F.col("n")).alias("neg_n"), F.col("lang").alias("l"))
+            )["l"].alias("top_lang"),
+        )
+    )
+    dups = (
+        docs.groupBy("source", F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(F.sum(F.col("c") - 1).cast("long").alias("dup_docs"))
+    )
+    return (
+        base.join(langs, "source")
+        .join(dups, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            F.round("median_chars", 1).alias("median_chars"),
+            "n_langs",
+            "top_lang",
+            "dup_docs",
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DATA_CARD_REPORT = """
+WITH toks AS (
+  SELECT source, doc_id, n_chars,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks
+  FROM documents
+), base AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         median(n_chars) AS median_chars
+  FROM toks GROUP BY source
+), lc AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
+), langs AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+         min(struct_pack(neg_n := 0 - n, l := lang)).l AS top_lang
+  FROM lc GROUP BY source
+), dups AS (
+  SELECT source, CAST(sum(c - 1) AS BIGINT) AS dup_docs FROM (
+    SELECT source, md5(text) AS h, count(*) AS c
+    FROM documents GROUP BY source, md5(text)
+  ) GROUP BY source
+)
+SELECT b.source, b.n_docs, b.total_chars, b.total_tokens,
+       round(b.median_chars, 1) AS median_chars,
+       l.n_langs, l.top_lang, d.dup_docs
+FROM base b JOIN langs l USING (source) JOIN dups d USING (source)
+ORDER BY b.source
+"""
+
+
 WORKLOADS = {
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "retrieval_ndcg": (q_retrieval_ndcg, SQL_RETRIEVAL_NDCG),
     "graph_clustering_coeff": (q_graph_clustering_coeff, SQL_GRAPH_CLUSTERING_COEFF),
     "skyline_2d": (q_skyline_2d, SQL_SKYLINE_2D),
+    "graph_link_prediction": (q_graph_link_prediction, SQL_GRAPH_LINK_PREDICTION),
+    "data_card_report": (q_data_card_report, SQL_DATA_CARD_REPORT),
 }

@@ -140,3 +140,56 @@ def test_skyline_is_exactly_the_nondominated_set(spark):
     want = {p[0] for p in pts if not dominated(p)}
     got = {r.p_partkey for r in q_skyline_2d(spark, SF).collect()}
     assert got == want and got  # non-empty frontier
+
+
+def test_link_prediction_laws(spark):
+    """Predicted pairs are never existing edges; scores are valid
+    Jaccards; the list is the true global top-k under the total order."""
+    from cs744_big_data_system_spark.workloads.curation2 import (
+        _LINKPRED_K,
+        q_graph_link_prediction,
+    )
+    from cs744_big_data_system_spark.workloads.streaming_graph import _hash_graph
+
+    edges = {
+        (min(r.src, r.dst), max(r.src, r.dst))
+        for r in _hash_graph(spark).collect()
+        if r.src != r.dst
+    }
+    out = q_graph_link_prediction(spark, SF).collect()
+    assert len(out) == _LINKPRED_K
+    seen = set()
+    for r in out:
+        assert (r.u, r.w) not in edges
+        assert r.u < r.w and (r.u, r.w) not in seen
+        seen.add((r.u, r.w))
+        assert 1 <= r.common <= r.union_cnt
+        assert r.score_ppm == int(math.floor(1e6 * r.common / r.union_cnt + 0.5))
+    scores = [(-r.score_ppm, r.u, r.w) for r in out]
+    assert scores == sorted(scores)
+
+
+def test_data_card_totals_match_table(spark):
+    """The datasheet's volume columns must reconcile exactly with the
+    raw table; dup_docs counts docs beyond the first per identical text."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.workloads.curation2 import q_data_card_report
+
+    docs = load_table(spark, SF, "documents").collect()
+    out = {r.source: r for r in q_data_card_report(spark, SF).collect()}
+    import collections
+
+    per = collections.defaultdict(list)
+    for d in docs:
+        per[d.source].append(d)
+    assert set(out) == set(per)
+    for src, rows in per.items():
+        r = out[src]
+        assert r.n_docs == len(rows)
+        assert r.total_chars == sum(d.n_chars for d in rows)
+        assert r.n_langs == len({d.lang for d in rows})
+        texts = collections.Counter(d.text for d in rows)
+        assert r.dup_docs == sum(c - 1 for c in texts.values())
+        lang_counts = collections.Counter(d.lang for d in rows)
+        best = min(((-n, l) for l, n in lang_counts.items()))
+        assert r.top_lang == best[1]

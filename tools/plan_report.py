@@ -199,6 +199,8 @@ QUERIES = [
     "retrieval_ndcg",
     "graph_clustering_coeff",
     "skyline_2d",
+    "graph_link_prediction",
+    "data_card_report",
 ]
 
 

@@ -112,6 +112,7 @@ QUERIES = [
     # round-5 additions with corpus-dependent cost
     "dedup_incremental",
     "retrieval_ndcg",
+    "data_card_report",
 ]
 
 

@@ -180,6 +180,7 @@ HEADLINE = [
     "skyline_2d",
     "graph_link_prediction",
     "data_card_report",
+    "stream_data_card_replay",
 ]
 
 

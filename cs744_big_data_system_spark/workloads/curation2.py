@@ -620,6 +620,125 @@ ORDER BY b.source
 """
 
 
+# --- Streaming data card: the datasheet maintained on ingest ---
+def _data_card_state(docs):
+    """Per-source running datasheet via applyInPandasWithState: state =
+    (n_docs, total_chars, total_tokens, lang names, lang counts) — all
+    MERGEABLE statistics, constant-bounded per source (|langs| entries),
+    re-emitted each micro-batch the source appears in. The exact median
+    and dup-rate columns of the batch card are deliberately absent:
+    they are not mergeable in bounded state (that's stream_dedup's job),
+    and the streaming card carries exactly the subset a feed can
+    maintain forever."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            n, chars, toks, langs, counts = state.get
+            lc = dict(zip(langs, counts))
+        else:
+            n, chars, toks, lc = 0, 0, 0, {}
+        for pdf in pdf_iter:
+            n += len(pdf)
+            chars += int(pdf["n_chars"].sum())
+            toks += int(pdf["n_toks"].sum())
+            for lang, c in pdf["lang"].value_counts().items():
+                lc[lang] = lc.get(lang, 0) + int(c)
+        ordered = sorted(lc)
+        state.update((n, chars, toks, ordered, [lc[l] for l in ordered]))
+        top = min((-c, l) for l, c in lc.items())[1]
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "n_docs": [n],
+                "total_chars": [chars],
+                "total_tokens": [toks],
+                "n_langs": [len(lc)],
+                "top_lang": [top],
+            }
+        )
+
+    return docs.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "source string, n_docs long, total_chars long, "
+            "total_tokens long, n_langs long, top_lang string"
+        ),
+        stateStructType=(
+            "n long, chars long, toks long, langs array<string>, counts array<long>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def q_stream_data_card_replay(spark, sf_dir):
+    """The data card maintained ONLINE: documents replayed in three
+    micro-batch waves through a per-source bounded state; the final
+    emission per source (the one with the full doc count) must equal
+    the batch datasheet — the same online/offline-agreement proof as
+    stream_cdc_replay, for the ingest-monitoring aggregate family.
+    Hash-checked against a mergeable-subset oracle of
+    SQL_DATA_CARD_REPORT."""
+    from cs744_big_data_system_spark.streaming.windows import replay_waves_to_batch
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_toks"),
+    )
+    waves = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    out = replay_waves_to_batch(spark, waves, _data_card_state, output_mode="update")
+    # final card per source = the emission carrying the most docs
+    # (n_docs strictly increases across a source's emissions)
+    return (
+        out.groupBy("source")
+        .agg(
+            F.max(
+                F.struct("n_docs", "total_chars", "total_tokens", "n_langs", "top_lang")
+            ).alias("s")
+        )
+        .select(
+            "source",
+            F.col("s.n_docs").alias("n_docs"),
+            F.col("s.total_chars").alias("total_chars"),
+            F.col("s.total_tokens").alias("total_tokens"),
+            F.col("s.n_langs").alias("n_langs"),
+            F.col("s.top_lang").alias("top_lang"),
+        )
+    )
+
+
+SQL_STREAM_DATA_CARD = """
+WITH toks AS (
+  SELECT source, n_chars, lang,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks
+  FROM documents
+), base AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(n_toks) AS BIGINT) AS total_tokens
+  FROM toks GROUP BY source
+), lc AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
+), langs AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+         min(struct_pack(neg_n := 0 - n, l := lang)).l AS top_lang
+  FROM lc GROUP BY source
+)
+SELECT b.source, b.n_docs, b.total_chars, b.total_tokens, l.n_langs, l.top_lang
+FROM base b JOIN langs l USING (source)
+"""
+
+
 WORKLOADS = {
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "retrieval_ndcg": (q_retrieval_ndcg, SQL_RETRIEVAL_NDCG),
@@ -627,4 +746,5 @@ WORKLOADS = {
     "skyline_2d": (q_skyline_2d, SQL_SKYLINE_2D),
     "graph_link_prediction": (q_graph_link_prediction, SQL_GRAPH_LINK_PREDICTION),
     "data_card_report": (q_data_card_report, SQL_DATA_CARD_REPORT),
+    "stream_data_card_replay": (q_stream_data_card_replay, SQL_STREAM_DATA_CARD),
 }

@@ -193,3 +193,22 @@ def test_data_card_totals_match_table(spark):
         lang_counts = collections.Counter(d.lang for d in rows)
         best = min(((-n, l) for l, n in lang_counts.items()))
         assert r.top_lang == best[1]
+
+
+def test_stream_data_card_equals_batch(spark):
+    """The streaming card's final emission per source equals the batch
+    datasheet on every mergeable column (online/offline agreement)."""
+    from cs744_big_data_system_spark.workloads.curation2 import (
+        q_data_card_report,
+        q_stream_data_card_replay,
+    )
+
+    batch = {
+        r.source: (r.n_docs, r.total_chars, r.total_tokens, r.n_langs, r.top_lang)
+        for r in q_data_card_report(spark, SF).collect()
+    }
+    stream = {
+        r.source: (r.n_docs, r.total_chars, r.total_tokens, r.n_langs, r.top_lang)
+        for r in q_stream_data_card_replay(spark, SF).collect()
+    }
+    assert stream == batch

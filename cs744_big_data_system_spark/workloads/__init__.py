@@ -53,6 +53,13 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     reg.update(curation.WORKLOADS)
     # round-5 additions: appended after the never-attested block per
     # the ordering invariant; they enter the r06 window.
+    # NEXT ROTATION (round 6): promote, in order, (1) the 6 rows-only
+    # leftovers below the marker in never_attested_rest, (2) the
+    # round-5 curation2 batch — dedup_incremental, retrieval_ndcg,
+    # graph_clustering_coeff, skyline_2d, graph_link_prediction,
+    # data_card_report, stream_data_card_replay (all oracle-backed,
+    # all selfcheck-green under BOTH engine and vanilla sessions) —
+    # 13 entries total, leaving ~37 window slots for round-6 additions.
     reg.update(curation2.WORKLOADS)
 
     # ROUND-5 ROTATION. Front of window, in order:

@@ -579,3 +579,34 @@ def test_round4_additions_plan_posture(spark):
     plan = formatted_plan(reg["text_winnowing"][0](spark, SF_SMALL))
     assert "windowspecdefinition(doc_id" in plan, plan
     assert "RowFrame, -3, currentrow" in plan, plan
+
+
+def test_round5_additions_plan_posture(spark):
+    """Scale-posture pins for the round-5 batch:
+    - skyline_2d never plans the quadratic NOT-EXISTS (no nested-loop
+      join; the frontier comes from one aggregate + one window) and the
+      final top-k order rides the part join, not a cartesian;
+    - graph_link_prediction's global top-20 is a distributed
+      TakeOrderedAndProject, never a full global sort, and its degree
+      joins broadcast;
+    - dedup_incremental's probe is an equi-join on the band key — the
+      plan must contain no cartesian/nested-loop expansion anywhere;
+    - data_card_report aggregates with map-side partials."""
+    from cs744_big_data_system_spark.plans.explain import formatted_plan
+    from cs744_big_data_system_spark.workloads import all_workloads
+
+    reg = all_workloads()
+
+    plan = formatted_plan(reg["skyline_2d"][0](spark, SF_SMALL))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+    plan = formatted_plan(reg["graph_link_prediction"][0](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    plan = formatted_plan(reg["dedup_incremental"][0](spark, SF_SMALL))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+    plan = formatted_plan(reg["data_card_report"][0](spark, SF_SMALL))
+    assert "partial_" in plan, plan

@@ -181,6 +181,8 @@ HEADLINE = [
     "graph_link_prediction",
     "data_card_report",
     "stream_data_card_replay",
+    "scd2_asof_lookup",
+    "quantile_drift_psi",
 ]
 
 

@@ -739,6 +739,183 @@ FROM base b JOIN langs l USING (source)
 """
 
 
+# --- SCD2 as-of lookup: facts joined to the dimension row valid at event time ---
+def q_scd2_asof_lookup(spark, sf_dir):
+    """Every line item priced against the customer's order-status RUN
+    that was valid on its ship date — the canonical warehouse pattern
+    of a fact table joined to a type-2 dimension's validity interval
+    (valid_from ≤ event < valid_to). Late/early facts fall outside
+    every interval and are reported under status '<none>' rather than
+    silently dropped.
+
+    Scale shape: the dim build is the existing scd2_history (one
+    window pass per business key); the lookup is an equi-join on the
+    business key with a range predicate on ISO-8601 date STRINGS
+    (lexicographic = chronological, and string compare is bit-exact on
+    both engines) — per-key dim runs are few, so the join fan-out is
+    bounded; the rollup after is map-side combinable."""
+    from cs744_big_data_system_spark.operators.merge import scd2_history
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
+    )
+    dim = scd2_history(
+        orders.select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"),
+        key="o_custkey",
+        tracked="o_orderstatus",
+        order_by=["o_orderdate", "o_orderkey"],
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status_asof"),
+        "valid_from",
+        "valid_to",
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship")
+    )
+    facts = li.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"),
+        "l_orderkey",
+    )
+    looked = facts.join(
+        dim,
+        (facts["o_custkey"] == dim["custkey"])
+        & (dim["valid_from"] <= facts["ship"])
+        & (facts["ship"] < dim["valid_to"]),
+        "left",
+    )
+    return (
+        looked.groupBy(F.coalesce("status_asof", F.lit("<none>")).alias("status_asof"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .orderBy("status_asof")
+    )
+
+
+SQL_SCD2_ASOF_LOOKUP = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+), changed AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+  FROM ordered WHERE prev IS NULL OR o_orderstatus <> prev
+), dim AS (
+  SELECT o_custkey AS custkey, o_orderstatus AS status_asof,
+         strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+         coalesce(strftime(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey), '%Y-%m-%d'),
+                  '9999-12-31') AS valid_to
+  FROM changed
+), facts AS (
+  SELECT o.o_custkey, l.l_quantity, strftime(l.l_shipdate, '%Y-%m-%d') AS ship
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT coalesce(d.status_asof, '<none>') AS status_asof,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(f.l_quantity), 4) AS sum_qty
+FROM facts f
+LEFT JOIN dim d ON d.custkey = f.o_custkey
+                AND d.valid_from <= f.ship AND f.ship < d.valid_to
+GROUP BY coalesce(d.status_asof, '<none>')
+ORDER BY status_asof
+"""
+
+
+# --- PSI drift between two time slices of a numeric measure ---
+_PSI_CUT = "2024-01-15 00:00:00"
+_PSI_QS = [i / 10.0 for i in range(1, 10)]
+
+
+def q_quantile_drift_psi(spark, sf_dir):
+    """Population Stability Index of events.value between the reference
+    slice (before the cut) and the current slice (after): bin edges =
+    the reference slice's exact deciles, PSI term per bin =
+    (p_i − q_i)·ln(p_i/q_i) with Laplace smoothing — the standard
+    ML-serving drift monitor, numeric-quantile based (the token-bucket
+    sibling is corpus_drift_kl).
+
+    Numerics: counts are exact integers, p/q are IEEE-exact divisions
+    of them, and ln is quantized to integer micro-nats with the
+    engine-stable +1e-9 nudge (ml/naive_bayes._q_ln) before the
+    product, so each bin's term lands in a BIGINT and the row set
+    hash-checks.
+
+    Scale shape: one exact-percentile pass over the reference slice
+    (at 100 TB: approx_percentile drop-in), then ONE scan of both
+    slices with the 9 edges as broadcast literals and a 10-group
+    aggregation."""
+    from cs744_big_data_system_spark.ml.naive_bayes import _q_ln
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "value", (F.col("ts") < F.lit(_PSI_CUT).cast("timestamp")).alias("is_ref")
+    )
+    edges = (
+        ev.filter("is_ref")
+        .agg(F.expr(f"percentile(value, array({', '.join(map(str, _PSI_QS))}))").alias("e"))
+    )
+    binned = (
+        ev.crossJoin(F.broadcast(edges))
+        .select(
+            "is_ref",
+            F.size(F.filter(F.col("e"), lambda x: x <= F.col("value"))).alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.col("is_ref").cast("long")).alias("n_ref"),
+            F.sum((~F.col("is_ref")).cast("long")).alias("n_cur"),
+        )
+    )
+    tot = binned.agg(
+        F.sum("n_ref").alias("tot_ref"), F.sum("n_cur").alias("tot_cur")
+    )
+    p = (F.col("n_ref") + 1) / (F.col("tot_ref") + 10)
+    q = (F.col("n_cur") + 1) / (F.col("tot_cur") + 10)
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            F.floor((p - q) * (_q_ln(p) - _q_ln(q)) + F.lit(0.5)).cast("long").alias(
+                "psi_term_micro"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+SQL_QUANTILE_DRIFT_PSI = f"""
+WITH ev AS (
+  SELECT value, ts < TIMESTAMP '{_PSI_CUT}' AS is_ref FROM events
+), edges AS (
+  SELECT quantile_cont(value, [{', '.join(map(str, _PSI_QS))}]) AS e
+  FROM ev WHERE is_ref
+), binned AS (
+  SELECT CAST(len(list_filter(edges.e, x -> x <= ev.value)) AS BIGINT) AS bin,
+         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+  FROM ev CROSS JOIN edges
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+         CAST(sum(n_cur) AS BIGINT) AS tot_cur
+  FROM binned
+)
+SELECT b.bin, b.n_ref, b.n_cur,
+       CAST(floor(
+         ((b.n_ref + 1) * 1.0 / (t.tot_ref + 10) - (b.n_cur + 1) * 1.0 / (t.tot_cur + 10))
+         * (floor(ln((b.n_ref + 1) * 1.0 / (t.tot_ref + 10)) * 1000000 + 0.5 + 1e-9)
+            - floor(ln((b.n_cur + 1) * 1.0 / (t.tot_cur + 10)) * 1000000 + 0.5 + 1e-9))
+         + 0.5) AS BIGINT) AS psi_term_micro
+FROM binned b CROSS JOIN tot t
+ORDER BY b.bin
+"""
+
+
 WORKLOADS = {
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "retrieval_ndcg": (q_retrieval_ndcg, SQL_RETRIEVAL_NDCG),
@@ -747,4 +924,6 @@ WORKLOADS = {
     "graph_link_prediction": (q_graph_link_prediction, SQL_GRAPH_LINK_PREDICTION),
     "data_card_report": (q_data_card_report, SQL_DATA_CARD_REPORT),
     "stream_data_card_replay": (q_stream_data_card_replay, SQL_STREAM_DATA_CARD),
+    "scd2_asof_lookup": (q_scd2_asof_lookup, SQL_SCD2_ASOF_LOOKUP),
+    "quantile_drift_psi": (q_quantile_drift_psi, SQL_QUANTILE_DRIFT_PSI),
 }

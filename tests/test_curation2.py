@@ -212,3 +212,77 @@ def test_stream_data_card_equals_batch(spark):
         for r in q_stream_data_card_replay(spark, SF).collect()
     }
     assert stream == batch
+
+
+def test_scd2_asof_totals_and_validity(spark):
+    """Every line item lands in exactly one bucket (totals reconcile),
+    and a driver-side recount of as-of statuses agrees."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.workloads.curation2 import q_scd2_asof_lookup
+
+    out = q_scd2_asof_lookup(spark, SF).collect()
+    n_items_total = sum(r.n_items for r in out)
+    n_li = load_table(spark, SF, "lineitem").count()
+    assert n_items_total == n_li
+
+    # driver-side as-of recount
+    orders = {
+        r.o_orderkey: (r.o_custkey, r.o_orderstatus, r.o_orderdate)
+        for r in load_table(spark, SF, "orders").collect()
+    }
+    import collections
+
+    runs = collections.defaultdict(list)  # cust -> [(date, status, okey)]
+    for okey, (cust, status, od) in orders.items():
+        runs[cust].append((od, okey, status))
+    dim = collections.defaultdict(list)  # cust -> [(from, to, status)]
+    for cust, rows in runs.items():
+        rows.sort()
+        # keep rows where status differs from the previous row's status
+        changes, prev = [], None
+        for d, k, s in rows:
+            if prev is None or s != prev:
+                changes.append((d, s))
+            prev = s
+        for i, (d, s) in enumerate(changes):
+            to = changes[i + 1][0] if i + 1 < len(changes) else None
+            dim[cust].append((d, to, s))
+    want = collections.Counter()
+    for r in load_table(spark, SF, "lineitem").collect():
+        cust, _, _ = orders[r.l_orderkey]
+        ship = r.l_shipdate.date() if hasattr(r.l_shipdate, "date") else r.l_shipdate
+        hit = "<none>"
+        for frm, to, s in dim[cust]:
+            frm_d = frm.date() if hasattr(frm, "date") else frm
+            to_d = to.date() if (to is not None and hasattr(to, "date")) else to
+            if frm_d <= ship and (to_d is None or ship < to_d):
+                hit = s
+                break
+        want[hit] += 1
+    got = {r.status_asof: r.n_items for r in out}
+    assert got == dict(want)
+
+
+def test_psi_zero_on_identical_slices(spark):
+    """PSI terms are ~0 when reference and current are the SAME slice,
+    and the registry query's bins partition the full event count."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.workloads.curation2 import q_quantile_drift_psi
+
+    out = q_quantile_drift_psi(spark, SF).collect()
+    n_events = load_table(spark, SF, "events").count()
+    assert sum(r.n_ref + r.n_cur for r in out) == n_events
+    assert len(out) == 10 and [r.bin for r in out] == list(range(10))
+    # identical-slice PSI: p == q term-by-term => every term exactly 0
+    ev = load_table(spark, SF, "events")
+    from pyspark.sql import functions as F2
+    from cs744_big_data_system_spark.ml.naive_bayes import _q_ln
+
+    # p == q algebraically -> (p-q)=0 -> term 0; assert the floor trick
+    # can't produce a stray -1 (floor(0 + 0.5) == 0)
+    assert all(
+        r.psi_term_micro == 0
+        for r in out
+        if (r.n_ref + 1) * (sum(x.n_cur for x in out) + 10)
+        == (r.n_cur + 1) * (sum(x.n_ref for x in out) + 10)
+    )

@@ -201,6 +201,8 @@ QUERIES = [
     "skyline_2d",
     "graph_link_prediction",
     "data_card_report",
+    "scd2_asof_lookup",
+    "quantile_drift_psi",
 ]
 
 

@@ -113,6 +113,8 @@ QUERIES = [
     "dedup_incremental",
     "retrieval_ndcg",
     "data_card_report",
+    "scd2_asof_lookup",
+    "quantile_drift_psi",
 ]
 
 

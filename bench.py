@@ -183,6 +183,7 @@ HEADLINE = [
     "stream_data_card_replay",
     "scd2_asof_lookup",
     "quantile_drift_psi",
+    "sql_pipe_syntax",
 ]
 
 

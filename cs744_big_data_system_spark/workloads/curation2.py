@@ -916,6 +916,34 @@ ORDER BY b.bin
 """
 
 
+# --- SQL pipe syntax (Spark 4 front end), sharing Q1's oracle ---
+def q_sql_pipe_syntax(spark, sf_dir):
+    """TPC-H Q1 written in Spark 4's SQL PIPE syntax (`FROM … |>
+    WHERE … |> AGGREGATE … GROUP BY …`) — the linear query style
+    Catalyst resolves to the SAME logical plan as agg_sums_q1, proving
+    front-end parity exactly like flagship_q3_sql does for classic
+    SQL text. Shares Q1's DuckDB oracle verbatim."""
+    from cs744_big_data_system_spark.sources.readers import load_table as _lt
+
+    _lt(spark, sf_dir, "lineitem").createOrReplaceTempView("pipe_lineitem")
+    return spark.sql("""
+FROM pipe_lineitem
+|> AGGREGATE round(sum(l_quantity), 4) AS sum_qty,
+             round(sum(l_extendedprice), 4) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_discount), 6) AS avg_disc,
+             count(*) AS count_order
+   GROUP BY l_returnflag, l_linestatus
+""")
+
+
+def _sql_pipe_oracle() -> str:
+    from cs744_big_data_system_spark.workloads.relational import SQL_AGG_SUMS_Q1
+
+    return SQL_AGG_SUMS_Q1
+
+
 WORKLOADS = {
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "retrieval_ndcg": (q_retrieval_ndcg, SQL_RETRIEVAL_NDCG),
@@ -926,4 +954,5 @@ WORKLOADS = {
     "stream_data_card_replay": (q_stream_data_card_replay, SQL_STREAM_DATA_CARD),
     "scd2_asof_lookup": (q_scd2_asof_lookup, SQL_SCD2_ASOF_LOOKUP),
     "quantile_drift_psi": (q_quantile_drift_psi, SQL_QUANTILE_DRIFT_PSI),
+    "sql_pipe_syntax": (q_sql_pipe_syntax, _sql_pipe_oracle()),
 }

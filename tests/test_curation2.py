@@ -286,3 +286,41 @@ def test_psi_zero_on_identical_slices(spark):
         if (r.n_ref + 1) * (sum(x.n_cur for x in out) + 10)
         == (r.n_cur + 1) * (sum(x.n_ref for x in out) + 10)
     )
+
+
+def test_pipe_syntax_equals_dataframe_q1(spark):
+    """The pipe-syntax Q1 must return exactly the DataFrame Q1's rows —
+    front-end parity, not a reimplementation."""
+    from cs744_big_data_system_spark.workloads.curation2 import q_sql_pipe_syntax
+    from cs744_big_data_system_spark.workloads.relational import q_agg_sums_q1
+
+    a = {tuple(r) for r in q_sql_pipe_syntax(spark, SF).collect()}
+    b = {tuple(r) for r in q_agg_sums_q1(spark, SF).collect()}
+    assert a == b
+
+
+def test_observe_metrics_and_parameterized_sql(spark):
+    """Two small Spark 4 API surfaces used by monitoring harnesses:
+    df.observe() metrics must equal the equivalent aggregates, and
+    named-parameter SQL must bind literals (no string splicing)."""
+    from pyspark.sql import functions as F2
+
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    observed = li.observe(
+        "m", F2.count(F2.lit(1)).alias("rows"), F2.round(F2.sum("l_quantity"), 4).alias("qty")
+    )
+    collected = observed.collect()
+    want_rows = len(collected)
+    want_qty = round(sum(r.l_quantity for r in collected), 4)
+    row = li.agg(F2.count(F2.lit(1)), F2.round(F2.sum("l_quantity"), 4)).collect()[0]
+    assert (want_rows, want_qty) == (row[0], round(row[1], 4))
+
+    out = spark.sql(
+        "SELECT count(*) AS n FROM {t} WHERE l_quantity >= :q",
+        args={"q": 25},
+        t=li,
+    ).collect()[0]
+    want = li.filter(F2.col("l_quantity") >= 25).count()
+    assert out.n == want

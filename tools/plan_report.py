@@ -203,6 +203,7 @@ QUERIES = [
     "data_card_report",
     "scd2_asof_lookup",
     "quantile_drift_psi",
+    "sql_pipe_syntax",
 ]
 
 

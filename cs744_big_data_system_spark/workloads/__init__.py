@@ -58,9 +58,9 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # round-5 curation2 batch — dedup_incremental, retrieval_ndcg,
     # graph_clustering_coeff, skyline_2d, graph_link_prediction,
     # data_card_report, stream_data_card_replay, scd2_asof_lookup,
-    # quantile_drift_psi (all oracle-backed, all selfcheck-green under
-    # BOTH engine and vanilla sessions) — 15 entries total, leaving
-    # ~35 window slots for round-6 additions.
+    # quantile_drift_psi, sql_pipe_syntax (all oracle-backed, all
+    # selfcheck-green under BOTH engine and vanilla sessions) — 16
+    # entries total, leaving ~34 window slots for round-6 additions.
     reg.update(curation2.WORKLOADS)
 
     # ROUND-5 ROTATION. Front of window, in order:

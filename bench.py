@@ -184,6 +184,8 @@ HEADLINE = [
     "scd2_asof_lookup",
     "quantile_drift_psi",
     "sql_pipe_syntax",
+    "dedup_cluster_stats",
+    "audio_frame_features",
 ]
 
 

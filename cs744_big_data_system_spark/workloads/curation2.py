@@ -944,6 +944,126 @@ def _sql_pipe_oracle() -> str:
     return SQL_AGG_SUMS_Q1
 
 
+# --- Cluster-size distribution of the near-dup graph ---
+def q_dedup_cluster_stats(spark, sf_dir):
+    """Size histogram of the simhash→CC near-dup clusters — the
+    duplication-profile report a curation run publishes next to the
+    data card: how many clusters of each size, how many docs they
+    bind, and how many docs would be removed under keep-one-per-
+    cluster. Reuses the session-memoized CC table (the suite's most
+    expensive shared prefix computes once per session); the stats are
+    two integer aggregations over its few rows."""
+    from cs744_big_data_system_spark.workloads.llm import simhash_cc_clusters
+
+    clusters = simhash_cc_clusters(spark, sf_dir)
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(
+            F.count_distinct("cluster_id").cast("long").alias("n_clusters"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+            (F.col("n_docs") - F.col("n_clusters")).cast("long").alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _sql_dedup_cluster_stats() -> str:
+    from cs744_big_data_system_spark.workloads.llm import SQL_DEDUP_CLUSTERS
+
+    return f"""
+WITH clusters AS ({SQL_DEDUP_CLUSTERS})
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) - count(DISTINCT cluster_id) AS BIGINT) AS n_removable
+FROM clusters GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+SQL_DEDUP_CLUSTER_STATS = _sql_dedup_cluster_stats()
+
+
+# --- Framed audio features over REAL WAV bytes ---
+_AUDIO_RATE = 8000
+_AUDIO_SAMPLES = 64
+_AUDIO_FRAME = 16
+
+
+def _synthetic_wav_assets(spark, sf_dir):
+    """One deterministic mono 16-bit PCM WAV per document, built
+    entirely JVM-side: a literal RIFF/fmt/data header + 128 md5-derived
+    sample bytes — the same real-container trick as the PPM builder in
+    multimodal_resize, so the decode path runs on REAL WAV bytes
+    without any media files in the fixture."""
+    import struct
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_bytes = _AUDIO_SAMPLES * 2
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + n_bytes, b"WAVE", b"fmt ", 16,
+        1, 1, _AUDIO_RATE, _AUDIO_RATE * 2, 2, 16,
+        b"data", n_bytes,
+    )
+    pcm = F.concat(*[
+        F.to_binary(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":au{i}"))),
+            F.lit("hex"),
+        )
+        for i in range(n_bytes // 16)
+    ])
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.concat(F.lit(header), pcm).alias("payload"),
+    )
+
+
+def q_audio_frame_features(spark, sf_dir):
+    """Framed audio analysis over real WAV containers: decode PCM via
+    the stdlib path (operators/multimodal._decode_wav), split into
+    16-sample frames, and emit per-frame RMS and zero-crossing counts
+    — the windowed energy/voicing features an audio curation pipeline
+    computes before filtering or captioning. Arrow-batched mapInPandas
+    (never per-row Python); integer sample math until the final
+    rounded RMS, ZCR as an exact integer count. Rows-only by design
+    (SQL can't parse RIFF containers); the frame math is pinned by a
+    pure-Python golden test."""
+    import pandas as pd
+
+    assets = _synthetic_wav_assets(spark, sf_dir)
+
+    def frames(batches):
+        import numpy as np  # noqa: PLC0415 — worker-side
+
+        from cs744_big_data_system_spark.operators.multimodal import _decode_wav
+
+        for pdf in batches:
+            out = {"asset_id": [], "frame_idx": [], "rms": [], "n_zero_cross": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                decoded = _decode_wav(bytes(payload))
+                if decoded is None:
+                    continue
+                _, _, s = decoded
+                for f in range(len(s) // _AUDIO_FRAME):
+                    fr = s[f * _AUDIO_FRAME : (f + 1) * _AUDIO_FRAME].astype(np.float64)
+                    out["asset_id"].append(int(aid))
+                    out["frame_idx"].append(f)
+                    out["rms"].append(round(float(np.sqrt(np.mean(fr * fr))), 6))
+                    out["n_zero_cross"].append(
+                        int(np.sum(np.signbit(fr[:-1]) != np.signbit(fr[1:])))
+                    )
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        frames, "asset_id long, frame_idx int, rms double, n_zero_cross long"
+    )
+
+
 WORKLOADS = {
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "retrieval_ndcg": (q_retrieval_ndcg, SQL_RETRIEVAL_NDCG),
@@ -955,4 +1075,6 @@ WORKLOADS = {
     "scd2_asof_lookup": (q_scd2_asof_lookup, SQL_SCD2_ASOF_LOOKUP),
     "quantile_drift_psi": (q_quantile_drift_psi, SQL_QUANTILE_DRIFT_PSI),
     "sql_pipe_syntax": (q_sql_pipe_syntax, _sql_pipe_oracle()),
+    "dedup_cluster_stats": (q_dedup_cluster_stats, SQL_DEDUP_CLUSTER_STATS),
+    "audio_frame_features": (q_audio_frame_features, None),  # RIFF parse — no SQL oracle
 }

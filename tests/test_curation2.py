@@ -324,3 +324,54 @@ def test_observe_metrics_and_parameterized_sql(spark):
     ).collect()[0]
     want = li.filter(F2.col("l_quantity") >= 25).count()
     assert out.n == want
+
+
+def test_audio_frame_features_golden(spark):
+    """Frame RMS/ZCR must equal a pure-Python recompute from the same
+    md5-derived PCM bytes, for every frame of a sampled asset."""
+    import hashlib
+    import math as m
+    import struct
+
+    from cs744_big_data_system_spark.workloads.curation2 import (
+        _AUDIO_FRAME,
+        _AUDIO_SAMPLES,
+        q_audio_frame_features,
+    )
+
+    out = q_audio_frame_features(spark, SF).collect()
+    assert out
+    by_asset = {}
+    for r in out:
+        by_asset.setdefault(r.asset_id, {})[r.frame_idx] = (r.rms, r.n_zero_cross)
+    aid = min(by_asset)
+    pcm = b"".join(
+        bytes.fromhex(hashlib.md5(f"{aid}:au{i}".encode()).hexdigest())
+        for i in range(_AUDIO_SAMPLES * 2 // 16)
+    )
+    # _decode_wav normalizes 16-bit PCM to [-1, 1]
+    samples = [x / 32768.0 for x in struct.unpack(f"<{_AUDIO_SAMPLES}h", pcm)]
+    n_frames = _AUDIO_SAMPLES // _AUDIO_FRAME
+    assert set(by_asset[aid]) == set(range(n_frames))
+    for f in range(n_frames):
+        fr = samples[f * _AUDIO_FRAME : (f + 1) * _AUDIO_FRAME]
+        want_rms = round(m.sqrt(sum(x * x for x in fr) / len(fr)), 6)
+        want_zcr = sum(1 for a, b in zip(fr, fr[1:]) if (a < 0) != (b < 0))
+        got_rms, got_zcr = by_asset[aid][f]
+        assert abs(got_rms - want_rms) < 1e-9, (f, got_rms, want_rms)
+        assert got_zcr == want_zcr, (f, got_zcr, want_zcr)
+
+
+def test_cluster_stats_reconcile_with_clusters(spark):
+    """Histogram totals must reconcile with the raw cluster table, and
+    keep-one-per-cluster removable counts with dedup_keep_best."""
+    from cs744_big_data_system_spark.workloads.curation2 import q_dedup_cluster_stats
+    from cs744_big_data_system_spark.workloads.llm import q_dedup_clusters
+
+    clusters = q_dedup_clusters(spark, SF).collect()
+    stats = q_dedup_cluster_stats(spark, SF).collect()
+    assert sum(r.n_docs for r in stats) == len(clusters)
+    assert sum(r.n_clusters for r in stats) == len({r.cluster_id for r in clusters})
+    for r in stats:
+        assert r.n_removable == r.n_docs - r.n_clusters
+        assert r.n_docs == r.cluster_size * r.n_clusters

@@ -204,6 +204,8 @@ QUERIES = [
     "scd2_asof_lookup",
     "quantile_drift_psi",
     "sql_pipe_syntax",
+    "dedup_cluster_stats",
+    "audio_frame_features",
 ]
 
 

@@ -58,9 +58,11 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # round-5 curation2 batch — dedup_incremental, retrieval_ndcg,
     # graph_clustering_coeff, skyline_2d, graph_link_prediction,
     # data_card_report, stream_data_card_replay, scd2_asof_lookup,
-    # quantile_drift_psi, sql_pipe_syntax (all oracle-backed, all
-    # selfcheck-green under BOTH engine and vanilla sessions) — 16
-    # entries total, leaving ~34 window slots for round-6 additions.
+    # quantile_drift_psi, sql_pipe_syntax, dedup_cluster_stats (all
+    # oracle-backed) plus rows-only audio_frame_features — every one
+    # selfcheck-green under BOTH engine and vanilla sessions — 18
+    # entries total, leaving ~32 window slots for round-6 additions.
+    # Order oracle-backed before rows-only when promoting.
     reg.update(curation2.WORKLOADS)
 
     # ROUND-5 ROTATION. Front of window, in order:

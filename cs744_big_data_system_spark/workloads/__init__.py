@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from cs744_big_data_system_spark.workloads import (
     curation,
     curation2,
+    curation3,
     llm,
     pipeline_ext,
     relational,
@@ -64,6 +65,10 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # entries total, leaving ~32 window slots for round-6 additions.
     # Order oracle-backed before rows-only when promoting.
     reg.update(curation2.WORKLOADS)
+    # late-round-5 batch (curation3): recursive CTE, OHLC, interval
+    # overlap join, BM25 search, … — appended after curation2 per the
+    # same invariant; promote with the curation2 block in r06+.
+    reg.update(curation3.WORKLOADS)
 
     # ROUND-5 ROTATION. Front of window, in order:
     #   1. the two CORRECTNESS_r04 non-green rows, now FIXED (ab_test_zstat:

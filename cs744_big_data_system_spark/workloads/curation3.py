@@ -1,0 +1,315 @@
+"""Late-round-5 batch: engine surfaces a 100 TB pipeline leans on that
+the r01-r05 registry didn't yet cover —
+
+  * ``sql_recursive_cte`` — Spark 4 recursive CTEs (WITH RECURSIVE), the
+    hierarchical-traversal front end, run as the SAME SQL text on both
+    engines;
+  * ``timeseries_ohlc`` — open/high/low/close downsampling per time
+    bucket (the hypertable rollup shape) via min_by/max_by argmin
+    aggregates instead of window shuffles;
+  * ``interval_overlap_join`` — session-interval overlap pairs through
+    bucket decomposition (the scalable interval join) vs the oracle's
+    quadratic inequality join;
+  * ``bm25_search_topk`` — multi-term BM25 retrieval: broadcast query
+    set, posting-list join, integer micro-unit scores, top-k per query.
+
+Every query here is oracle-backed; per the registry ordering invariant
+they are APPENDED after the never-attested block and enter the driver's
+window in round 6+.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cs744_big_data_system_spark.operators.relational import sessionize
+from cs744_big_data_system_spark.sources.readers import load_table
+from cs744_big_data_system_spark.workloads.llm import _SQL_CANON_TOKS
+
+__all__ = ["WORKLOADS"]
+
+
+# --- Spark 4 recursive CTE: hierarchy traversal as plain SQL ---
+def q_sql_recursive_cte(spark, sf_dir):
+    """WITH RECURSIVE over the implicit binary hierarchy parent(k) =
+    floor(k/2) on customer keys: breadth-first from the root, one
+    recursive step per tree level (depth grows with log N, so the
+    iteration count — and Spark's recursion limit — is safe at any
+    corpus size; each level is one equi-join on the parent key).
+    The SAME query text runs on DuckDB: this is the portable
+    hierarchical-traversal front end (org charts, category trees,
+    bill-of-materials) that Spark 4 added and the reference's RDD
+    surface never had. Output is the per-depth roll-up so the result
+    stays small at every sf."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("rec_customer")
+    return spark.sql(_RECURSIVE_SQL.format(table="rec_customer"))
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE tree(node, depth) AS (
+  SELECT c_custkey AS node, 0 AS depth FROM {table} WHERE c_custkey = 0
+  UNION ALL
+  SELECT c.c_custkey, t.depth + 1
+  FROM tree t JOIN {table} c
+    ON CAST(floor(c.c_custkey / 2.0) AS BIGINT) = t.node
+  WHERE c.c_custkey >= 1
+)
+SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(node) AS BIGINT) AS sum_keys,
+       CAST(min(node) AS BIGINT) AS min_key,
+       CAST(max(node) AS BIGINT) AS max_key
+FROM tree GROUP BY depth
+"""
+
+SQL_SQL_RECURSIVE_CTE = _RECURSIVE_SQL.format(table="customer")
+
+
+# --- OHLC time-bucket rollup (hypertable downsampling) ---
+def q_timeseries_ohlc(spark, sf_dir):
+    """Open/high/low/close + volume per (event_type, hour bucket) —
+    the canonical time-series downsample. open/close are deterministic
+    argmin/argmax via min_by/max_by over the (ts, event_id) struct:
+    map-side-combinable aggregates, ONE shuffle on the bucket key and
+    no window (a row_number approach would shuffle the same data but
+    sort every partition; min_by folds in the combiner). The oracle
+    mirrors the pick with row_number, proving the struct-ordering
+    semantics agree."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    tie = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy(
+        bucket.alias("bucket_start"), "event_type"
+    ).agg(
+        F.round(F.min_by("value", tie), 6).alias("open_value"),
+        F.round(F.max("value"), 6).alias("high_value"),
+        F.round(F.min("value"), 6).alias("low_value"),
+        F.round(F.max_by("value", tie), 6).alias("close_value"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+SQL_TIMESERIES_OHLC = """
+WITH ranked AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+         event_type, value,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                            ORDER BY ts ASC, event_id ASC) AS rn_first,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_last
+  FROM events
+)
+SELECT bucket_start, event_type,
+       round(min(CASE WHEN rn_first = 1 THEN value END), 6) AS open_value,
+       round(max(value), 6) AS high_value,
+       round(min(value), 6) AS low_value,
+       round(min(CASE WHEN rn_last = 1 THEN value END), 6) AS close_value,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM ranked GROUP BY bucket_start, event_type
+"""
+
+
+# --- Interval-overlap join via bucket decomposition ---
+_HOUR_US = 3_600 * 1_000_000
+
+
+def q_interval_overlap_join(spark, sf_dir):
+    """Which pairs of user sessions overlapped in time, across two
+    user populations? Intervals are 30-min-gap sessions (≥ 2 events);
+    population A = even user ids, B = odd. The naive formulation is an
+    inequality join (quadratic — what the oracle runs at sf0.01); the
+    engine decomposes each interval into the hour buckets it spans
+    (sequence + explode) and equi-joins on the bucket, counting a pair
+    ONLY in the bucket that contains max(starts) — every overlapping
+    pair lands in exactly that one common bucket, so no distinct pass
+    is needed. Candidate fan-in per bucket is bounded by concurrent
+    sessions per hour (a property of the workload, not the corpus
+    size), which is what makes this the 100 TB interval-join shape."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        sessionize(ev, gap_minutes=30)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("start_us"),
+            F.unix_micros(F.max("ts")).alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .filter(F.col("n_events") >= 2)
+    )
+    spans = sess.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.col("start_us") / _HOUR_US).cast("long"),
+                (F.col("end_us") / _HOUR_US).cast("long"),
+            )
+        ),
+    )
+    a = spans.filter(F.col("user_id") % 2 == 0).select(
+        F.col("user_id").alias("user_a"),
+        F.col("start_us").alias("a_start"),
+        F.col("end_us").alias("a_end"),
+        "bucket",
+    )
+    b = spans.filter(F.col("user_id") % 2 == 1).select(
+        F.col("user_id").alias("user_b"),
+        F.col("start_us").alias("b_start"),
+        F.col("end_us").alias("b_end"),
+        "bucket",
+    )
+    pairs = a.join(b, "bucket").filter(
+        (F.col("a_start") <= F.col("b_end"))
+        & (F.col("b_start") <= F.col("a_end"))
+        # dedup-free uniqueness: emit the pair only in the bucket
+        # holding the later of the two starts (both spans contain it).
+        & (
+            F.col("bucket")
+            == (F.greatest("a_start", "b_start") / _HOUR_US).cast("long")
+        )
+    )
+    overlap = F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(overlap).alias("sum_overlap_us"),
+    )
+
+
+SQL_INTERVAL_OVERLAP_JOIN = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
+  FROM marked
+), sess AS (
+  SELECT user_id, session_id,
+         epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+         count(*) AS n_events
+  FROM sessions GROUP BY user_id, session_id
+  HAVING count(*) >= 2
+), a AS (SELECT * FROM sess WHERE user_id % 2 = 0),
+   b AS (SELECT * FROM sess WHERE user_id % 2 = 1)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us))
+            AS BIGINT) AS sum_overlap_us
+FROM a JOIN b ON a.start_us <= b.end_us AND b.start_us <= a.end_us
+GROUP BY 1, 2
+"""
+
+
+# --- BM25 multi-term retrieval: broadcast queries, top-k per query ---
+#: (query_id, term) pairs — the literal query workload, identical on
+#: both engines.
+_BM25_QUERIES = [
+    (1, "hash"), (1, "join"),
+    (2, "window"), (2, "agg"),
+    (3, "sort"), (3, "merge"), (3, "join"),
+    (4, "stream"), (4, "batch"),
+    (5, "vector"), (5, "scan"),
+]
+_BM25_K = 10
+
+
+def q_bm25_search_topk(spark, sf_dir):
+    """Multi-term BM25 retrieval (the query-time half of
+    text_tfidf_bm25's index-time scoring): a broadcast query-term
+    table joins the posting lists, per-term BM25 scores quantize to
+    integer micro-units (floor(x·1e6 + .5 + 1e-9) — IEEE-identical on
+    both engines, and a BIGINT sum is then associativity-free), and
+    one row_number window takes the top-10 docs per query. Corpus-side
+    cost is the same one (doc, term) shuffle the index build pays; the
+    query table is O(queries) and broadcasts at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    from cs744_big_data_system_spark.functions.text import normalized_text, tokens
+
+    k1, b = 1.2, 0.75
+    canon = docs.select("doc_id", tokens(normalized_text("text")).alias("_tk"))
+    stats = canon.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("_tk")).alias("avgdl")
+    )
+    terms = canon.select(
+        "doc_id", F.size("_tk").alias("dl"), F.explode("_tk").alias("term")
+    )
+    tfc = terms.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    qterms = spark.createDataFrame(_BM25_QUERIES, "query_id INT, term STRING")
+    qtf = tfc.join(F.broadcast(qterms), "term")
+    # document frequency of the query terms (counted over the full
+    # corpus — qtf already holds every posting for those terms)
+    dft = qtf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    joined = qtf.join(F.broadcast(dft), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * ((1.0 - b) + b * F.col("dl") / F.col("avgdl"))
+    term_micro = F.floor(
+        idf * F.col("tf") * (k1 + 1.0) / denom * 1e6 + 0.5 + 1e-9
+    ).cast("long")
+    scored = joined.select("query_id", "doc_id", term_micro.alias("m"))
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("m").alias("score_micro"), F.count(F.lit(1)).alias("n_terms")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_doc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _BM25_K)
+        .select("query_id", "rnk", "doc_id", "score_micro", "n_terms")
+    )
+
+
+def _sql_bm25_search() -> str:
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in _BM25_QUERIES)
+    return f"""
+WITH q(query_id, term) AS (VALUES {values}),
+tk AS (
+  SELECT doc_id, {_SQL_CANON_TOKS} AS tk FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl FROM tk
+), terms AS (
+  SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM tk
+), tfc AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM terms GROUP BY 1, 2, 3
+), qtf AS (
+  SELECT q.query_id, tfc.* FROM tfc JOIN q USING (term)
+), dft AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM (SELECT DISTINCT term, doc_id FROM qtf) GROUP BY 1
+), scored AS (
+  SELECT query_id, doc_id,
+         CAST(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+                    / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6 + 0.5 + 1e-9)
+              AS BIGINT) AS m
+  FROM qtf JOIN dft USING (term) CROSS JOIN stats
+), per_doc AS (
+  SELECT query_id, doc_id, CAST(sum(m) AS BIGINT) AS score_micro,
+         CAST(count(*) AS BIGINT) AS n_terms
+  FROM scored GROUP BY 1, 2
+)
+SELECT query_id, CAST(rnk AS INT) AS rnk, doc_id, score_micro, n_terms
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score_micro DESC, doc_id ASC) AS rnk
+      FROM per_doc)
+WHERE rnk <= {_BM25_K}
+"""
+
+
+SQL_BM25_SEARCH_TOPK = _sql_bm25_search()
+
+
+WORKLOADS = {
+    "sql_recursive_cte": (q_sql_recursive_cte, SQL_SQL_RECURSIVE_CTE),
+    "timeseries_ohlc": (q_timeseries_ohlc, SQL_TIMESERIES_OHLC),
+    "interval_overlap_join": (q_interval_overlap_join, SQL_INTERVAL_OVERLAP_JOIN),
+    "bm25_search_topk": (q_bm25_search_topk, SQL_BM25_SEARCH_TOPK),
+}

@@ -1,0 +1,119 @@
+"""Laws for the late-round-5 batch (workloads/curation3.py): recursive
+CTE traversal, OHLC rollup, interval-overlap join, BM25 retrieval.
+Each query is also oracle-backed via the registry; these tests pin the
+algorithmic invariants the SQL mirror can't independently witness."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_recursive_cte_covers_every_customer_once(spark):
+    """The halving-tree traversal must reach every customer exactly
+    once (it is a spanning tree of the key set), at the closed-form
+    depth floor(log2(k)) + 1 (root 0 at depth 0)."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.workloads.curation3 import q_sql_recursive_cte
+
+    rows = q_sql_recursive_cte(spark, SF).collect()
+    n_cust = load_table(spark, SF, "customer").count()
+    assert sum(r.n_nodes for r in rows) == n_cust
+    keys = range(n_cust)  # keys are 0..N-1 in the fixture
+    by_depth = {}
+    for k in keys:
+        d = 0 if k == 0 else int(math.floor(math.log2(k))) + 1
+        by_depth[d] = by_depth.get(d, 0) + 1
+    assert {r.depth: r.n_nodes for r in rows} == by_depth
+    for r in rows:
+        if r.depth > 0:
+            assert r.min_key == 2 ** (r.depth - 1)
+
+
+def test_ohlc_laws(spark):
+    """low ≤ open, close ≤ high; volume sums to the table count; a
+    single-event bucket has open == close == high == low."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.workloads.curation3 import q_timeseries_ohlc
+
+    rows = q_timeseries_ohlc(spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    assert sum(r.n_events for r in rows) == ev.count()
+    for r in rows:
+        assert r.low_value <= r.open_value <= r.high_value
+        assert r.low_value <= r.close_value <= r.high_value
+        if r.n_events == 1:
+            assert r.open_value == r.close_value == r.high_value == r.low_value
+
+
+def test_interval_overlap_matches_bruteforce(spark):
+    """The bucket-decomposed join returns EXACTLY the quadratic
+    truth: same pair multiset, same summed overlap."""
+    from cs744_big_data_system_spark.operators.relational import sessionize
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.workloads.curation3 import (
+        q_interval_overlap_join,
+    )
+
+    ev = load_table(spark, SF, "events")
+    sess = (
+        sessionize(ev, gap_minutes=30)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("s"),
+            F.unix_micros(F.max("ts")).alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+        .collect()
+    )
+    truth = {}
+    for a in sess:
+        if a.user_id % 2:
+            continue
+        for b in sess:
+            if b.user_id % 2 == 0:
+                continue
+            if a.s <= b.e and b.s <= a.e:
+                k = (a.user_id, b.user_id)
+                n, tot = truth.get(k, (0, 0))
+                truth[k] = (n + 1, tot + min(a.e, b.e) - max(a.s, b.s))
+    got = {
+        (r.user_a, r.user_b): (r.n_pairs, r.sum_overlap_us)
+        for r in q_interval_overlap_join(spark, SF).collect()
+    }
+    assert got == truth
+
+
+def test_bm25_topk_laws(spark):
+    """Per query: ranks are 1..k dense, scores non-increasing, doc_id
+    ascending within equal scores, and every returned doc matches at
+    least one query term (n_terms ≥ 1, score > 0 possible only via a
+    posting hit)."""
+    from cs744_big_data_system_spark.workloads.curation3 import (
+        _BM25_K,
+        _BM25_QUERIES,
+        q_bm25_search_topk,
+    )
+
+    rows = q_bm25_search_topk(spark, SF).collect()
+    n_terms_per_q = {}
+    for qid, _ in _BM25_QUERIES:
+        n_terms_per_q[qid] = n_terms_per_q.get(qid, 0) + 1
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(n_terms_per_q)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _BM25_K
+        for prev, cur in zip(rs, rs[1:]):
+            assert (prev.score_micro, -prev.doc_id) >= (cur.score_micro, -cur.doc_id)
+            if prev.score_micro == cur.score_micro:
+                assert prev.doc_id < cur.doc_id
+        for r in rs:
+            assert 1 <= r.n_terms <= n_terms_per_q[qid]

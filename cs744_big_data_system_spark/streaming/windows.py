@@ -175,6 +175,21 @@ def replay_waves_to_batch(
     """
     import os
 
+    stage, stream = stage_waves_stream(spark, waves)
+    try:
+        return _drain_stream(spark, transform(stream), output_mode)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def stage_waves_stream(spark: SparkSession, waves: list[DataFrame]):
+    """Stage ``waves`` as mtime-ordered single-file parquet waves and
+    return ``(stage_dir, stream)`` where the file-source ``stream``
+    (``latestFirst=false`` + ``maxFilesPerTrigger=1``) delivers exactly
+    one wave per micro-batch, in order. The caller owns ``stage_dir``
+    cleanup (the stream reads it lazily)."""
+    import os
+
     stage = tempfile.mkdtemp(prefix="replay_waves_")
     try:
         for i, w in enumerate(waves):
@@ -197,6 +212,7 @@ def replay_waves_to_batch(
             .option("latestFirst", "false")
             .parquet(stage)
         )
-        return _drain_stream(spark, transform(stream), output_mode)
-    finally:
+    except BaseException:
         shutil.rmtree(stage, ignore_errors=True)
+        raise
+    return stage, stream

@@ -307,9 +307,356 @@ WHERE rnk <= {_BM25_K}
 SQL_BM25_SEARCH_TOPK = _sql_bm25_search()
 
 
+# --- Parquet schema evolution: mergeSchema across file generations ---
+def q_parquet_schema_evolution(spark, sf_dir):
+    """Two parquet generations of the same table — an early writer
+    without the ``source`` column, a later one with it — land in one
+    directory; ``mergeSchema=true`` reads the union schema with NULLs
+    for the missing column (Spark unions parquet footers at planning
+    time; per-file projection pushdown still applies, so old files
+    never read the new column). This is the day-to-day lakehouse shape
+    when a pipeline adds a column mid-corpus without rewriting 100 TB
+    of history. The oracle replays the same evolution as a UNION ALL
+    with an explicit NULL."""
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = os.path.join(tempfile.gettempdir(), f"schema_evo_{os.getpid()}")
+    old = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
+    new = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+    old.write.mode("overwrite").parquet(os.path.join(root, "gen0"))
+    new.write.mode("overwrite").parquet(os.path.join(root, "gen1"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "gen0"), os.path.join(root, "gen1")
+    )
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.count("source").alias("n_with_source"),
+    )
+
+
+SQL_PARQUET_SCHEMA_EVOLUTION = """
+WITH merged AS (
+  SELECT doc_id, lang, n_chars, CAST(NULL AS VARCHAR) AS source
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, lang, n_chars, source FROM documents WHERE doc_id % 2 = 1
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(source) AS BIGINT) AS n_with_source
+FROM merged GROUP BY lang
+"""
+
+
+# --- Exactly-once BY CONSTRUCTION: idempotent MERGE upsert sink ---
+def q_stream_upsert_sink_replay(spark, sf_dir):
+    """The OTHER exactly-once discipline, complementing
+    stream_txlog_ingest's commit-ledger: an idempotent-by-construction
+    foreachBatch sink. Each micro-batch pre-reduces to its latest row
+    per key (max_by over the (ts, event_id) struct — map-side
+    combinable), then MERGEs into the keyed snapshot with a version
+    guard (WHEN MATCHED AND source is newer THEN UPDATE). Because the
+    guard makes every apply monotone, REDELIVERING any batch is a
+    provable no-op — the query re-applies wave 0 after the stream
+    drains and asserts the snapshot is bit-identical, then returns the
+    snapshot, which must equal the batch latest-per-key oracle.
+    Counts/sums are deliberately absent: they are NOT
+    redelivery-idempotent, which is exactly what the txlog ledger
+    variant is for (the docstring-level contrast is the point)."""
+    import os
+    import shutil
+    import tempfile
+
+    from cs744_big_data_system_spark.operators.merge import merge_upsert
+    from cs744_big_data_system_spark.streaming.windows import stage_waves_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    waves = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+
+    table_root = os.path.join(tempfile.gettempdir(), f"upsert_sink_{os.getpid()}")
+    shutil.rmtree(table_root, ignore_errors=True)
+    os.makedirs(table_root)
+    state = {"v": -1}
+
+    def _latest_per_key(bdf):
+        tie = F.struct(F.col("ts"), F.col("event_id"))
+        return bdf.groupBy("user_id", "event_type").agg(
+            F.max_by(F.struct("ts", "event_id", "value"), tie).alias("r")
+        ).select(
+            F.concat_ws("|", F.col("user_id"), F.col("event_type")).alias("ukey"),
+            "user_id",
+            "event_type",
+            F.col("r.ts").alias("ts"),
+            F.col("r.event_id").alias("event_id"),
+            F.col("r.value").alias("value"),
+        )
+
+    def sink(bdf, batch_id):
+        sess = bdf.sparkSession
+        src = _latest_per_key(bdf)
+        if state["v"] < 0:
+            merged = src
+        else:
+            tgt = sess.read.parquet(os.path.join(table_root, f"v{state['v']}"))
+            newer = (F.col("s.ts") > F.col("t.ts")) | (
+                (F.col("s.ts") == F.col("t.ts"))
+                & (F.col("s.event_id") > F.col("t.event_id"))
+            )
+            cols = ("user_id", "event_type", "ts", "event_id", "value")
+            merged = merge_upsert(
+                tgt,
+                src,
+                key="ukey",
+                matched_set={
+                    c: F.when(newer, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+                    for c in cols
+                },
+                not_matched_insert={c: F.col(f"s.{c}") for c in cols},
+            ).drop("merge_action")
+        v = state["v"] + 1
+        merged.write.mode("overwrite").parquet(os.path.join(table_root, f"v{v}"))
+        state["v"] = v
+
+    stage, stream = stage_waves_stream(spark, waves)
+    ckpt = tempfile.mkdtemp(prefix="upsert_sink_ckpt_")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        # redelivery drill: wave 0 arrives AGAIN → the version guard
+        # must make it a no-op (set-equality of snapshots).
+        before = spark.read.parquet(os.path.join(table_root, f"v{state['v']}"))
+        before = before.localCheckpoint(eager=True)
+        sink(waves[0], 0)
+        after = spark.read.parquet(os.path.join(table_root, f"v{state['v']}"))
+        assert after.exceptAll(before).count() == 0
+        assert before.exceptAll(after).count() == 0
+        return before.select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("last_ts_us"),
+            F.col("event_id").alias("last_event_id"),
+            F.round("value", 6).alias("last_value"),
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(table_root, ignore_errors=True)
+
+
+SQL_STREAM_UPSERT_SINK = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, epoch_us(ts) AS last_ts_us,
+       event_id AS last_event_id, round(value, 6) AS last_value
+FROM ranked WHERE rn = 1
+"""
+
+
+# --- State-store introspection: audit streaming state as a table ---
+def q_stream_state_inspect(spark, sf_dir):
+    """Spark 4's state data source: after a streaming aggregation
+    drains into its checkpoint, `spark.read.format("statestore")`
+    exposes the state-store contents AS A TABLE — the operational
+    audit surface for 100 TB streaming jobs (how big is my state, is a
+    key stuck, did the agg converge). Since the replay admits every
+    row, the final state must equal the batch aggregate — so the
+    audit read itself is hash-checked against the plain SQL oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from cs744_big_data_system_spark.sources.readers import normalize_event_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        stream_path = os.path.dirname(path)
+    else:
+        stream_path = path
+    stream = normalize_event_ts(reader.parquet(stream_path))
+    agg = (
+        stream.withWatermark("ts", "365 days")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    ckpt = tempfile.mkdtemp(prefix="state_inspect_ckpt_")
+    try:
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        st = spark.read.format("statestore").load(ckpt)
+        return st.select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").alias("n_events"),
+            F.round(F.col("value.sum"), 4).alias("sum_value"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+SQL_STREAM_STATE_INSPECT = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+# --- Video container: frame sampling over real PPM frames ---
+_VID_W, _VID_H = 8, 6
+_VID_FRAME_BYTES = _VID_W * _VID_H * 3  # 144 = 9 md5 chunks
+_VID_HEADER = b"P6\n8 6\n255\n"
+_VID_SAMPLE_EVERY = 2
+
+
+def _synthetic_video_assets(spark, sf_dir):
+    """One deterministic 'video' container per document, built entirely
+    JVM-side (same real-container trick as the WAV builder in
+    curation2): magic ``VID0`` + u16 frame count + per-frame
+    [u32 length][P6 PPM 8x6] with md5-derived pixel bytes. The parser
+    must honor the length prefixes and the PPM decode is the REAL
+    stdlib path (operators/multimodal._decode_ppm)."""
+    import struct
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_frames = 3 + F.col("doc_id") % 4
+
+    def frame_blob(f: int):
+        body = F.concat(*[
+            F.to_binary(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(f":vf{f}:"),
+                        F.lit(str(c)),
+                    )
+                ),
+                F.lit("hex"),
+            )
+            for c in range(_VID_FRAME_BYTES // 16)
+        ])
+        prefix = struct.pack(">I", len(_VID_HEADER) + _VID_FRAME_BYTES)
+        return F.concat(F.lit(prefix), F.lit(_VID_HEADER), body)
+
+    frames_for = {
+        k: F.concat(*[frame_blob(f) for f in range(3 + k)]) for k in range(4)
+    }
+    body = F.when(F.col("doc_id") % 4 == 0, frames_for[0])
+    for k in range(1, 4):
+        body = body.when(F.col("doc_id") % 4 == k, frames_for[k])
+    count_be = F.to_binary(
+        F.lpad(F.conv(n_frames.cast("string"), 10, 16), 4, "0"), F.lit("hex")
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.concat(F.lit(b"VID0"), count_be, body).alias("payload"),
+    )
+
+
+def q_video_frame_sample(spark, sf_dir):
+    """Frame sampling over video containers — the third modality
+    (audio_frame_features is the WAV twin): parse the container's
+    length-prefixed frame index, decode every 2nd frame through the
+    REAL PPM decoder, and emit per-sampled-frame pixel sums. The
+    Spark-side plumbing (binary column, Arrow batches, mapInPandas
+    schema) is exactly what a codec-backed deployment uses; and
+    because the synthetic pixels are md5-derived, DuckDB can recompute
+    the expected sums arithmetically — a HASH-CHECKED decode path, not
+    a rows-only stub. Integer pixel math end-to-end."""
+    import pandas as pd
+
+    assets = _synthetic_video_assets(spark, sf_dir)
+
+    def sample(batches):
+        import struct
+
+        import numpy as np  # noqa: PLC0415 — worker-side
+
+        from cs744_big_data_system_spark.operators.multimodal import _decode_ppm
+
+        for pdf in batches:
+            out = {"asset_id": [], "frame_idx": [], "sum_px": [], "n_px": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload)
+                if data[:4] != b"VID0":
+                    continue
+                (nf,) = struct.unpack(">H", data[4:6])
+                pos = 6
+                for f in range(nf):
+                    (ln,) = struct.unpack(">I", data[pos : pos + 4])
+                    blob = data[pos + 4 : pos + 4 + ln]
+                    pos += 4 + ln
+                    if f % _VID_SAMPLE_EVERY:
+                        continue
+                    decoded = _decode_ppm(blob)
+                    if decoded is None:
+                        continue
+                    _, _, px = decoded
+                    raw = np.rint(px * 255.0).astype(np.int64)
+                    out["asset_id"].append(int(aid))
+                    out["frame_idx"].append(f)
+                    out["sum_px"].append(int(raw.sum()))
+                    out["n_px"].append(int(raw.size))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        sample, "asset_id long, frame_idx int, sum_px long, n_px long"
+    )
+
+
+SQL_VIDEO_FRAME_SAMPLE = f"""
+WITH f AS (
+  SELECT doc_id, unnest(range(0, 3 + doc_id % 4)) AS frame_idx FROM documents
+), sampled AS (
+  SELECT doc_id, frame_idx FROM f WHERE frame_idx % {_VID_SAMPLE_EVERY} = 0
+), chunks AS (
+  SELECT doc_id, frame_idx,
+         md5(doc_id || ':vf' || frame_idx || ':' || c) AS h
+  FROM sampled, unnest(range(0, {_VID_FRAME_BYTES // 16})) t(c)
+), bytes AS (
+  SELECT doc_id, frame_idx,
+         CAST(('0x' || substr(h, CAST(2 * i + 1 AS INT), 2)) AS BIGINT) AS bv
+  FROM chunks, unnest(range(0, 16)) u(i)
+)
+SELECT doc_id AS asset_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(sum(bv) AS BIGINT) AS sum_px, CAST(count(*) AS BIGINT) AS n_px
+FROM bytes GROUP BY doc_id, frame_idx
+"""
+
+
 WORKLOADS = {
     "sql_recursive_cte": (q_sql_recursive_cte, SQL_SQL_RECURSIVE_CTE),
     "timeseries_ohlc": (q_timeseries_ohlc, SQL_TIMESERIES_OHLC),
     "interval_overlap_join": (q_interval_overlap_join, SQL_INTERVAL_OVERLAP_JOIN),
     "bm25_search_topk": (q_bm25_search_topk, SQL_BM25_SEARCH_TOPK),
+    "parquet_schema_evolution": (
+        q_parquet_schema_evolution,
+        SQL_PARQUET_SCHEMA_EVOLUTION,
+    ),
+    "stream_upsert_sink_replay": (q_stream_upsert_sink_replay, SQL_STREAM_UPSERT_SINK),
+    "stream_state_inspect": (q_stream_state_inspect, SQL_STREAM_STATE_INSPECT),
+    "video_frame_sample": (q_video_frame_sample, SQL_VIDEO_FRAME_SAMPLE),
 }

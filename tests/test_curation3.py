@@ -88,6 +88,127 @@ def test_interval_overlap_matches_bruteforce(spark):
     assert got == truth
 
 
+def test_schema_evolution_nulls_only_for_old_generation(spark):
+    """The merged read must expose `source` as NULL exactly for the
+    old-generation (even doc_id) rows and preserve it for the new."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.workloads.curation3 import (
+        q_parquet_schema_evolution,
+    )
+
+    rows = {r.lang: r for r in q_parquet_schema_evolution(spark, SF).collect()}
+    docs = load_table(spark, SF, "documents")
+    truth = {
+        r.lang: r
+        for r in docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum((F.col("doc_id") % 2 == 1).cast("long")).alias("n_odd"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(truth)
+    for lang, r in rows.items():
+        assert r.n_docs == truth[lang].n_docs
+        assert r.sum_chars == truth[lang].sum_chars
+        assert r.n_with_source == truth[lang].n_odd  # NULL for every even doc
+
+
+def test_upsert_sink_equals_batch_latest(spark):
+    """The streamed idempotent-MERGE snapshot (including the in-query
+    redelivery drill) must equal the batch latest-per-key answer."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.workloads.curation3 import (
+        q_stream_upsert_sink_replay,
+    )
+
+    got = {
+        (r.user_id, r.event_type): (r.last_ts_us, r.last_event_id, r.last_value)
+        for r in q_stream_upsert_sink_replay(spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    tie = F.struct(F.col("ts"), F.col("event_id"))
+    truth = {
+        (r.user_id, r.event_type): (r.last_ts_us, r.last_event_id, r.last_value)
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.max_by(F.struct("ts", "event_id", "value"), tie).alias("r"))
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("r.ts").alias("last_ts_us"),
+            F.col("r.event_id").alias("last_event_id"),
+            F.round("r.value", 6).alias("last_value"),
+        )
+        .collect()
+    }
+    assert got == truth
+
+
+def test_state_inspect_equals_batch_agg(spark):
+    """Reading the checkpoint's state store back as a table must
+    reproduce the batch aggregate exactly."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.workloads.curation3 import (
+        q_stream_state_inspect,
+    )
+
+    got = {
+        r.event_type: (r.n_events, r.sum_value)
+        for r in q_stream_state_inspect(spark, SF).collect()
+    }
+    truth = {
+        r.event_type: (r.n_events, r.sum_value)
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == truth
+
+
+def test_video_frame_sample_golden(spark):
+    """Pure-Python golden: rebuild one asset's container from the md5
+    recipe, parse it by hand, and pin the query's rows for that asset
+    — container layout, sampling cadence, and pixel sums."""
+    import hashlib
+    import struct
+
+    from cs744_big_data_system_spark.workloads.curation3 import (
+        _VID_FRAME_BYTES,
+        _VID_HEADER,
+        _VID_SAMPLE_EVERY,
+        q_video_frame_sample,
+    )
+
+    doc_id = 7
+    n_frames = 3 + doc_id % 4
+    expected = {}
+    for f in range(n_frames):
+        if f % _VID_SAMPLE_EVERY:
+            continue
+        body = b"".join(
+            bytes.fromhex(hashlib.md5(f"{doc_id}:vf{f}:{c}".encode()).hexdigest())
+            for c in range(_VID_FRAME_BYTES // 16)
+        )
+        assert len(body) == _VID_FRAME_BYTES
+        # the engine decodes through the real PPM parser; pin the blob
+        # shape it must parse
+        blob = struct.pack(">I", len(_VID_HEADER) + _VID_FRAME_BYTES)
+        assert len(blob) == 4
+        expected[f] = (sum(body), _VID_FRAME_BYTES)
+
+    rows = {
+        r.frame_idx: (r.sum_px, r.n_px)
+        for r in q_video_frame_sample(spark, SF).collect()
+        if r.asset_id == doc_id
+    }
+    assert rows == expected
+
+
 def test_bm25_topk_laws(spark):
     """Per query: ranks are 1..k dense, scores non-increasing, doc_id
     ascending within equal scores, and every returned doc matches at

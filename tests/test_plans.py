@@ -610,3 +610,34 @@ def test_round5_additions_plan_posture(spark):
 
     plan = formatted_plan(reg["data_card_report"][0](spark, SF_SMALL))
     assert "partial_" in plan, plan
+
+
+def test_curation3_plan_posture(spark):
+    """Scale-posture pins for the late-round-5 batch:
+    - timeseries_ohlc is WINDOW-FREE (open/close via min_by/max_by
+      fold in the combiner) and aggregates with map-side partials;
+    - interval_overlap_join joins on the bucket equi-key — no
+      nested-loop/cartesian anywhere (that's the oracle's job);
+    - bm25_search_topk broadcasts the query/df/stats side and gets the
+      Spark 4 rank-limit pushdown (WindowGroupLimit) for its top-k;
+    - video_frame_sample is scan → mapInPandas only: zero exchanges."""
+    import re
+
+    from cs744_big_data_system_spark.plans.explain import formatted_plan
+    from cs744_big_data_system_spark.workloads import all_workloads
+
+    reg = all_workloads()
+
+    plan = formatted_plan(reg["timeseries_ohlc"][0](spark, SF_SMALL))
+    assert not re.search(r"\bWindow \(\d+\)", plan), plan
+    assert "partial_" in plan, plan
+
+    plan = formatted_plan(reg["interval_overlap_join"][0](spark, SF_SMALL))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+    plan = formatted_plan(reg["bm25_search_topk"][0](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+    plan = formatted_plan(reg["video_frame_sample"][0](spark, SF_SMALL))
+    assert "Exchange" not in plan, plan

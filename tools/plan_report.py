@@ -206,6 +206,13 @@ QUERIES = [
     "sql_pipe_syntax",
     "dedup_cluster_stats",
     "audio_frame_features",
+    # late-round-5 additions (curation3)
+    "sql_recursive_cte",
+    "timeseries_ohlc",
+    "interval_overlap_join",
+    "bm25_search_topk",
+    "parquet_schema_evolution",
+    "video_frame_sample",
 ]
 
 

@@ -195,6 +195,10 @@ HEADLINE = [
     "stream_upsert_sink_replay",
     "stream_state_inspect",
     "video_frame_sample",
+    "gdpr_erase",
+    "cbo_join_reorder",
+    "stream_progress_metrics",
+    "cohort_revenue_matrix",
 ]
 
 

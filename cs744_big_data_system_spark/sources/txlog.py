@@ -121,6 +121,44 @@ def txlog_compact(spark: SparkSession, table_path: str, target_files: int = 1) -
     return v
 
 
+def txlog_delete_where(spark: SparkSession, table_path: str, predicate) -> int:
+    """Row-level DELETE via copy-on-write — the Delta/Iceberg DELETE
+    shape: ONE distributed pass finds which live files actually
+    contain matching rows (input_file_name aggregation; the collect is
+    bounded by the file count, never the row count), ONLY those files
+    are rewritten without their matching rows, and the commit swaps
+    them atomically (add=rewrites, remove=affected). Untouched files
+    — at 100 TB, the overwhelming majority — survive in place, and
+    every prior version still time-travels to the pre-delete rows
+    until vacuumed (the retention story a real forget-me pipeline
+    pairs with this).
+
+    NULL predicate results count as no-match (SQL DELETE semantics):
+    such rows are KEPT."""
+    from pyspark.sql import functions as F
+
+    v = latest_version(table_path)
+    live = sorted(_live_files(table_path, v))
+    paths = [os.path.join(table_path, f) for f in live]
+    match = F.coalesce(predicate, F.lit(False))
+    df = spark.read.parquet(*paths)
+    affected = sorted(
+        r[0]
+        for r in df.filter(match)
+        .select(F.element_at(F.split(F.input_file_name(), "/"), -1).alias("f"))
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return v  # nothing to delete — no new version
+    keep = spark.read.parquet(
+        *[os.path.join(table_path, f) for f in affected]
+    ).filter(~match)
+    add = _stage_data_files(keep, table_path)
+    _commit(table_path, v + 1, add=add, remove=affected)
+    return v + 1
+
+
 def _live_files(table_path: str, version: int) -> set[str]:
     live: set[str] = set()
     for v in range(version + 1):

@@ -65,12 +65,14 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # entries total, leaving ~32 window slots for round-6 additions.
     # Order oracle-backed before rows-only when promoting.
     reg.update(curation2.WORKLOADS)
-    # late-round-5 batch (curation3, ALL 8 oracle-backed): recursive
+    # late-round-5 batch (curation3, ALL 12 oracle-backed): recursive
     # CTE, OHLC rollup, interval-overlap join, BM25 search, parquet
     # schema evolution, idempotent MERGE sink, state-store inspect,
-    # video frame sampling — appended after curation2 per the same
-    # invariant; promote with the curation2 block in r06+ (26 backlog
-    # entries total → r06 window has ~24 free slots).
+    # video frame sampling, GDPR copy-on-write delete, CBO join
+    # reorder, streaming progress metrics, cohort matrix — appended
+    # after curation2 per the same invariant; promote with the
+    # curation2 block in r06+ (30 backlog entries total → r06 window
+    # has ~20 free slots).
     reg.update(curation3.WORKLOADS)
 
     # ROUND-5 ROTATION. Front of window, in order:

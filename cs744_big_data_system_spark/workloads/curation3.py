@@ -647,6 +647,209 @@ FROM bytes GROUP BY doc_id, frame_idx
 """
 
 
+# --- Right-to-be-forgotten: copy-on-write DELETE in the txlog table ---
+def q_gdpr_erase(spark, sf_dir):
+    """The compliance op every 100 TB lakehouse needs: erase a set of
+    users from a txlog table with sources/txlog.txlog_delete_where —
+    file-pruned copy-on-write DELETE (only files containing a
+    forgotten user are rewritten; the affected-file discovery is one
+    input_file_name aggregation, and prior versions still time-travel
+    until vacuum). The query ingests events hash-partitioned on
+    user_id, erases user_id % 37 == 3, PROVES the erasure in-query
+    (zero matching rows in the new snapshot) and returns the surviving
+    per-type aggregate, which must equal the oracle's NOT-predicate
+    filter."""
+    import os
+    import shutil
+    import tempfile
+
+    from cs744_big_data_system_spark.sources.txlog import (
+        txlog_append,
+        txlog_delete_where,
+        txlog_read,
+    )
+
+    table = os.path.join(tempfile.gettempdir(), f"gdpr_{os.getpid()}")
+    shutil.rmtree(table, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    txlog_append(ev.repartition(8, "user_id"), table)
+    forget = F.col("user_id") % 37 == 3
+    txlog_delete_where(spark, table, forget)
+    snap = txlog_read(spark, table)
+    assert snap.filter(forget).count() == 0  # the right, exercised
+    try:
+        return (
+            snap.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.count_distinct("user_id").alias("n_users"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+SQL_GDPR_ERASE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(sum(value), 4) AS sum_value
+FROM events WHERE NOT (user_id % 37 = 3)
+GROUP BY event_type
+"""
+
+
+# --- Cost-based optimization: ANALYZE stats + join reorder ---
+def q_cbo_join_reorder(spark, sf_dir):
+    """Catalyst's cost-based optimizer fed by catalog statistics: the
+    three TPC-H join tables land as managed tables, ANALYZE TABLE
+    COMPUTE STATISTICS FOR ALL COLUMNS records row counts + NDVs, and
+    the star query is submitted as a comma-list FROM (no join order
+    given) with spark.sql.cbo{.joinReorder}.enabled — the optimizer
+    picks the order from stats, which at 100 TB is the difference
+    between shuffling the fact table once or three times. Stats
+    presence in the optimized plan is pinned by test; confs restore
+    after so the rest of the session keeps the default planner."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    names = {}
+    for t in ("customer", "orders", "lineitem"):
+        names[t] = f"cbo_{t}_{os.getpid()}_{tag}"
+        if not spark.catalog.tableExists(names[t]):
+            load_table(spark, sf_dir, t).write.saveAsTable(names[t])
+            spark.sql(
+                f"ANALYZE TABLE {names[t]} COMPUTE STATISTICS FOR ALL COLUMNS"
+            )
+    old = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    }
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try:
+        out = spark.sql(f"""
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM {names["lineitem"]}, {names["orders"]}, {names["customer"]}
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND o_orderstatus = 'F' AND l_quantity > 10
+            GROUP BY c_mktsegment
+        """)
+        # materialize under CBO before the confs restore (the driver
+        # collects later; the plan is already optimized here)
+        return out.localCheckpoint(eager=True)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+SQL_CBO_JOIN_REORDER = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem, orders, customer
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND o_orderstatus = 'F' AND l_quantity > 10
+GROUP BY c_mktsegment
+"""
+
+
+# --- Streaming observability: per-batch progress metrics as a table ---
+def q_stream_progress_metrics(spark, sf_dir):
+    """The StreamingQueryProgress feed — numInputRows per micro-batch
+    — turned into a queryable table: the observability surface an
+    operator watches on a production stream (throughput per trigger,
+    stuck batches). Three mtime-ordered waves replay one-per-trigger,
+    so each batch's input count is exactly one wave's rows and the
+    oracle is the batch GROUP BY event_id % 3. Deterministic because
+    availableNow + maxFilesPerTrigger=1 pins the batch boundaries."""
+    import shutil
+    import tempfile
+
+    from cs744_big_data_system_spark.streaming.windows import stage_waves_stream
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    waves = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    stage, stream = stage_waves_stream(spark, waves)
+    ckpt = tempfile.mkdtemp(prefix="progress_ckpt_")
+    try:
+        q = (
+            stream.writeStream.format("noop")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        rows = [
+            (int(p.batchId), int(p.numInputRows))
+            for p in q.recentProgress
+            if int(p.numInputRows) > 0  # drop no-data housekeeping batches
+        ]
+        return spark.createDataFrame(rows, "batch_id INT, num_input_rows BIGINT")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+SQL_STREAM_PROGRESS_METRICS = """
+SELECT CAST(event_id % 3 AS INT) AS batch_id,
+       CAST(count(*) AS BIGINT) AS num_input_rows
+FROM events GROUP BY 1
+"""
+
+
+# --- Cohort analysis: acquisition-week x age-week value matrix ---
+def q_cohort_revenue_matrix(spark, sf_dir):
+    """The classic cohort retention/revenue matrix: users bucketed by
+    the ISO week of their FIRST event (acquisition cohort), activity
+    bucketed by whole weeks since that cohort week; per cell, active
+    users / events / summed value. One aggregate builds the per-user
+    cohort (tiny — one row per user), which joins back broadcast; the
+    matrix is then one shuffle on (cohort, age). The per-user table is
+    the only state that grows with users, never with events."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohort = cohort.select(
+        "user_id", F.date_trunc("week", "first_ts").cast("date").alias("cohort_week")
+    )
+    joined = ev.join(F.broadcast(cohort), "user_id")
+    age_weeks = (
+        F.datediff(F.date_trunc("week", "ts").cast("date"), F.col("cohort_week")) / 7
+    ).cast("int")
+    return joined.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        age_weeks.alias("age_weeks"),
+    ).agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+SQL_COHORT_REVENUE_MATRIX = """
+WITH cohort AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cohort_week,
+                      CAST(date_trunc('week', ts) AS DATE)) / 7 AS INT) AS age_weeks,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events e JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 WORKLOADS = {
     "sql_recursive_cte": (q_sql_recursive_cte, SQL_SQL_RECURSIVE_CTE),
     "timeseries_ohlc": (q_timeseries_ohlc, SQL_TIMESERIES_OHLC),
@@ -659,4 +862,8 @@ WORKLOADS = {
     "stream_upsert_sink_replay": (q_stream_upsert_sink_replay, SQL_STREAM_UPSERT_SINK),
     "stream_state_inspect": (q_stream_state_inspect, SQL_STREAM_STATE_INSPECT),
     "video_frame_sample": (q_video_frame_sample, SQL_VIDEO_FRAME_SAMPLE),
+    "gdpr_erase": (q_gdpr_erase, SQL_GDPR_ERASE),
+    "cbo_join_reorder": (q_cbo_join_reorder, SQL_CBO_JOIN_REORDER),
+    "stream_progress_metrics": (q_stream_progress_metrics, SQL_STREAM_PROGRESS_METRICS),
+    "cohort_revenue_matrix": (q_cohort_revenue_matrix, SQL_COHORT_REVENUE_MATRIX),
 }

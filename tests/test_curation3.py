@@ -209,6 +209,132 @@ def test_video_frame_sample_golden(spark):
     assert rows == expected
 
 
+def test_txlog_delete_where_prunes_files_and_time_travels(spark):
+    """Copy-on-write DELETE laws: only files containing matches are
+    rewritten (the commit's remove set is a strict subset of the live
+    files), the new snapshot equals the filter, the pre-delete version
+    still time-travels to the erased rows, and a no-match DELETE is a
+    no-op that commits nothing."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.sources.txlog import (
+        _entry_path,
+        txlog_append,
+        txlog_delete_where,
+        txlog_read,
+    )
+
+    table = os.path.join(tempfile.gettempdir(), f"gdpr_test_{os.getpid()}")
+    shutil.rmtree(table, ignore_errors=True)
+    try:
+        ev = load_table(spark, SF, "events").select("event_id", "user_id", "value")
+        txlog_append(ev.repartition(8, "user_id"), table)
+        forget = F.col("user_id") % 37 == 3
+        n_forgotten = ev.filter(forget).count()
+        assert n_forgotten > 0
+
+        v = txlog_delete_where(spark, table, forget)
+        with open(_entry_path(table, v)) as f:
+            entry = json.load(f)
+        assert 0 < len(entry["remove"]) < 8  # pruning: not a full rewrite
+        snap = txlog_read(spark, table)
+        assert snap.filter(forget).count() == 0
+        assert snap.count() == ev.count() - n_forgotten
+        # time travel: the pre-delete version still has every row
+        old = txlog_read(spark, table, version=v - 1)
+        assert old.count() == ev.count()
+        assert old.filter(forget).count() == n_forgotten
+        # no-match delete: same version back, no new commit
+        v2 = txlog_delete_where(spark, table, F.col("user_id") == -1)
+        assert v2 == v and not os.path.exists(_entry_path(table, v + 1))
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+def test_cbo_stats_recorded_and_result_correct(spark):
+    """ANALYZE must leave row-count statistics the optimizer can see
+    (optimizedPlan stats == table count), and the CBO query's result
+    must equal the same aggregation computed via the DataFrame API."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.workloads.curation3 import q_cbo_join_reorder
+
+    got = {r.c_mktsegment: (r.n_lines, r.revenue) for r in q_cbo_join_reorder(spark, SF).collect()}
+
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders")
+    cust = load_table(spark, SF, "customer")
+    truth = {
+        r.c_mktsegment: (r.n_lines, r.revenue)
+        for r in li.filter(F.col("l_quantity") > 10)
+        .join(orders.filter(F.col("o_orderstatus") == "F"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        )
+        .collect()
+    }
+    assert got == truth
+
+    # the ANALYZEd table must expose a rowCount to the optimizer
+    import hashlib
+    import os
+
+    tag = hashlib.md5(SF.encode()).hexdigest()[:8]
+    t = f"cbo_orders_{os.getpid()}_{tag}"
+    old = spark.conf.get("spark.sql.cbo.enabled", None)
+    spark.conf.set("spark.sql.cbo.enabled", "true")  # stats only surface under CBO
+    try:
+        jdf = spark.table(t)._jdf
+        row_count = jdf.queryExecution().optimizedPlan().stats().rowCount()
+        assert row_count.isDefined(), "ANALYZE left no row-count statistic"
+        assert int(str(row_count.get())) == spark.table(t).count()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.cbo.enabled")
+        else:
+            spark.conf.set("spark.sql.cbo.enabled", old)
+
+
+def test_stream_progress_matches_wave_sizes(spark):
+    """One progress row per wave, batch ids dense from 0, counts equal
+    the wave sizes."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.workloads.curation3 import (
+        q_stream_progress_metrics,
+    )
+
+    rows = {r.batch_id: r.num_input_rows for r in q_stream_progress_metrics(spark, SF).collect()}
+    ev = load_table(spark, SF, "events")
+    waves = {
+        i: ev.filter(F.col("event_id") % 3 == i).count() for i in range(3)
+    }
+    assert rows == waves
+
+
+def test_cohort_matrix_conservation_and_first_week(spark):
+    """Cells partition the event set (n_events sums to the table
+    count); ages are non-negative; every user's acquisition week has a
+    week-0 cell containing them (so week-0 n_users sums to the number
+    of distinct users)."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.workloads.curation3 import (
+        q_cohort_revenue_matrix,
+    )
+
+    rows = q_cohort_revenue_matrix(spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    assert sum(r.n_events for r in rows) == ev.count()
+    assert all(r.age_weeks >= 0 for r in rows)
+    week0_users = sum(r.n_users for r in rows if r.age_weeks == 0)
+    assert week0_users == ev.select("user_id").distinct().count()
+
+
 def test_bm25_topk_laws(spark):
     """Per query: ranks are 1..k dense, scores non-increasing, doc_id
     ascending within equal scores, and every returned doc matches at

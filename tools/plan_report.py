@@ -213,6 +213,7 @@ QUERIES = [
     "bm25_search_topk",
     "parquet_schema_evolution",
     "video_frame_sample",
+    "cohort_revenue_matrix",
 ]
 
 

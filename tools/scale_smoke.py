@@ -115,6 +115,12 @@ QUERIES = [
     "data_card_report",
     "scd2_asof_lookup",
     "quantile_drift_psi",
+    # late-round-5 additions (curation3), >=1s at sf0.1
+    "sql_recursive_cte",        # iterative CTE: levels ~ log N
+    "bm25_search_topk",         # posting-list join + topk
+    "stream_upsert_sink_replay",# per-batch MERGE chain
+    "stream_state_inspect",     # streaming agg + state read
+    "video_frame_sample",       # container parse + PPM decode
 ]
 
 

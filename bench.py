@@ -199,6 +199,11 @@ HEADLINE = [
     "cbo_join_reorder",
     "stream_progress_metrics",
     "cohort_revenue_matrix",
+    "ps_frontend_agg",
+    "sql_table_function",
+    "string_collation",
+    "udf_map_in_arrow",
+    "stream_dedup_within_watermark_replay",
 ]
 
 

@@ -24,6 +24,7 @@ from cs744_big_data_system_spark.workloads import (
     curation,
     curation2,
     curation3,
+    frontends,
     llm,
     pipeline_ext,
     relational,
@@ -74,6 +75,11 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # curation2 block in r06+ (30 backlog entries total → r06 window
     # has ~20 free slots).
     reg.update(curation3.WORKLOADS)
+    # front-end / Python-boundary batch (frontends, ALL 5 oracle-backed):
+    # pandas-on-Spark Q1, SQL table function, UTF8_LCASE collation,
+    # mapInArrow, dropDuplicatesWithinWatermark — same invariant;
+    # promote with the curation3 block in r06+ (35 backlog entries).
+    reg.update(frontends.WORKLOADS)
 
     # ROUND-5 ROTATION. Front of window, in order:
     #   1. the two CORRECTNESS_r04 non-green rows, now FIXED (ab_test_zstat:

@@ -214,6 +214,10 @@ QUERIES = [
     "parquet_schema_evolution",
     "video_frame_sample",
     "cohort_revenue_matrix",
+    "ps_frontend_agg",
+    "sql_table_function",
+    "string_collation",
+    "udf_map_in_arrow",
 ]
 
 

@@ -204,6 +204,9 @@ HEADLINE = [
     "string_collation",
     "udf_map_in_arrow",
     "stream_dedup_within_watermark_replay",
+    "pyds_sink_roundtrip",
+    "stream_rocksdb_state_replay",
+    "timeseries_interpolate",
 ]
 
 

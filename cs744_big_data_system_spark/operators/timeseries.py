@@ -62,6 +62,72 @@ def gapfill_forward(
     )
 
 
+def interpolate_linear(
+    events: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Densify per-key HOURLY series and linearly interpolate the gap
+    buckets between the surrounding observations — the other half of
+    the hypertable gap story (gapfill_forward carries, this one
+    interpolates; TimescaleDB's ``interpolate()``).
+
+    Output: (key, bucket_hour, n_events, value_micro, is_interp) where
+    value_micro is the observed bucket sum in integer 1e-4 units, or
+    the linear interpolation between the neighboring observed buckets.
+    All arithmetic after the one rounded sum is INTEGER (and the one
+    division is floor(a·b/c + ½) of integer-valued doubles), so the
+    result is bit-reproducible and hash-checkable cross-engine.
+
+    Scale shape: identical to gapfill_forward — per-key spine bounded
+    by each key's own span, one shuffle on the key, two window passes
+    (backward carry + forward probe) over the same sort. Edges never
+    extrapolate: the spine starts/ends at observed buckets by
+    construction."""
+    hour_us = 3_600 * 1_000_000
+    agg = events.groupBy(
+        key, (F.unix_micros(ts_col) / hour_us).cast("long").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(value_col), 4).alias("s"),
+    )
+    obs = agg.select(
+        key,
+        "h",
+        "n",
+        F.floor(F.col("s") * 10000.0 + 0.5).cast("long").alias("v"),
+    )
+    spine = (
+        obs.groupBy(key)
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(key, F.explode(F.sequence("mn", "mx")).alias("h"))
+    )
+    j = spine.join(obs, [key, "h"], "left")
+    wp = Window.partitionBy(key).orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy(key).orderBy("h").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    h_obs = F.when(F.col("v").isNotNull(), F.col("h"))
+    pv, ph = F.last("v", True).over(wp), F.last(h_obs, True).over(wp)
+    nv, nh = F.first("v", True).over(wn), F.first(h_obs, True).over(wn)
+    interp = pv + F.floor(
+        (nv - pv) * (F.col("h") - ph) / (nh - ph) + 0.5
+    ).cast("long")
+    return j.select(
+        key,
+        F.col("h").alias("bucket_hour"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(interp)
+        .cast("long")
+        .alias("value_micro"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).cast("int").alias("is_interp"),
+    )
+
+
 def ewma(
     df: DataFrame,
     key_col: str,

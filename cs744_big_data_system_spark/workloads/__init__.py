@@ -75,10 +75,12 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # curation2 block in r06+ (30 backlog entries total → r06 window
     # has ~20 free slots).
     reg.update(curation3.WORKLOADS)
-    # front-end / Python-boundary batch (frontends, ALL 5 oracle-backed):
+    # front-end / Python-boundary batch (frontends, ALL 8 oracle-backed):
     # pandas-on-Spark Q1, SQL table function, UTF8_LCASE collation,
-    # mapInArrow, dropDuplicatesWithinWatermark — same invariant;
-    # promote with the curation3 block in r06+ (35 backlog entries).
+    # mapInArrow, dropDuplicatesWithinWatermark, Python-DS sink
+    # (two-phase commit), RocksDB state store, linear interpolation —
+    # same invariant; promote with the curation3 block in r06+
+    # (38 backlog entries total).
     reg.update(frontends.WORKLOADS)
 
     # ROUND-5 ROTATION. Front of window, in order:

@@ -213,6 +213,144 @@ FROM events GROUP BY event_type
 """
 
 
+# --- Python Data Source WRITER: two-phase-commit JSONL sink ---
+def q_pyds_sink_roundtrip(spark, sf_dir):
+    """The write side of the Spark 4 Python Data Source API
+    (sources/pysink.py; the read side is synthdocs): orders stream
+    through the custom JSONL sink — per-task files + driver-side
+    atomic manifest commit, the two-phase discipline every real sink
+    needs — then ONLY the committed snapshot reads back and
+    aggregates. The oracle never sees the JSONL: it recomputes from
+    the source table, so the round-trip (types, doubles via repr,
+    commit protocol) is what's under test."""
+    import os
+    import tempfile
+
+    from cs744_big_data_system_spark.sources.pysink import (
+        JsonlSinkDataSource,
+        read_committed,
+    )
+
+    try:
+        spark.dataSource.register(JsonlSinkDataSource)
+    except Exception:
+        pass  # already registered in this session
+    path = os.path.join(tempfile.gettempdir(), f"jsonlsink_{os.getpid()}")
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.format("jsonlsink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    back = read_committed(
+        spark, path, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+SQL_PYDS_SINK_ROUNDTRIP = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 4) AS sum_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --- RocksDB state store: the production streaming state backend ---
+def q_stream_rocksdb_state_replay(spark, sf_dir):
+    """stream_state_inspect's aggregation run on the RocksDB state
+    store provider — the disk-backed, changelog-checkpointed backend a
+    100 TB/day stream actually deploys (HDFS-backed in-memory state
+    dies at large key cardinality). Same state data source audit read,
+    same oracle: the backend swap must be invisible to results, which
+    is exactly the property worth pinning."""
+    from cs744_big_data_system_spark.workloads.curation3 import (
+        q_stream_state_inspect,
+    )
+
+    k = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(k, None)
+    spark.conf.set(
+        k,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        # returns an EAGER localCheckpoint, so the whole stream + state
+        # read runs under RocksDB before the conf restores
+        return q_stream_state_inspect(spark, sf_dir)
+    finally:
+        if old is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, old)
+
+
+# same output contract as stream_state_inspect — same oracle
+from cs744_big_data_system_spark.workloads.curation3 import (  # noqa: E402
+    SQL_STREAM_STATE_INSPECT as _SQL_ROCKSDB,
+)
+
+
+# --- Linear interpolation over per-key hourly series ---
+def q_timeseries_interpolate(spark, sf_dir):
+    """The interpolate() half of the hypertable gap story (the
+    registry's timeseries_gapfill is the carry/locf half): per-type
+    hourly sums densified onto each key's own span, gap buckets
+    linearly interpolated between the surrounding observations in
+    INTEGER 1e-4 units (one floor(a·b/c + ½) per gap — cross-engine
+    bit-exact). Same one-shuffle spine+window shape as gapfill."""
+    from cs744_big_data_system_spark.operators.timeseries import interpolate_linear
+
+    return interpolate_linear(load_table(spark, sf_dir, "events"))
+
+
+SQL_TIMESERIES_INTERPOLATE = """
+WITH agg AS (
+  SELECT event_type, CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS h,
+         count(*) AS n, round(sum(value), 4) AS s
+  FROM events GROUP BY 1, 2
+), obs AS (
+  SELECT event_type, h, n, CAST(floor(s * 10000.0 + 0.5) AS BIGINT) AS v FROM agg
+), bounds AS (
+  SELECT event_type, min(h) AS mn, max(h) AS mx FROM obs GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(range(mn, mx + 1)) AS h FROM bounds
+), j AS (
+  SELECT s.event_type, s.h, o.n, o.v
+  FROM spine s LEFT JOIN obs o USING (event_type, h)
+), w AS (
+  SELECT event_type, h, n, v,
+         last_value(v IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wp AS ph,
+         first_value(v IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wn AS nh
+  FROM j
+  WINDOW wp AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, h AS bucket_hour,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+       CAST(CASE WHEN v IS NOT NULL THEN v
+                 ELSE pv + CAST(floor((nv - pv) * (h - ph) / (nh - ph) + 0.5) AS BIGINT)
+            END AS BIGINT) AS value_micro,
+       CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INT) AS is_interp
+FROM w
+"""
+
+
 WORKLOADS = {
     "ps_frontend_agg": (q_ps_frontend_agg, SQL_AGG_SUMS_Q1),
     "sql_table_function": (q_sql_table_function, SQL_SQL_TABLE_FUNCTION),
@@ -222,4 +360,7 @@ WORKLOADS = {
         q_stream_dedup_within_watermark_replay,
         SQL_STREAM_DEDUP_WITHIN_WM,
     ),
+    "pyds_sink_roundtrip": (q_pyds_sink_roundtrip, SQL_PYDS_SINK_ROUNDTRIP),
+    "stream_rocksdb_state_replay": (q_stream_rocksdb_state_replay, _SQL_ROCKSDB),
+    "timeseries_interpolate": (q_timeseries_interpolate, SQL_TIMESERIES_INTERPOLATE),
 }

@@ -84,6 +84,125 @@ def test_map_in_arrow_matches_python(spark):
     assert got == truth
 
 
+def test_pyds_sink_commit_protocol(spark):
+    """The manifest must list exactly the committed part files with
+    the right row total; orphan files (failed/speculative attempts)
+    in the directory are invisible to the committed read; abort()
+    removes its attempt's files."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from cs744_big_data_system_spark.sources.pysink import (
+        FileCommit,
+        JsonlSinkDataSource,
+        JsonlSinkWriter,
+        read_committed,
+    )
+
+    try:
+        spark.dataSource.register(JsonlSinkDataSource)
+    except Exception:
+        pass
+    path = os.path.join(tempfile.gettempdir(), f"pysink_test_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    df.repartition(4).write.format("jsonlsink").option("path", path).mode("append").save()
+
+    with open(os.path.join(path, "_committed.json")) as f:
+        manifest = json.load(f)
+    parts = sorted(p for p in os.listdir(path) if p.startswith("part-"))
+    assert manifest["files"] == parts and manifest["rows"] == 100
+
+    # an orphan from a failed attempt must be invisible to readers
+    with open(os.path.join(path, "part-orphan.jsonl"), "w") as f:
+        f.write('{"id": 999999, "v": 0}\n')
+    back = read_committed(spark, path, "id long, v long")
+    assert back.count() == 100
+    assert back.filter(F.col("id") == 999999).count() == 0
+    assert {(r.id, r.v) for r in back.collect()} == {(i, 2 * i) for i in range(100)}
+
+    # abort() deletes the attempt's files
+    w = JsonlSinkWriter(path, ["id"])
+    msg = w.write(iter([{"id": 1}]))
+    assert os.path.exists(os.path.join(path, msg.file))
+    w.abort([FileCommit(file=msg.file, rows=1)])
+    assert not os.path.exists(os.path.join(path, msg.file))
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_rocksdb_backend_is_invisible_to_results(spark):
+    """The RocksDB-backed state must read back identical to the
+    default provider's — the backend swap changes durability, not
+    answers."""
+    from cs744_big_data_system_spark.workloads.curation3 import (
+        q_stream_state_inspect,
+    )
+    from cs744_big_data_system_spark.workloads.frontends import (
+        q_stream_rocksdb_state_replay,
+    )
+
+    rocks = {
+        r.event_type: (r.n_events, r.sum_value)
+        for r in q_stream_rocksdb_state_replay(spark, SF).collect()
+    }
+    default = {
+        r.event_type: (r.n_events, r.sum_value)
+        for r in q_stream_state_inspect(spark, SF).collect()
+    }
+    assert rocks == default
+
+
+def test_interpolate_linear_golden_and_laws(spark):
+    """Hand-built series pins the exact interpolation; on real data
+    every gap value lies within [min, max] of its neighbors and
+    observed buckets equal the plain groupBy sums."""
+    import datetime
+
+    from cs744_big_data_system_spark.operators.timeseries import interpolate_linear
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    # golden: observations at hours 0 and 3 (values 1.0 and 4.0) →
+    # hours 1, 2 interpolate to 2.0, 3.0 exactly (micro units)
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base, "a", 1.0),
+        (2, base + datetime.timedelta(hours=3), "a", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    got = {
+        r.bucket_hour - rows[0][1].replace(tzinfo=datetime.timezone.utc).timestamp() // 3600: (
+            r.value_micro,
+            r.is_interp,
+        )
+        for r in interpolate_linear(df).collect()
+    }
+    assert got == {
+        0: (10000, 0),
+        1: (20000, 1),
+        2: (30000, 1),
+        3: (40000, 0),
+    }
+
+    out = interpolate_linear(load_table(spark, SF, "events")).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.event_type, []).append(r)
+    for rs in by_key.values():
+        rs.sort(key=lambda r: r.bucket_hour)
+        hours = [r.bucket_hour for r in rs]
+        assert hours == list(range(hours[0], hours[-1] + 1))  # dense spine
+        assert rs[0].is_interp == 0 and rs[-1].is_interp == 0  # no extrapolation
+        # every interpolated value is bounded by its observed neighbors
+        obs_idx = [i for i, r in enumerate(rs) if r.is_interp == 0]
+        for a, b in zip(obs_idx, obs_idx[1:]):
+            lo = min(rs[a].value_micro, rs[b].value_micro)
+            hi = max(rs[a].value_micro, rs[b].value_micro)
+            for i in range(a + 1, b):
+                assert lo <= rs[i].value_micro <= hi
+
+
 def test_dedup_within_watermark_collapses_total_redelivery(spark):
     """A full second delivery of the table must change nothing: the
     streamed result equals the batch aggregate over the original."""

@@ -218,6 +218,7 @@ QUERIES = [
     "sql_table_function",
     "string_collation",
     "udf_map_in_arrow",
+    "timeseries_interpolate",
 ]
 
 

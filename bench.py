@@ -207,6 +207,10 @@ HEADLINE = [
     "pyds_sink_roundtrip",
     "stream_rocksdb_state_replay",
     "timeseries_interpolate",
+    "dynamic_partition_pruning",
+    "join_bloom_filter",
+    "stream_session_timeout_replay",
+    "udtf_analyze",
 ]
 
 

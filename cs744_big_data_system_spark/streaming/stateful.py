@@ -151,3 +151,72 @@ def cdc_current_state(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def session_windows_timeout(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Custom session windows with EVENT-TIME TIMEOUT eviction — the
+    state-API pattern the built-in session_window can't customize:
+    per-user state is the OPEN session (start, end, count); in-batch
+    gaps close sessions inline, and the trailing open session closes
+    when the WATERMARK passes end + gap (GroupStateTimeout
+    .EventTimeTimeout + state.setTimeoutTimestamp → the function is
+    re-invoked with hasTimedOut, emits the session, removes the
+    state). Emits CLOSED sessions only, exactly once each; state is
+    one (start, end, n) triple per user — constant bytes per key — and
+    timed-out keys are EVICTED, which is what bounds state on an
+    unbounded stream.
+
+    Expects (user_id, ts, ts_us, event_id) with a watermark already
+    set on ``ts``. With strictly time-ordered waves the emissions
+    equal the batch gaps-and-islands sessionize, so the replay
+    hash-checks against the same oracle.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    def update(key, pdf_iter, state: GroupState):
+        out = {
+            "user_id": [],
+            "session_start_us": [],
+            "session_end_us": [],
+            "n_events": [],
+        }
+
+        def emit(st, en, n):
+            out["user_id"].append(key[0])
+            out["session_start_us"].append(st)
+            out["session_end_us"].append(en)
+            out["n_events"].append(n)
+
+        if state.hasTimedOut:
+            st, en, n = state.get
+            emit(st, en, n)
+            state.remove()
+            yield pd.DataFrame(out)
+            return
+        if state.exists:
+            st, en, n = state.get
+        else:
+            st, en, n = -1, -1, 0
+        pdf = pd.concat(list(pdf_iter))
+        for r in pdf.sort_values(["ts_us", "event_id"]).itertuples():
+            if st < 0:
+                st, en, n = int(r.ts_us), int(r.ts_us), 1
+            elif r.ts_us - en > gap_s * 1_000_000:
+                emit(st, en, n)
+                st, en, n = int(r.ts_us), int(r.ts_us), 1
+            else:
+                en, n = int(r.ts_us), n + 1
+        state.update((st, en, n))
+        # close when the watermark passes the inactivity horizon
+        state.setTimeoutTimestamp(en // 1000 + gap_s * 1000)
+        yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, session_start_us long, session_end_us long, n_events long"
+        ),
+        stateStructType="st long, en long, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

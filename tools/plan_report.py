@@ -219,6 +219,8 @@ QUERIES = [
     "string_collation",
     "udf_map_in_arrow",
     "timeseries_interpolate",
+    "dynamic_partition_pruning",
+    "udtf_analyze",
 ]
 
 

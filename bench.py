@@ -211,6 +211,11 @@ HEADLINE = [
     "join_bloom_filter",
     "stream_session_timeout_replay",
     "udtf_analyze",
+    "txlog_lifecycle_audit",
+    "graph_random_walks",
+    "global_row_ids",
+    "exact_quantiles_2pass",
+    "insert_overwrite_partitions",
 ]
 
 

@@ -24,6 +24,7 @@ from cs744_big_data_system_spark.workloads import (
     curation,
     curation2,
     curation3,
+    curation4,
     frontends,
     llm,
     pipeline_ext,
@@ -83,6 +84,12 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # timeout eviction, polymorphic UDTF (12 total, all oracle-backed);
     # promote with the curation3 block in r06+ (42 backlog entries).
     reg.update(frontends.WORKLOADS)
+    # round-5 closing batch (curation4, ALL 5 oracle-backed): txlog
+    # vacuum/retention audit, deterministic random walks, zipWithIndex
+    # global row ids, two-pass exact quantiles, dynamic partition
+    # overwrite — appended per the same invariant; promote with the
+    # curation2/3/frontends backlog in r06+.
+    reg.update(curation4.WORKLOADS)
 
     # ROUND-5 ROTATION. Front of window, in order:
     #   1. the two CORRECTNESS_r04 non-green rows, now FIXED (ab_test_zstat:

@@ -1,0 +1,400 @@
+"""Round-5 closing batch: scale-pattern operators a 100 TB engine needs
+that the r01-r05 registry didn't yet cover —
+
+  * ``txlog_lifecycle_audit`` — the retention half of the lakehouse
+    story: append → delete → compact → VACUUM, proving old snapshots
+    become unreadable at the retention floor while retained ones stay
+    bit-identical (txlog_time_travel covers time travel; gdpr_erase
+    covers copy-on-write delete; this covers reclamation);
+  * ``graph_random_walks`` — fixed-length graph walks with
+    deterministic md5-argmin next-hop choice, the embedding/node2vec
+    sampling primitive, as per-step frontier joins (never an
+    adjacency-list collect);
+  * ``global_row_ids`` — contiguous global row numbering WITHOUT a
+    single-partition window: range-partition + per-partition counts +
+    offset broadcast (the DataFrame zipWithIndex), the pattern that
+    replaces ``row_number() OVER (ORDER BY …)`` — a one-reducer
+    bottleneck — at 100 TB;
+  * ``exact_quantiles_2pass`` — EXACT quantiles via coarse histogram +
+    single-bin refinement, the scalable alternative to both full-sort
+    and Spark's ``percentile`` (which buffers every value per group);
+  * ``insert_overwrite_partitions`` — dynamic partition overwrite
+    (``partitionOverwriteMode=dynamic``): rewrite only the partitions
+    present in the incoming batch, the idempotent daily-backfill write
+    pattern.
+
+Every query is oracle-backed. Per the registry ordering invariant they
+are APPENDED after the never-attested block and enter the r06+ window.
+
+Reference scope: the reference repo (/root/reference, RDD coursework)
+has no lakehouse/walk/quantile surface; these extend SURVEY.md §2.9's
+pipeline inventory the same way curation1-3 did.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from cs744_big_data_system_spark.sources.readers import load_table
+
+__all__ = ["WORKLOADS"]
+
+
+# --- Lakehouse retention: append -> delete -> compact -> VACUUM ---
+def q_txlog_lifecycle_audit(spark, sf_dir):
+    """Full ledger lifecycle over sources/txlog.py: v0 append (⅔ of
+    events hash-split), v1 append the rest of that slice, v2 row-level
+    DELETE (user_id % 11 == 5, copy-on-write), v3 compact, then
+    VACUUM(retain_versions=2) → retention floor 2. The audit output is
+    one row per version: unreadable versions (below the floor) carry
+    NULL aggregates; readable ones must hash-match the oracle's
+    relational reconstruction. In-query invariants: vacuum reclaims at
+    least one file, a second vacuum is a no-op, and reading v0 raises
+    the retention-floor error.
+
+    Scale shape: vacuum is O(#files) metadata work (no data reads);
+    the delete rewrites only files containing a matching row. Nothing
+    here holds row counts on the driver."""
+    from cs744_big_data_system_spark.sources.txlog import (
+        txlog_append,
+        txlog_compact,
+        txlog_delete_where,
+        txlog_read,
+        txlog_vacuum,
+        vacuum_floor,
+    )
+
+    table = os.path.join(tempfile.gettempdir(), f"txlifecycle_{os.getpid()}")
+    shutil.rmtree(table, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    txlog_append(ev.filter(F.col("event_id") % 3 == 0).repartition(4), table)
+    txlog_append(ev.filter(F.col("event_id") % 3 == 1).repartition(4), table)
+    txlog_delete_where(spark, table, F.col("user_id") % 11 == 5)
+    txlog_compact(spark, table, target_files=1)
+    reclaimed = txlog_vacuum(table, retain_versions=2)
+    assert reclaimed, "vacuum must reclaim the delete-rewritten files"
+    assert txlog_vacuum(table, retain_versions=2) == [], "vacuum is idempotent"
+    assert vacuum_floor(table) == 2
+    try:
+        txlog_read(spark, table, 0)
+        raise AssertionError("reading below the retention floor must fail")
+    except ValueError:
+        pass
+    parts = []
+    for v in range(4):
+        if v < 2:
+            parts.append(
+                spark.sql(
+                    f"SELECT CAST({v} AS INT) AS version, 0 AS readable, "
+                    "CAST(NULL AS BIGINT) AS n_rows, "
+                    "CAST(NULL AS DOUBLE) AS sum_value"
+                )
+            )
+        else:
+            parts.append(
+                txlog_read(spark, table, v)
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.round(F.sum("value"), 4).alias("sum_value"),
+                )
+                .select(
+                    F.lit(v).cast("int").alias("version"),
+                    F.lit(1).alias("readable"),
+                    "n_rows",
+                    "sum_value",
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+SQL_TXLOG_LIFECYCLE_AUDIT = """
+WITH live AS (
+  SELECT value FROM events
+  WHERE event_id % 3 IN (0, 1) AND NOT user_id % 11 = 5
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows, round(sum(value), 4) AS sum_value
+  FROM live
+)
+SELECT 0 AS version, 0 AS readable, CAST(NULL AS BIGINT) AS n_rows,
+       CAST(NULL AS DOUBLE) AS sum_value
+UNION ALL
+SELECT 1, 0, NULL, NULL
+UNION ALL
+SELECT 2, 1, n_rows, sum_value FROM agg
+UNION ALL
+SELECT 3, 1, n_rows, sum_value FROM agg
+"""
+
+
+# --- Deterministic random walks: md5-argmin next hop, frontier joins ---
+_WALKS, _STEPS = 100, 4
+
+
+def q_graph_random_walks(spark, sf_dir):
+    """node2vec-style walk sampling made hash-checkable: from 100 start
+    nodes on the deterministic hash graph, take 4 steps; at each step
+    the walker moves to the neighbor minimizing md5('walk:step:dst') —
+    a uniform-looking but reproducible choice both engines compute
+    identically. Output is every (walk, step, node) visit.
+
+    Scale shape: each step is ONE equi-join of the walk frontier
+    against the src-keyed edge table plus a map-side-combinable
+    min_by aggregate — the frontier never collects to the driver and
+    the edge table is never materialized per-walk (contrast the
+    classic per-node adjacency-list broadcast, which dies at web
+    scale). Walk count scales horizontally: frontier rows = walks."""
+    from cs744_big_data_system_spark.workloads.streaming_graph import (
+        TRI_N,
+        _hash_graph,
+    )
+
+    edges = _hash_graph(spark)
+    cur = spark.range(_WALKS).select(
+        F.col("id").alias("walk"),
+        ((F.col("id") * 37) % TRI_N).cast("long").alias("node"),
+    )
+    visits = [cur.select("walk", F.lit(0).alias("step"), "node")]
+    for s in range(1, _STEPS + 1):
+        key = F.md5(
+            F.concat(
+                F.col("walk").cast("string"),
+                F.lit(f":{s}:"),
+                F.col("dst").cast("string"),
+            )
+        )
+        cur = (
+            cur.join(edges, cur["node"] == edges["src"])
+            .groupBy("walk")
+            .agg(F.min_by("dst", key).alias("node"))
+        )
+        visits.append(cur.select("walk", F.lit(s).alias("step"), "node"))
+    out = visits[0]
+    for v in visits[1:]:
+        out = out.unionByName(v)
+    return out
+
+
+def _sql_graph_random_walks() -> str:
+    from cs744_big_data_system_spark.workloads.streaming_graph import (
+        _SQL_HASH_GRAPH,
+        TRI_N,
+    )
+
+    steps = []
+    selects = [f"SELECT walk, 0 AS step, node FROM s0"]
+    for s in range(1, _STEPS + 1):
+        steps.append(
+            f"s{s} AS (SELECT walk, arg_min(dst, md5(CAST(walk AS VARCHAR) "
+            f"|| ':{s}:' || CAST(dst AS VARCHAR))) AS node "
+            f"FROM s{s - 1} JOIN e ON s{s - 1}.node = e.src GROUP BY walk)"
+        )
+        selects.append(f"SELECT walk, {s} AS step, node FROM s{s}")
+    return (
+        f"WITH e AS ({_SQL_HASH_GRAPH}),\n"
+        f"s0 AS (SELECT CAST(t.range AS BIGINT) AS walk, "
+        f"CAST((t.range * 37) % {TRI_N} AS BIGINT) AS node "
+        f"FROM range({_WALKS}) t),\n" + ",\n".join(steps) + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+# --- Contiguous global IDs without a single-partition window ---
+def q_global_row_ids(spark, sf_dir):
+    """DataFrame zipWithIndex: assign rid = global rank by o_orderkey
+    with NO global window. Range-partition + sort within partitions,
+    count rows per partition (a #partitions-row aggregate), broadcast
+    the cumulative offsets, and let each partition number its own rows
+    via mapInArrow + TaskContext.partitionId(). Equivalent to
+    ``row_number() OVER (ORDER BY o_orderkey) - 1`` — which Catalyst
+    executes on ONE reducer — but here every partition works in
+    parallel, the 100 TB shape. Output is the rid % 97 == 0 sample so
+    the result stays small at every sf."""
+    import pyarrow as pa
+    from pyspark import TaskContext
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .repartitionByRange(16, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .persist()
+    )
+    try:
+        counts = {
+            r["pid"]: r["n"]
+            for r in base.groupBy(
+                F.spark_partition_id().alias("pid")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+
+        def number(batches):
+            ctx = TaskContext.get()
+            nxt = offsets.get(ctx.partitionId() if ctx else 0, 0)
+            for b in batches:
+                rid = pa.array(range(nxt, nxt + b.num_rows), pa.int64())
+                nxt += b.num_rows
+                yield pa.RecordBatch.from_arrays(
+                    [rid, b.column(0), b.column(1)],
+                    ["rid", "o_orderkey", "o_totalprice"],
+                )
+
+        out = base.mapInArrow(
+            number, "rid long, o_orderkey long, o_totalprice double"
+        ).filter(F.col("rid") % 97 == 0)
+        return out.localCheckpoint(eager=True)
+    finally:
+        base.unpersist()
+
+
+SQL_GLOBAL_ROW_IDS = """
+SELECT rid, o_orderkey, o_totalprice
+FROM (
+  SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS rid,
+         o_orderkey, o_totalprice
+  FROM orders
+)
+WHERE rid % 97 = 0
+"""
+
+
+# --- Exact quantiles: coarse histogram + single-bin refinement ---
+_Q_PS = (0.5, 0.9, 0.99)
+_Q_BIN = 1000.0
+
+
+def q_exact_quantiles_2pass(spark, sf_dir):
+    """EXACT p50/p90/p99 of l_extendedprice with neither a full sort
+    nor per-group value buffering (Spark's exact ``percentile``
+    collects every value into one aggregation buffer — a 100 TB OOM):
+    pass 1 aggregates a coarse fixed-width histogram (bin count is
+    bounded by the VALUE RANGE / width, independent of row count; at
+    scale the width comes from one min/max agg), the driver locates
+    the bin containing each target rank from the bounded histogram,
+    and pass 2 sorts ONLY inside that one bin to pull the exact order
+    statistic. Rank rule floor(p·(n−1)) is restated verbatim in the
+    oracle, so both engines take the same element — the value matches
+    bit-for-bit because it IS a source value, no float tolerance
+    needed."""
+    import math
+
+    vals = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x")
+    )
+    n = vals.count()
+    hist = sorted(
+        (r["b"], r["n"])
+        for r in vals.groupBy(
+            F.floor(F.col("x") / _Q_BIN).cast("long").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    rows = []
+    for p in _Q_PS:
+        k = int(math.floor(p * (n - 1)))  # 0-indexed target rank
+        below = 0
+        for b, cnt in hist:
+            if below + cnt > k:
+                j = k - below  # rank within the bin
+                q = (
+                    vals.filter(F.floor(F.col("x") / _Q_BIN).cast("long") == b)
+                    .orderBy("x")
+                    .limit(j + 1)
+                    .agg(F.max("x").alias("q"))
+                    .first()["q"]
+                )
+                rows.append((p, float(q)))
+                break
+            below += cnt
+    return spark.createDataFrame(rows, "p double, q double")
+
+
+SQL_EXACT_QUANTILES_2PASS = """
+WITH s AS (SELECT l_extendedprice AS x FROM lineitem),
+n AS (SELECT count(*) AS n FROM s),
+r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM s),
+ps AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p),
+ks AS (SELECT p, CAST(floor(p * (n - 1)) AS BIGINT) + 1 AS rn FROM ps, n)
+SELECT ks.p AS p, r.x AS q FROM ks JOIN r ON r.rn = ks.rn
+"""
+
+
+# --- Dynamic partition overwrite: the idempotent backfill write ---
+def q_insert_overwrite_partitions(spark, sf_dir):
+    """partitionOverwriteMode=dynamic — overwrite ONLY the partitions
+    present in the incoming batch (Spark's static default truncates
+    the whole table): full events land partitioned by event_type, then
+    a corrected 'click' batch (value doubled) is written with dynamic
+    overwrite; every other partition survives untouched. This is the
+    idempotent daily-backfill pattern — re-running the batch converges
+    instead of duplicating. Readback aggregates per partition and must
+    match the oracle's CASE reconstruction.
+
+    Scale shape: the overwrite rewrites one partition's files; the
+    planner prunes the rest (partition columns never shuffle)."""
+    path = os.path.join(
+        tempfile.gettempdir(), f"dynoverwrite_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    try:
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+        fixed = ev.filter(F.col("event_type") == "click").withColumn(
+            "value", F.col("value") * 2
+        )
+        (
+            fixed.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("event_type")
+            .parquet(path)
+        )
+        out = (
+            spark.read.parquet(path)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+SQL_INSERT_OVERWRITE_PARTITIONS = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(CASE WHEN event_type = 'click' THEN value * 2
+                      ELSE value END), 4) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+WORKLOADS = {
+    "txlog_lifecycle_audit": (q_txlog_lifecycle_audit, SQL_TXLOG_LIFECYCLE_AUDIT),
+    "graph_random_walks": (q_graph_random_walks, _sql_graph_random_walks()),
+    "global_row_ids": (q_global_row_ids, SQL_GLOBAL_ROW_IDS),
+    "exact_quantiles_2pass": (q_exact_quantiles_2pass, SQL_EXACT_QUANTILES_2PASS),
+    "insert_overwrite_partitions": (
+        q_insert_overwrite_partitions,
+        SQL_INSERT_OVERWRITE_PARTITIONS,
+    ),
+}

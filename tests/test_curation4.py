@@ -1,0 +1,162 @@
+"""Laws for the round-5 closing batch (workloads/curation4.py):
+zipWithIndex completeness, exact-quantile agreement with numpy, walk
+determinism + edge-membership, retention-floor behavior, and the
+partition-survival law of dynamic overwrite."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_global_row_ids_is_contiguous_rank(spark):
+    """The FULL id assignment (not just the sampled output) must be
+    exactly 0..n-1 in o_orderkey order — the zipWithIndex law."""
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.workloads.curation4 import q_global_row_ids
+
+    # recompute the full assignment the query samples from
+    base = (
+        load_table(spark, SF, "orders")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .collect()
+    )
+    truth = {r.o_orderkey: i for i, r in enumerate(base)}
+    sampled = q_global_row_ids(spark, SF).collect()
+    assert len(sampled) == math.ceil(len(base) / 97) or sampled  # non-empty
+    for r in sampled:
+        assert truth[r.o_orderkey] == r.rid
+        assert r.rid % 97 == 0
+
+
+def test_global_row_ids_no_single_partition_window(spark):
+    """The plan must contain NO Window operator — the whole point is
+    avoiding the one-reducer row_number."""
+    from cs744_big_data_system_spark.workloads.curation4 import q_global_row_ids
+
+    import inspect
+
+    df = q_global_row_ids(spark, SF)
+    assert "rid" in df.columns
+    # the checkpointed result is plan-opaque, so the structural
+    # guarantee is pinned at the source level: no window expression
+    # anywhere in the implementation (mapInArrow + offsets only)
+    from cs744_big_data_system_spark.workloads import curation4
+
+    src = inspect.getsource(curation4.q_global_row_ids)
+    assert "Window." not in src and ".over(" not in src
+
+
+def test_exact_quantiles_match_numpy(spark):
+    """Two-pass exact quantiles == numpy's order statistic at rank
+    floor(p*(n-1))."""
+    import numpy as np
+
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.workloads.curation4 import (
+        _Q_PS,
+        q_exact_quantiles_2pass,
+    )
+
+    xs = np.sort(
+        np.array(
+            [
+                r.l_extendedprice
+                for r in load_table(spark, SF, "lineitem")
+                .select("l_extendedprice")
+                .collect()
+            ]
+        )
+    )
+    got = {r.p: r.q for r in q_exact_quantiles_2pass(spark, SF).collect()}
+    for p in _Q_PS:
+        k = int(math.floor(p * (len(xs) - 1)))
+        assert got[p] == xs[k], (p, got[p], xs[k])
+
+
+def test_random_walks_deterministic_and_edge_valid(spark):
+    """Re-running yields the identical walk set, and every step
+    follows a real edge of the hash graph."""
+    from cs744_big_data_system_spark.workloads.curation4 import (
+        _STEPS,
+        _WALKS,
+        q_graph_random_walks,
+    )
+    from cs744_big_data_system_spark.workloads.streaming_graph import _hash_graph
+
+    a = sorted(map(tuple, q_graph_random_walks(spark, SF).collect()))
+    b = sorted(map(tuple, q_graph_random_walks(spark, SF).collect()))
+    assert a == b
+    assert len(a) == _WALKS * (_STEPS + 1)
+    edges = {
+        (r.src, r.dst) for r in _hash_graph(spark).collect()
+    }
+    pos = {(w, s): n for (w, s, n) in a}
+    for (w, s), n in pos.items():
+        if s > 0:
+            assert (pos[(w, s - 1)], n) in edges
+
+
+def test_txlog_lifecycle_floor_enforced(spark):
+    """The audit query itself asserts floor semantics in-line; here we
+    only pin the output shape contract (NULL aggregates exactly on the
+    vacuumed versions)."""
+    from cs744_big_data_system_spark.workloads.curation4 import (
+        q_txlog_lifecycle_audit,
+    )
+
+    rows = {r.version: r for r in q_txlog_lifecycle_audit(spark, SF).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    for v in (0, 1):
+        assert rows[v].readable == 0 and rows[v].n_rows is None
+    for v in (2, 3):
+        assert rows[v].readable == 1 and rows[v].n_rows > 0
+    # compaction preserves contents bit-for-bit
+    assert rows[2].n_rows == rows[3].n_rows
+    assert rows[2].sum_value == rows[3].sum_value
+
+
+def test_dynamic_overwrite_preserves_other_partitions(spark):
+    """Partition-survival law, checked at the FILE level: after the
+    dynamic overwrite of 'click', the non-click partition directories
+    are byte-identical (same files, same sizes)."""
+    import os
+    import shutil
+    import tempfile
+
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    path = os.path.join(tempfile.gettempdir(), "dynow_law_test")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, SF, "events").select("event_id", "value", "event_type")
+    try:
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+
+        def snapshot():
+            out = {}
+            for d in os.listdir(path):
+                if d.startswith("event_type=") and "click" not in d:
+                    full = os.path.join(path, d)
+                    out[d] = sorted(
+                        (f, os.path.getsize(os.path.join(full, f)))
+                        for f in os.listdir(full)
+                        if f.endswith(".parquet")
+                    )
+            return out
+
+        before = snapshot()
+        (
+            ev.filter(F.col("event_type") == "click")
+            .withColumn("value", F.col("value") * 2)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("event_type")
+            .parquet(path)
+        )
+        assert snapshot() == before and before, "non-click partitions mutated"
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

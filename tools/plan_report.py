@@ -221,6 +221,9 @@ QUERIES = [
     "timeseries_interpolate",
     "dynamic_partition_pruning",
     "udtf_analyze",
+    "graph_random_walks",
+    "global_row_ids",
+    "exact_quantiles_2pass",
 ]
 
 

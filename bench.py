@@ -216,6 +216,8 @@ HEADLINE = [
     "global_row_ids",
     "exact_quantiles_2pass",
     "insert_overwrite_partitions",
+    "ml_kfold_cv",
+    "ks_test_2sample",
 ]
 
 

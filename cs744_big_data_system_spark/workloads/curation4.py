@@ -21,7 +21,13 @@ that the r01-r05 registry didn't yet cover —
   * ``insert_overwrite_partitions`` — dynamic partition overwrite
     (``partitionOverwriteMode=dynamic``): rewrite only the partitions
     present in the incoming batch, the idempotent daily-backfill write
-    pattern.
+    pattern;
+  * ``ml_kfold_cv`` — K-fold cross-validation in one data pass via
+    global-minus-fold INTEGER sufficient statistics (K models for the
+    price of one aggregation), hash-checked end-to-end;
+  * ``ks_test_2sample`` — exact two-sample Kolmogorov-Smirnov drift
+    statistic with the global ecdf cumsum decomposed into two-level
+    prefix sums (no single-reducer window).
 
 Every query is oracle-backed. Per the registry ordering invariant they
 are APPENDED after the never-attested block and enter the r06+ window.
@@ -388,6 +394,253 @@ FROM events GROUP BY event_type
 """
 
 
+# --- K-fold cross-validation from global-minus-fold statistics ---
+_CV_K = 5
+
+
+def q_ml_kfold_cv(spark, sf_dir):
+    """5-fold cross-validated simple linear regression (l_extendedprice
+    ~ l_quantity) in ONE pass over the data: md5-deterministic fold
+    assignment, per-fold INTEGER sufficient statistics (n, Σx, Σy,
+    Σx², Σxy in cents — bit-exact on both engines), and each fold's
+    TRAINING stats derived as global-minus-fold, so training never
+    re-scans (the classic sufficient-statistics CV trick — K models
+    for the price of one aggregation). The 5-row model table
+    broadcasts back for held-out scoring; coefficients and the MAE
+    numerator are quantized (ppm / floored cents) so every output
+    column hash-checks.
+
+    Scale shape: two shuffles total (fold aggregation, scoring
+    aggregation), one broadcast of a K-row model table. No float
+    accumulation crosses engines un-quantized: coefficients are
+    ratios of exact-integer-valued doubles, per-row errors are
+    floored to integer cents before summing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("l_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CV_K
+        ).alias("fold"),
+    )
+    folds = rows.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    tot = folds.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    coef = (
+        folds.crossJoin(F.broadcast(tot))
+        .withColumn("n_t", d("tn") - d("n"))
+        .withColumn("sx_t", d("tsx") - d("sx"))
+        .withColumn("sy_t", d("tsy") - d("sy"))
+        .withColumn("sxx_t", d("tsxx") - d("sxx"))
+        .withColumn("sxy_t", d("tsxy") - d("sxy"))
+        .withColumn(
+            "w",
+            (F.col("n_t") * F.col("sxy_t") - F.col("sx_t") * F.col("sy_t"))
+            / (F.col("n_t") * F.col("sxx_t") - F.col("sx_t") * F.col("sx_t")),
+        )
+        .withColumn("b", (F.col("sy_t") - F.col("w") * F.col("sx_t")) / F.col("n_t"))
+        .select("fold", "w", "b")
+    )
+    err = F.col("y").cast("double") - (
+        F.col("w") * F.col("x").cast("double") + F.col("b")
+    )
+    return (
+        rows.join(F.broadcast(coef), "fold")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.floor(F.first("w") * 1e6 + F.lit(0.5)).cast("long").alias("w_ppm"),
+            F.floor(F.first("b") * 1e6 + F.lit(0.5)).cast("long").alias("b_ppm"),
+            F.sum(F.floor(F.abs(err)).cast("long")).alias("mae_cents_sum"),
+        )
+    )
+
+
+SQL_ML_KFOLD_CV = f"""
+WITH rows_ AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+               CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) % {_CV_K} AS fold
+  FROM lineitem
+),
+folds AS (
+  SELECT fold, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM rows_ GROUP BY fold
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(sx) AS BIGINT) AS tsx,
+         CAST(sum(sy) AS BIGINT) AS tsy, CAST(sum(sxx) AS BIGINT) AS tsxx,
+         CAST(sum(sxy) AS BIGINT) AS tsxy
+  FROM folds
+),
+train AS (
+  SELECT fold,
+         CAST(tn - n AS DOUBLE) AS n_t, CAST(tsx - sx AS DOUBLE) AS sx_t,
+         CAST(tsy - sy AS DOUBLE) AS sy_t, CAST(tsxx - sxx AS DOUBLE) AS sxx_t,
+         CAST(tsxy - sxy AS DOUBLE) AS sxy_t
+  FROM folds, tot
+),
+coef AS (
+  SELECT fold,
+         (n_t * sxy_t - sx_t * sy_t) / (n_t * sxx_t - sx_t * sx_t) AS w,
+         n_t, sx_t, sy_t
+  FROM train
+),
+coef2 AS (
+  SELECT fold, w, (sy_t - w * sx_t) / n_t AS b FROM coef
+)
+SELECT r.fold, CAST(count(*) AS BIGINT) AS n_test,
+       CAST(floor(any_value(w) * 1e6 + 0.5) AS BIGINT) AS w_ppm,
+       CAST(floor(any_value(b) * 1e6 + 0.5) AS BIGINT) AS b_ppm,
+       CAST(sum(CAST(floor(abs(CAST(y AS DOUBLE)
+            - (w * CAST(x AS DOUBLE) + b))) AS BIGINT)) AS BIGINT)
+         AS mae_cents_sum
+FROM rows_ r JOIN coef2 USING (fold)
+GROUP BY r.fold
+"""
+
+
+# --- Two-sample Kolmogorov-Smirnov via two-level prefix sums ---
+_KS_BIN = 10.0
+
+
+def q_ks_test_2sample(spark, sf_dir):
+    """Exact two-sample KS statistic D = max|F_click − F_view| over
+    event values — the distribution-drift test PSI approximates.
+
+    Scale shape: the textbook ecdf needs one globally-ordered cumsum
+    (single reducer). Here values collapse to per-value counts, the
+    cumsum is TWO-LEVEL like peak_concurrency: within-bucket prefix
+    sums run partitioned (bucket = value/10, bounded by the value
+    RANGE, not the row count) and only bucket totals ride the global
+    window. Integer counts end-to-end; the single ecdf division
+    happens on identical integers in both engines, so even the max
+    over thousands of candidate points is bit-identical."""
+    from pyspark.sql.window import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "value",
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+        )
+    )
+    per_val = ev.groupBy("value").agg(
+        F.sum("is_a").alias("na"),
+        F.sum(1 - F.col("is_a")).alias("nb"),
+    )
+    bucketed = per_val.withColumn(
+        "bucket", F.floor(F.col("value") / _KS_BIN).cast("long")
+    )
+    in_bucket = (
+        Window.partitionBy("bucket")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.select(
+        "bucket",
+        "value",
+        "na",
+        "nb",
+        F.sum("na").over(in_bucket).alias("ca_local"),
+        F.sum("nb").over(in_bucket).alias("cb_local"),
+    )
+    buckets = local.groupBy("bucket").agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    carry = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = buckets.select(
+        "bucket",
+        F.coalesce(F.sum("ta").over(carry), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("tb").over(carry), F.lit(0)).alias("ob"),
+    )
+    joined = local.join(F.broadcast(offsets), "bucket").select(
+        (F.col("ca_local") + F.col("oa")).alias("ca"),
+        (F.col("cb_local") + F.col("ob")).alias("cb"),
+    )
+    totals = ev.agg(
+        F.sum("is_a").alias("n_a"), F.sum(1 - F.col("is_a")).alias("n_b")
+    )
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("ca").cast("double") / F.col("n_a").cast("double")
+                - F.col("cb").cast("double") / F.col("n_b").cast("double")
+            ).alias("d"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg((F.round(F.max("d"), 9) + F.lit(0.0)).alias("d_stat"))
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "d_stat",
+        )
+    )
+
+
+SQL_KS_TEST_2SAMPLE = """
+WITH ev AS (
+  SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type IN ('click', 'view')
+),
+per_val AS (
+  SELECT value, sum(is_a) AS na, sum(1 - is_a) AS nb FROM ev GROUP BY value
+),
+cum AS (
+  SELECT sum(na) OVER (ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         sum(nb) OVER (ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+  FROM per_val
+),
+tot AS (
+  SELECT CAST(sum(is_a) AS BIGINT) AS n_a,
+         CAST(sum(1 - is_a) AS BIGINT) AS n_b
+  FROM ev
+)
+SELECT n_a, n_b,
+       round(max(abs(CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)
+                     - CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE))), 9) + 0.0
+         AS d_stat
+FROM cum, tot
+GROUP BY n_a, n_b
+"""
+
+
 WORKLOADS = {
     "txlog_lifecycle_audit": (q_txlog_lifecycle_audit, SQL_TXLOG_LIFECYCLE_AUDIT),
     "graph_random_walks": (q_graph_random_walks, _sql_graph_random_walks()),
@@ -397,4 +650,6 @@ WORKLOADS = {
         q_insert_overwrite_partitions,
         SQL_INSERT_OVERWRITE_PARTITIONS,
     ),
+    "ml_kfold_cv": (q_ml_kfold_cv, SQL_ML_KFOLD_CV),
+    "ks_test_2sample": (q_ks_test_2sample, SQL_KS_TEST_2SAMPLE),
 }

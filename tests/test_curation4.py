@@ -160,3 +160,60 @@ def test_dynamic_overwrite_preserves_other_partitions(spark):
         assert snapshot() == before and before, "non-click partitions mutated"
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_kfold_cv_matches_numpy_ols(spark):
+    """Each fold's coefficients must equal numpy's closed-form OLS fit
+    on the complementary folds (within the ppm quantization grid), and
+    the folds must partition the table."""
+    import hashlib
+
+    import numpy as np
+
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.workloads.curation4 import _CV_K, q_ml_kfold_cv
+
+    rows = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    data = {k: [] for k in range(_CV_K)}
+    for r in rows:
+        h = hashlib.md5(f"{r.l_orderkey}:{r.l_linenumber}".encode()).hexdigest()
+        fold = int(h[:15], 16) % _CV_K
+        data[fold].append((int(r.l_quantity), round(r.l_extendedprice * 100)))
+    got = {r.fold: r for r in q_ml_kfold_cv(spark, SF).collect()}
+    assert sum(r.n_test for r in got.values()) == len(rows)
+    for fold in range(_CV_K):
+        train = [p for f in range(_CV_K) if f != fold for p in data[f]]
+        x = np.array([p[0] for p in train], dtype=float)
+        y = np.array([p[1] for p in train], dtype=float)
+        w, b = np.polyfit(x, y, 1)
+        assert got[fold].n_test == len(data[fold])
+        assert abs(got[fold].w_ppm / 1e6 - w) < 1e-3 * max(1.0, abs(w))
+        assert abs(got[fold].b_ppm / 1e6 - b) < 1e-3 * max(1.0, abs(b))
+
+
+def test_ks_statistic_matches_numpy(spark):
+    """D must equal the brute-force two-sample KS statistic."""
+    import numpy as np
+
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.workloads.curation4 import q_ks_test_2sample
+
+    ev = (
+        load_table(spark, SF, "events")
+        .select("event_type", "value")
+        .filter(F.col("event_type").isin("click", "view"))
+        .collect()
+    )
+    a = np.sort([r.value for r in ev if r.event_type == "click"])
+    b = np.sort([r.value for r in ev if r.event_type == "view"])
+    grid = np.union1d(a, b)
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    d_true = float(np.max(np.abs(fa - fb)))
+    row = q_ks_test_2sample(spark, SF).first()
+    assert row.n_a == len(a) and row.n_b == len(b)
+    assert abs(row.d_stat - d_true) < 1e-9

@@ -224,6 +224,8 @@ QUERIES = [
     "graph_random_walks",
     "global_row_ids",
     "exact_quantiles_2pass",
+    "ml_kfold_cv",
+    "ks_test_2sample",
 ]
 
 

@@ -218,6 +218,7 @@ HEADLINE = [
     "insert_overwrite_partitions",
     "ml_kfold_cv",
     "ks_test_2sample",
+    "graph_multi_bfs",
 ]
 
 

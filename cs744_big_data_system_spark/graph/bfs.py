@@ -99,3 +99,60 @@ def bfs_hops(
 
     visited.cached_links = links
     return visited
+
+
+def multi_bfs_hops(
+    edges: DataFrame,
+    sources: list,
+    max_iters: int = 20,
+    num_partitions: int | None = None,
+    broadcast_threshold: int = 8_000_000,
+) -> DataFrame:
+    """Batched BFS: minimum hop counts from EVERY seed in ``sources``
+    in ONE frontier loop — (seed, node, hop) rows. The landmark /
+    distance-sketch primitive: running k seeds in one pass costs one
+    edge-cache scan per LEVEL, not per seed·level (k independent
+    bfs_hops calls re-scan the edges k times per level and schedule
+    k× the jobs).
+
+    Scale design mirrors bfs_hops: edges cached and partitioned on
+    ``src`` once; the frontier is keyed by (seed, node), so the
+    per-seed searches share every join; visited rides broadcast only
+    below ``broadcast_threshold``; each (seed, node) pair expands
+    exactly once, so total work is O(levels·|E| + Σ reachable)."""
+    spark = edges.sparkSession
+    links = edges.select("src", "dst").distinct()
+    if num_partitions:
+        links = links.repartition(num_partitions, "src")
+    links = links.persist()
+
+    node_type = dict(links.dtypes)["src"]
+    visited = spark.createDataFrame(
+        [(s, s) for s in sources], f"seed {node_type}, node {node_type}"
+    ).select("seed", "node", F.lit(0).alias("hop"))
+    frontier = visited.select("seed", "node")
+    visited_rows = len(sources)
+
+    for hop in range(1, max_iters + 1):
+        small = visited_rows <= broadcast_threshold
+        f_side = F.broadcast(frontier) if small else frontier
+        v_side = F.broadcast(visited.select("seed", "node")) if small else visited.select("seed", "node")
+        neighbors = (
+            links.join(f_side, links.src == frontier.node)
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(v_side, ["seed", "node"], "left_anti")
+        )
+        frontier = neighbors.localCheckpoint(eager=False)
+        n_new = frontier.count()
+        if n_new == 0:
+            break
+        visited_rows += n_new
+        visited = visited.unionByName(
+            frontier.select("seed", "node", F.lit(hop).alias("hop"))
+        )
+        if hop % 4 == 0:
+            visited = visited.localCheckpoint(eager=False)
+
+    visited.cached_links = links
+    return visited

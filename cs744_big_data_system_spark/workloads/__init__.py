@@ -84,12 +84,12 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # timeout eviction, polymorphic UDTF (12 total, all oracle-backed);
     # promote with the curation3 block in r06+ (42 backlog entries).
     reg.update(frontends.WORKLOADS)
-    # round-5 closing batch (curation4, ALL 7 oracle-backed): txlog
+    # round-5 closing batch (curation4, ALL 8 oracle-backed): txlog
     # vacuum/retention audit, deterministic random walks, zipWithIndex
     # global row ids, two-pass exact quantiles, dynamic partition
     # overwrite, k-fold CV from sufficient statistics, exact KS drift
-    # statistic — appended per the same invariant; promote with the
-    # curation2/3/frontends backlog in r06+.
+    # statistic, batched multi-source BFS — appended per the same invariant;
+    # promote with the curation2/3/frontends backlog in r06+.
     reg.update(curation4.WORKLOADS)
 
     # ROUND-5 ROTATION. Front of window, in order:

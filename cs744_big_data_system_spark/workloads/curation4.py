@@ -27,7 +27,10 @@ that the r01-r05 registry didn't yet cover —
     price of one aggregation), hash-checked end-to-end;
   * ``ks_test_2sample`` — exact two-sample Kolmogorov-Smirnov drift
     statistic with the global ecdf cumsum decomposed into two-level
-    prefix sums (no single-reducer window).
+    prefix sums (no single-reducer window);
+  * ``graph_multi_bfs`` — batched multi-source BFS (landmark distance
+    sketches): k searches share one frontier loop and one edge-cache
+    scan per level.
 
 Every query is oracle-backed. Per the registry ordering invariant they
 are APPENDED after the never-attested block and enter the r06+ window.
@@ -641,6 +644,67 @@ GROUP BY n_a, n_b
 """
 
 
+# --- Batched multi-source BFS: k landmark searches in one loop ---
+_BFS_SEEDS = (0, 7, 400, 999, 1500)
+_BFS_LEVELS = 8
+
+
+def q_graph_multi_bfs(spark, sf_dir):
+    """Minimum hop counts from 5 landmark seeds over the hash graph in
+    ONE shared frontier loop (graph/bfs.multi_bfs_hops) — the distance
+    -sketch primitive behind landmark routing and graph embeddings.
+    Output: per (seed, hop) level size + node-id checksum.
+
+    Scale shape: the frontier is keyed by (seed, node), so the k
+    searches share every edge-cache scan — one scan per LEVEL, not
+    per seed·level; each (seed, node) pair expands exactly once. Both
+    engines cap at the same level bound, so results agree even if a
+    component's eccentricity exceeded it (measured ecc here is ~6)."""
+    from cs744_big_data_system_spark.graph.bfs import multi_bfs_hops
+    from cs744_big_data_system_spark.workloads.streaming_graph import _hash_graph
+
+    hops = multi_bfs_hops(
+        _hash_graph(spark), list(_BFS_SEEDS), max_iters=_BFS_LEVELS
+    )
+    out = (
+        hops.groupBy("seed", "hop")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("node").alias("checksum"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    links = getattr(hops, "cached_links", None)
+    if links is not None:
+        links.unpersist()
+    return out
+
+
+def _sql_graph_multi_bfs() -> str:
+    from cs744_big_data_system_spark.workloads.streaming_graph import _SQL_HASH_GRAPH
+
+    seeds = ", ".join(f"({s})" for s in _BFS_SEEDS)
+    lvls = []
+    unions = ["SELECT seed, node, 0 AS lvl FROM l0"]
+    for k in range(1, _BFS_LEVELS + 1):
+        lvls.append(
+            f"l{k} AS (SELECT DISTINCT seed, dst AS node "
+            f"FROM l{k - 1} JOIN e ON l{k - 1}.node = e.src)"
+        )
+        unions.append(f"SELECT seed, node, {k} AS lvl FROM l{k}")
+    return (
+        f"WITH e AS ({_SQL_HASH_GRAPH}),\n"
+        f"l0 AS (SELECT CAST(seed AS BIGINT) AS seed, CAST(seed AS BIGINT) AS node "
+        f"FROM (VALUES {seeds}) s(seed)),\n"
+        + ",\n".join(lvls)
+        + ",\nallv AS (" + "\nUNION ALL\n".join(unions) + "),\n"
+        "hops AS (SELECT seed, node, CAST(min(lvl) AS INT) AS hop "
+        "FROM allv GROUP BY seed, node)\n"
+        "SELECT seed, hop, CAST(count(*) AS BIGINT) AS n_nodes, "
+        "CAST(sum(node) AS BIGINT) AS checksum FROM hops GROUP BY seed, hop"
+    )
+
+
 WORKLOADS = {
     "txlog_lifecycle_audit": (q_txlog_lifecycle_audit, SQL_TXLOG_LIFECYCLE_AUDIT),
     "graph_random_walks": (q_graph_random_walks, _sql_graph_random_walks()),
@@ -652,4 +716,5 @@ WORKLOADS = {
     ),
     "ml_kfold_cv": (q_ml_kfold_cv, SQL_ML_KFOLD_CV),
     "ks_test_2sample": (q_ks_test_2sample, SQL_KS_TEST_2SAMPLE),
+    "graph_multi_bfs": (q_graph_multi_bfs, _sql_graph_multi_bfs()),
 }

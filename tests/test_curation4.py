@@ -217,3 +217,38 @@ def test_ks_statistic_matches_numpy(spark):
     row = q_ks_test_2sample(spark, SF).first()
     assert row.n_a == len(a) and row.n_b == len(b)
     assert abs(row.d_stat - d_true) < 1e-9
+
+
+def test_multi_bfs_matches_python_bfs(spark):
+    """Batched BFS must equal k independent python BFS runs."""
+    from collections import deque
+
+    from cs744_big_data_system_spark.graph.bfs import multi_bfs_hops
+    from cs744_big_data_system_spark.workloads.curation4 import (
+        _BFS_LEVELS,
+        _BFS_SEEDS,
+    )
+    from cs744_big_data_system_spark.workloads.streaming_graph import _hash_graph
+
+    adj = {}
+    for r in _hash_graph(spark).collect():
+        adj.setdefault(r.src, set()).add(r.dst)
+    got = {
+        (r.seed, r.node): r.hop
+        for r in multi_bfs_hops(
+            _hash_graph(spark), list(_BFS_SEEDS), max_iters=_BFS_LEVELS
+        ).collect()
+    }
+    for seed in _BFS_SEEDS:
+        dist = {seed: 0}
+        q = deque([seed])
+        while q:
+            u = q.popleft()
+            if dist[u] >= _BFS_LEVELS:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        mine = {(s, n): h for (s, n), h in got.items() if s == seed}
+        assert mine == {(seed, n): h for n, h in dist.items()}

@@ -121,6 +121,15 @@ QUERIES = [
     "stream_upsert_sink_replay",# per-batch MERGE chain
     "stream_state_inspect",     # streaming agg + state read
     "video_frame_sample",       # container parse + PPM decode
+    # curation4 (round-5 closing batch), >=1s at sf0.1 with
+    # corpus-dependent cost (graph_multi_bfs/graph_random_walks run
+    # on the fixed hash graph — no corpus exposure — and are omitted)
+    "txlog_lifecycle_audit",    # ledger lifecycle + vacuum
+    "global_row_ids",           # two-pass id assignment
+    "exact_quantiles_2pass",    # histogram + bin refinement
+    "insert_overwrite_partitions",
+    "ml_kfold_cv",              # one-pass CV sufficient stats
+    "ks_test_2sample",          # two-level ecdf prefix sums
 ]
 
 

@@ -219,6 +219,13 @@ HEADLINE = [
     "ml_kfold_cv",
     "ks_test_2sample",
     "graph_multi_bfs",
+    # round-5 final batch (curation5)
+    "weblog_parse_agg",
+    "spatial_join_blocked",
+    "decision_stump_fit",
+    "column_entropy_profile",
+    "bootstrap_ci",
+    "mode_impute",
 ]
 
 

@@ -25,6 +25,7 @@ from cs744_big_data_system_spark.workloads import (
     curation2,
     curation3,
     curation4,
+    curation5,
     frontends,
     llm,
     pipeline_ext,
@@ -91,6 +92,13 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # statistic, batched multi-source BFS — appended per the same invariant;
     # promote with the curation2/3/frontends backlog in r06+.
     reg.update(curation4.WORKLOADS)
+    # round-5 final batch (curation5, ALL 6 oracle-backed): regex
+    # log-line ETL, grid-blocked spatial nearest-neighbor join,
+    # decision-stump fit from sufficient statistics, per-column
+    # entropy/mode profile, hash-bootstrap CI, per-group mode
+    # imputation — appended per the same invariant; promote with the
+    # curation2/3/4/frontends backlog in r06+.
+    reg.update(curation5.WORKLOADS)
 
     # ROUND-5 ROTATION. Front of window, in order:
     #   1. the two CORRECTNESS_r04 non-green rows, now FIXED (ab_test_zstat:

@@ -226,6 +226,13 @@ QUERIES = [
     "exact_quantiles_2pass",
     "ml_kfold_cv",
     "ks_test_2sample",
+    # curation5 (round-5 final batch)
+    "weblog_parse_agg",
+    "spatial_join_blocked",
+    "decision_stump_fit",
+    "column_entropy_profile",
+    "bootstrap_ci",
+    "mode_impute",
 ]
 
 

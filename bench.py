@@ -226,6 +226,12 @@ HEADLINE = [
     "column_entropy_profile",
     "bootstrap_ci",
     "mode_impute",
+    # round-5 diagnostics batch (curation6)
+    "skew_report",
+    "graph_connected_components",
+    "robust_outlier_mad",
+    "segmented_ab_welch",
+    "table_checksum_audit",
 ]
 
 

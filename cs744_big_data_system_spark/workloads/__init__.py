@@ -26,6 +26,7 @@ from cs744_big_data_system_spark.workloads import (
     curation3,
     curation4,
     curation5,
+    curation6,
     frontends,
     llm,
     pipeline_ext,
@@ -99,6 +100,12 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # imputation — appended per the same invariant; promote with the
     # curation2/3/4/frontends backlog in r06+.
     reg.update(curation5.WORKLOADS)
+    # round-5 batch (curation6, ALL 5 oracle-backed): join-key skew
+    # report, explicit connected components vs planted-islands truth,
+    # MAD robust outliers, per-segment Welch t-test, order-independent
+    # table checksum audit — appended per the same invariant; promote
+    # with the rest of the round-5 backlog in r06+.
+    reg.update(curation6.WORKLOADS)
 
     # ROUND-5 ROTATION. Front of window, in order:
     #   1. the two CORRECTNESS_r04 non-green rows, now FIXED (ab_test_zstat:

@@ -233,6 +233,12 @@ QUERIES = [
     "column_entropy_profile",
     "bootstrap_ci",
     "mode_impute",
+    # curation6 (round-5 diagnostics batch; graph_connected_components
+    # excluded — iterative kernel, like pagerank)
+    "skew_report",
+    "robust_outlier_mad",
+    "segmented_ab_welch",
+    "table_checksum_audit",
 ]
 
 

@@ -232,6 +232,10 @@ HEADLINE = [
     "robust_outlier_mad",
     "segmented_ab_welch",
     "table_checksum_audit",
+    # round-5 closing batch (curation7)
+    "attribution_shapley",
+    "join_null_safe",
+    "set_ops_bag",
 ]
 
 

@@ -27,6 +27,7 @@ from cs744_big_data_system_spark.workloads import (
     curation4,
     curation5,
     curation6,
+    curation7,
     frontends,
     llm,
     pipeline_ext,
@@ -106,6 +107,11 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # table checksum audit — appended per the same invariant; promote
     # with the rest of the round-5 backlog in r06+.
     reg.update(curation6.WORKLOADS)
+    # round-5 batch (curation7, ALL 3 oracle-backed): exact Shapley
+    # channel attribution, null-safe equality join, bag-semantics set
+    # operations — appended per the same invariant; promote with the
+    # rest of the round-5 backlog in r06+.
+    reg.update(curation7.WORKLOADS)
 
     # ROUND-5 ROTATION. Front of window, in order:
     #   1. the two CORRECTNESS_r04 non-green rows, now FIXED (ab_test_zstat:

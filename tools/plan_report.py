@@ -239,6 +239,10 @@ QUERIES = [
     "robust_outlier_mad",
     "segmented_ab_welch",
     "table_checksum_audit",
+    # curation7 (round-5 closing batch)
+    "attribution_shapley",
+    "join_null_safe",
+    "set_ops_bag",
 ]
 
 

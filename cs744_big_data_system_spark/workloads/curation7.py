@@ -88,7 +88,12 @@ def q_attribution_shapley(spark, sf_dir):
             .alias("v"),
         )
     )
-    # popcount of a 4-bit mask, identical expression both engines
+    # one 16-row coalition-value table, referenced exactly twice in a
+    # single plan (base side + with-channel side) — the per-channel
+    # fan-out rides a broadcast 4-row channel relation, so the corpus
+    # pass is not re-expanded per channel
+    v = v.localCheckpoint(eager=True)  # 16 rows; both phi sides read this
+    channels = spark.createDataFrame(_SHAP_CHANNELS, ["channel", "bit"])
     size = sum((F.shiftright(F.col("s"), k).bitwiseAND(F.lit(1))) for k in range(4))
     weight = (
         F.when(size == 0, 6)
@@ -97,28 +102,21 @@ def q_attribution_shapley(spark, sf_dir):
         .otherwise(6)
         .cast("double")
     )
-    phis = []
-    for name, bit in _SHAP_CHANNELS:
-        base = v.alias("a").filter(F.expr(f"(a.s & {bit}) = 0"))
-        withi = v.alias("b").select(
-            F.col("b.s").alias("s2"), F.col("b.v").alias("v2")
+    base = v.crossJoin(F.broadcast(channels)).filter(
+        F.col("s").bitwiseAND(F.col("bit")) == 0
+    )
+    withi = v.select(F.col("s").alias("s2"), F.col("v").alias("v2"))
+    pair = base.join(
+        F.broadcast(withi), F.col("s2") == F.col("s").bitwiseOR(F.col("bit"))
+    )
+    return pair.groupBy("channel").agg(
+        F.floor(
+            F.sum(weight * (F.col("v2") - F.col("v"))) / F.lit(24.0) * 1e6
+            + F.lit(0.5)
         )
-        pair = base.join(
-            F.broadcast(withi), F.expr(f"s2 = (a.s | {bit})")
-        )
-        phi = pair.agg(
-            F.floor(
-                F.sum(weight * (F.col("v2") - F.col("v"))) / F.lit(24.0) * 1e6
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("phi_micro")
-        ).select(F.lit(name).alias("channel"), "phi_micro")
-        phis.append(phi)
-    out = phis[0]
-    for p in phis[1:]:
-        out = out.unionByName(p)
-    return out
+        .cast("long")
+        .alias("phi_micro")
+    )
 
 
 SQL_ATTRIBUTION_SHAPLEY = """

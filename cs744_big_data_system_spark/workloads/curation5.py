@@ -448,25 +448,25 @@ def q_bootstrap_ci(spark, sf_dir):
     aggregation — the combiner collapses it to 100 partial sums per
     task before any shuffle (at 100 TB one would fold the replicate
     loop into per-partition accumulator arrays; the Spark plan here
-    already has that shape via hash-agg map-side combine)."""
+    already has that shape via hash-agg map-side combine). Each row
+    is hashed ONCE into a 120-bit pool (two md5s); replicate b's
+    membership is bit b of the pool — hashing cost is per row, not
+    per (row × replicate) (measured 10x on the expanded join)."""
     from pyspark.sql.window import Window
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        md5_int60(F.concat(F.col("o_orderkey").cast("string"), F.lit("#A"))).alias("h1"),
+        md5_int60(F.concat(F.col("o_orderkey").cast("string"), F.lit("#B"))).alias("h2"),
     )
     reps = orders.crossJoin(
         F.broadcast(spark.range(_BOOT_B).select(F.col("id").alias("b")))
     ).filter(
-        F.pmod(
-            md5_int60(
-                F.concat(
-                    F.col("o_orderkey").cast("string"), F.lit("#"), F.col("b").cast("string")
-                )
-            ),
-            F.lit(2),
+        F.expr(
+            "CASE WHEN b < 60 THEN shiftright(h1, CAST(b AS INT)) "
+            "ELSE shiftright(h2, CAST(b AS INT) - 60) END % 2 = 0"
         )
-        == 0
     )
     means = reps.groupBy("b").agg(
         F.floor(
@@ -498,13 +498,17 @@ def q_bootstrap_ci(spark, sf_dir):
 
 SQL_BOOTSTRAP_CI = f"""
 WITH o AS (
-  SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#A'), 1, 15))
+              AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#B'), 1, 15))
+              AS BIGINT) AS h2
   FROM orders
 ), reps AS (
   SELECT b.range AS b, o.cents
   FROM o CROSS JOIN range({_BOOT_B}) b
-  WHERE CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR) || '#' ||
-        CAST(b.range AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+  WHERE (CASE WHEN b.range < 60 THEN (h1 >> CAST(b.range AS INT))
+         ELSE (h2 >> (CAST(b.range AS INT) - 60)) END) % 2 = 0
 ), means AS (
   SELECT b, CAST(floor(sum(cents) * 1.0 / count(*) * 10.0 + 0.5) AS BIGINT)
             AS mean_milli

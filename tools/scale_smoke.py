@@ -130,6 +130,23 @@ QUERIES = [
     "insert_overwrite_partitions",
     "ml_kfold_cv",              # one-pass CV sufficient stats
     "ks_test_2sample",          # two-level ecdf prefix sums
+    # curation5-7 + frontends (round-5 final batches), >=1s at sf0.1
+    # with corpus-dependent cost (graph_connected_components runs on
+    # the fixed planted-islands graph — no corpus exposure — and is
+    # omitted like graph_multi_bfs/graph_random_walks)
+    "bootstrap_ci",             # 100x replicate expansion + combine
+    "join_null_safe",           # null-safe hash join
+    "stream_session_timeout_replay",
+    "stream_data_card_replay",
+    "stream_dedup_within_watermark_replay",
+    "stream_rocksdb_state_replay",
+    "stream_progress_metrics",
+    "pyds_sink_roundtrip",      # two-phase-commit Python sink
+    "ps_frontend_agg",          # pandas-on-Spark front end
+    "gdpr_erase",               # file-pruned copy-on-write delete
+    "sql_scripting",
+    "graph_triangles",          # degree-oriented wedge join
+    "ml_linear_gd",             # all-reduce training loop
 ]
 
 

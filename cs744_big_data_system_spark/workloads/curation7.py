@@ -170,21 +170,32 @@ def q_join_null_safe(spark, sf_dir):
     each other. Returns per-key pair counts with the NULL group
     surfacing as key = -1 (so the oracle's column stays integer).
 
-    Scale shape: `<=>` plans as an ordinary hash-shuffle equi-join on
-    the null-safe key (NULLs hash to one partition — at 100 TB a real
-    pipeline would pre-split the NULL key like any other hot key; the
-    skew_report entry is the probe that flags it)."""
+    Scale shape: pair COUNTS never materialize the quadratic join —
+    each side pre-aggregates to per-key counts (map-side combinable)
+    and `<=>` joins the two bounded count tables, so n_pairs is a
+    product of integers. The null-safe operator is exercised for
+    real (the NULL groups must meet), but on key-cardinality-sized
+    inputs — the shape that survives 100 TB where a materialize-
+    then-count plan is O(pairs) (measured 50x super-linear on the
+    10x smoke before this rewrite)."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
     key = F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("long")).otherwise(
         F.col("user_id") % 50
     )
-    a = ev.filter(F.col("event_id") % 2 == 0).select(key.alias("k"))
-    b = ev.filter(F.col("event_id") % 2 == 1).select(key.alias("k2"))
+    a = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy(key.alias("k"))
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    b = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .groupBy(key.alias("k2"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
     joined = a.join(b, F.col("k").eqNullSafe(F.col("k2")))
-    return (
-        joined.groupBy(F.coalesce(F.col("k"), F.lit(-1)).alias("key"))
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .select(F.col("key").cast("long").alias("key"), F.col("n_pairs").cast("long").alias("n_pairs"))
+    return joined.select(
+        F.coalesce(F.col("k"), F.lit(-1)).cast("long").alias("key"),
+        (F.col("na") * F.col("nb")).cast("long").alias("n_pairs"),
     )
 
 
@@ -193,12 +204,13 @@ WITH ev AS (
   SELECT event_id,
          CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id % 50 END AS k
   FROM events
-), a AS (SELECT k FROM ev WHERE event_id % 2 = 0),
-   b AS (SELECT k AS k2 FROM ev WHERE event_id % 2 = 1)
+), a AS (SELECT k, CAST(count(*) AS BIGINT) AS na FROM ev
+         WHERE event_id % 2 = 0 GROUP BY k),
+   b AS (SELECT k AS k2, CAST(count(*) AS BIGINT) AS nb FROM ev
+         WHERE event_id % 2 = 1 GROUP BY k)
 SELECT CAST(coalesce(a.k, -1) AS BIGINT) AS key,
-       CAST(count(*) AS BIGINT) AS n_pairs
+       CAST(a.na * b.nb AS BIGINT) AS n_pairs
 FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k2
-GROUP BY coalesce(a.k, -1)
 """
 
 

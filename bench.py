@@ -236,6 +236,7 @@ HEADLINE = [
     "attribution_shapley",
     "join_null_safe",
     "set_ops_bag",
+    "ivm_agg_maintenance",
 ]
 
 

@@ -28,6 +28,7 @@ from cs744_big_data_system_spark.workloads import (
     curation5,
     curation6,
     curation7,
+    curation8,
     frontends,
     llm,
     pipeline_ext,
@@ -112,6 +113,10 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # operations — appended per the same invariant; promote with the
     # rest of the round-5 backlog in r06+.
     reg.update(curation7.WORKLOADS)
+    # round-5 batch (curation8, oracle-backed): incremental view
+    # maintenance (delta-merge aggregate refresh with in-query
+    # recompute proof) — appended per the same invariant.
+    reg.update(curation8.WORKLOADS)
 
     # ROUND-5 ROTATION. Front of window, in order:
     #   1. the two CORRECTNESS_r04 non-green rows, now FIXED (ab_test_zstat:

@@ -243,6 +243,8 @@ QUERIES = [
     "attribution_shapley",
     "join_null_safe",
     "set_ops_bag",
+    # curation8
+    "ivm_agg_maintenance",
 ]
 
 

@@ -237,6 +237,8 @@ HEADLINE = [
     "join_null_safe",
     "set_ops_bag",
     "ivm_agg_maintenance",
+    "aqp_sample_estimate",
+    "merkle_bucket_diff",
 ]
 
 

@@ -29,6 +29,7 @@ from cs744_big_data_system_spark.workloads import (
     curation6,
     curation7,
     curation8,
+    curation9,
     frontends,
     llm,
     pipeline_ext,
@@ -117,6 +118,10 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # maintenance (delta-merge aggregate refresh with in-query
     # recompute proof) — appended per the same invariant.
     reg.update(curation8.WORKLOADS)
+    # round-5 batch (curation9, both oracle-backed): AQP hash-sample
+    # estimate with in-query error audit, merkle-style bucket diff
+    # (anti-entropy repair) — appended per the same invariant.
+    reg.update(curation9.WORKLOADS)
 
     # ROUND-5 ROTATION. Front of window, in order:
     #   1. the two CORRECTNESS_r04 non-green rows, now FIXED (ab_test_zstat:

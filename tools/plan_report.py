@@ -243,8 +243,10 @@ QUERIES = [
     "attribution_shapley",
     "join_null_safe",
     "set_ops_bag",
-    # curation8
+    # curation8 + curation9
     "ivm_agg_maintenance",
+    "aqp_sample_estimate",
+    "merkle_bucket_diff",
 ]
 
 

@@ -239,6 +239,8 @@ HEADLINE = [
     "ivm_agg_maintenance",
     "aqp_sample_estimate",
     "merkle_bucket_diff",
+    "stream_ivm_replay",
+    "merkle_row_repair",
 ]
 
 

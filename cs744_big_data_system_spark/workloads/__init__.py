@@ -30,6 +30,7 @@ from cs744_big_data_system_spark.workloads import (
     curation7,
     curation8,
     curation9,
+    curation10,
     frontends,
     llm,
     pipeline_ext,
@@ -122,6 +123,11 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # estimate with in-query error audit, merkle-style bucket diff
     # (anti-entropy repair) — appended per the same invariant.
     reg.update(curation9.WORKLOADS)
+    # round-5 batch (curation10, both oracle-backed): streaming IVM
+    # twin (shares the batch oracle — online/offline agreement) and
+    # merkle row-level repair (phase-2 drill-down) — appended per the
+    # same invariant.
+    reg.update(curation10.WORKLOADS)
 
     # ROUND-5 ROTATION. Front of window, in order:
     #   1. the two CORRECTNESS_r04 non-green rows, now FIXED (ab_test_zstat:

@@ -243,10 +243,12 @@ QUERIES = [
     "attribution_shapley",
     "join_null_safe",
     "set_ops_bag",
-    # curation8 + curation9
+    # curation8 + curation9 + curation10 (stream_ivm_replay excluded —
+    # streaming, like the other replay entries)
     "ivm_agg_maintenance",
     "aqp_sample_estimate",
     "merkle_bucket_diff",
+    "merkle_row_repair",
 ]
 
 

@@ -162,6 +162,11 @@ HEADLINE = [
     "corpus_drift_kl",
     "text_novelty",
     "embedding_frechet",
+    # producer/consumer pair for the session-memoized simhash→CC
+    # cluster table: dedup_clusters is benched with the memo cleared
+    # per rep (full pipeline cost); dedup_keep_best keeps it and
+    # reports the marginal cost given an already-clustered session.
+    "dedup_clusters",
     "dedup_keep_best",
     "bloom_decontaminate",
     "entity_match_pairs",

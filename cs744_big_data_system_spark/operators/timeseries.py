@@ -87,7 +87,7 @@ def interpolate_linear(
     construction."""
     hour_us = 3_600 * 1_000_000
     agg = events.groupBy(
-        key, (F.unix_micros(ts_col) / hour_us).cast("long").alias("h")
+        key, F.floor(F.unix_micros(ts_col) / hour_us).cast("long").alias("h")
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(value_col), 4).alias("s"),

@@ -140,6 +140,8 @@ def txlog_delete_where(spark: SparkSession, table_path: str, predicate) -> int:
     v = latest_version(table_path)
     live = sorted(_live_files(table_path, v))
     paths = [os.path.join(table_path, f) for f in live]
+    if not paths:
+        return v  # empty table — DELETE is a no-op, no new version
     match = F.coalesce(predicate, F.lit(False))
     df = spark.read.parquet(*paths)
     affected = sorted(

@@ -129,93 +129,99 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # same invariant.
     reg.update(curation10.WORKLOADS)
 
-    # ROUND-5 ROTATION. Front of window, in order:
-    #   1. the two CORRECTNESS_r04 non-green rows, now FIXED (ab_test_zstat:
-    #      F.try_divide so a zero standard error yields NULL under ANSI-on
-    #      vanilla sessions instead of DIVIDE_BY_ZERO; graph_modularity:
-    #      `round(...) + 0.0` signed-zero normalization on BOTH engines and
-    #      x*x instead of **2) — re-attestation is VERDICT r04's top item;
-    #   2. the 38 oracle-backed never-attested entries (r04's four overflow
-    #      slots + the 34 round-4 additions), all selfcheck-green;
-    #   3. 10 of the 16 rows-only never-attested entries (weaker rows-only
-    #      check), most-distinctive first.
-    # That fills 50 slots; the 6 rows-only leftovers (each shadowed by an
-    # already-attested hash-green twin: ml_linear_fit/ml_logreg_fit by
-    # ml_linear_gd/ml_logreg_gd, pagerank_synthetic* by pagerank_events,
-    # multimodal_resize by multimodal_features, text_compression_ratio by
-    # the attested text suite) head the r06 window, which then reverts to
-    # newest-additions-first since the backlog is empty.
+    # ROUND-6 ROTATION (VERDICT r05 items 1+3). Front of window, in order:
+    #   1. inverted_index — the ONLY r05 driver-red row, now FIXED (the
+    #      raw ArrayType postings column broke the driver's pandas
+    #      sort_values canonicalizer; both engines now emit a
+    #      comma-joined string — curation.py / SQL_INVERTED_INDEX);
+    #      fixed-rows-first is the standing rule (r05: ab_test_zstat).
+    #   2. the 7 rows-only never-attested leftovers, ml_linear_fit first
+    #      (the last §2-mapped query never itself attested; its
+    #      hash-checked twin ml_linear_gd is green since r04) — VERDICT
+    #      r05 explicitly orders these ahead of the oracle block so the
+    #      §2 inventory closes this round;
+    #   3. the oracle-backed never-attested backlog in registry order
+    #      (curation2 → curation3 → frontends → curation4 → curation5..10).
+    # 1+7+42 fills the 50 driver slots; the 19 oracle-backed leftovers
+    # (graph_multi_bfs onward) head the r07 window.
     reattest_fixed = [
-        "ab_test_zstat",
-        "graph_modularity",
-    ]
-    never_attested_oracle = [
-        "stream_full_outer_join_replay",
-        "synthdocs_stream_profile",
-        "stream_window_topk",
-        "stream_attribution_replay",
-        "dedup_containment",
-        "train_test_split",
-        "zipf_fit",
-        "shard_export",
-        "text_gopher_rules",
-        "dsir_weights",
-        "text_winnowing",
-        "hard_negatives",
-        "ann_recall_eval",
-        "corpus_drift_kl",
-        "text_novelty",
-        "embedding_frechet",
-        "embedding_random_projection",
-        "embedding_covariance",
-        "stream_minhash_dedup_replay",
-        "dedup_semantic",
-        "bucketed_join_agg",
-        "k_anonymity_audit",
-        "txlog_stats_skipping",
-        "udf_cogroup_arrow",
-        "table_transpose",
-        "sql_scripting",
-        "xml_roundtrip_sort",
-        "dedup_keep_best",
-        "bloom_decontaminate",
-        "entity_match_pairs",
         "inverted_index",
-        "bitext_margin_mining",
-        "dedup_recall_eval",
-        "cdc_apply",
-        "temperature_resample",
-        "quality_classifier_nb",
-        "graph_personalized_pagerank",
-        "stream_cdc_replay",
     ]
-    # Rows-only never-attested (row-count check only): 10 in-window,
-    # 6 leftovers for r06 (see rotation note above).
-    never_attested_rest = [
-        "ml_mlp_fit",
-        "ml_cnn_fit",
-        "ml_als_fit",
-        "text_bpe_merges",
-        "text_bpe_tokenize",
-        "embedding_pca",
-        "image_neardup_phash",
-        "hll_rollup",
-        "multimodal_features",
-        "ml_kmeans_fit",
-        # --- r06 leftovers below this line ---
+    rows_only_leftovers = [
         "ml_linear_fit",
         "ml_logreg_fit",
         "text_compression_ratio",
         "multimodal_resize",
         "pagerank_synthetic",
         "pagerank_synthetic_broadcast",
+        "audio_frame_features",
     ]
-    never_attested_oracle = reattest_fixed + never_attested_oracle
-    ordered = {
-        name: reg[name]
-        for name in never_attested_oracle + never_attested_rest
-        if name in reg
-    }
+    never_attested_oracle = [
+        "dedup_incremental",
+        "retrieval_ndcg",
+        "graph_clustering_coeff",
+        "skyline_2d",
+        "graph_link_prediction",
+        "data_card_report",
+        "stream_data_card_replay",
+        "scd2_asof_lookup",
+        "quantile_drift_psi",
+        "sql_pipe_syntax",
+        "dedup_cluster_stats",
+        "sql_recursive_cte",
+        "timeseries_ohlc",
+        "interval_overlap_join",
+        "bm25_search_topk",
+        "parquet_schema_evolution",
+        "stream_upsert_sink_replay",
+        "stream_state_inspect",
+        "video_frame_sample",
+        "gdpr_erase",
+        "cbo_join_reorder",
+        "stream_progress_metrics",
+        "cohort_revenue_matrix",
+        "ps_frontend_agg",
+        "sql_table_function",
+        "string_collation",
+        "udf_map_in_arrow",
+        "stream_dedup_within_watermark_replay",
+        "pyds_sink_roundtrip",
+        "stream_rocksdb_state_replay",
+        "timeseries_interpolate",
+        "dynamic_partition_pruning",
+        "join_bloom_filter",
+        "stream_session_timeout_replay",
+        "udtf_analyze",
+        "txlog_lifecycle_audit",
+        "graph_random_walks",
+        "global_row_ids",
+        "exact_quantiles_2pass",
+        "insert_overwrite_partitions",
+        "ml_kfold_cv",
+        "ks_test_2sample",
+        # --- r07 window heads below this line (beyond r06's 50 slots) ---
+        "graph_multi_bfs",
+        "weblog_parse_agg",
+        "spatial_join_blocked",
+        "decision_stump_fit",
+        "column_entropy_profile",
+        "bootstrap_ci",
+        "mode_impute",
+        "skew_report",
+        "graph_connected_components",
+        "robust_outlier_mad",
+        "segmented_ab_welch",
+        "table_checksum_audit",
+        "attribution_shapley",
+        "set_ops_bag",
+        "ivm_agg_maintenance",
+        "aqp_sample_estimate",
+        "merkle_bucket_diff",
+        "stream_ivm_replay",
+        "merkle_row_repair",
+    ]
+    front = reattest_fixed + rows_only_leftovers + never_attested_oracle
+    ordered = {name: reg[name] for name in front if name in reg}
     ordered.update(reg)
     return ordered
 

@@ -295,6 +295,13 @@ def q_inverted_index(spark, sf_dir):
     then token for the postings — both map-side combinable; the
     posting array is sorted so the result is order-deterministic.
 
+    The posting list is emitted as a comma-joined STRING, not a raw
+    array column: the driver's canonicalizer sorts result frames with
+    pandas ``sort_values``, whose lexsort cannot hash list values
+    (CORRECTNESS_r05 red row — ``TypeError: unhashable type: 'list'``).
+    Oracle-backed queries must keep scalar output schemas; the registry
+    invariant test enforces this for every oracle-backed entry.
+
     Scale shape: postings for stop-like tokens grow with the corpus;
     at 100 TB the df-cutoff used by the dedup family (hot-key cap)
     applies unchanged — here the full index is the point, and the
@@ -305,7 +312,13 @@ def q_inverted_index(spark, sf_dir):
     return per.groupBy("token").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("tf_total"),
-        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda d: d.cast("string"),
+            ),
+        ).alias("postings"),
     )
 
 
@@ -317,7 +330,7 @@ WITH tok AS (
 )
 SELECT token, CAST(count(*) AS BIGINT) AS df,
        CAST(sum(tf) AS BIGINT) AS tf_total,
-       list_sort(list(doc_id)) AS postings
+       array_to_string(list_sort(list(doc_id)), ',') AS postings
 FROM per GROUP BY token
 """
 

@@ -674,12 +674,15 @@ def q_gdpr_erase(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    txlog_append(ev.repartition(8, "user_id"), table)
-    forget = F.col("user_id") % 37 == 3
-    txlog_delete_where(spark, table, forget)
-    snap = txlog_read(spark, table)
-    assert snap.filter(forget).count() == 0  # the right, exercised
+    # everything from the first write onward is inside the try so a
+    # mid-query failure (append, delete, or the erasure proof) cannot
+    # leak the pid-keyed temp table across runs
     try:
+        txlog_append(ev.repartition(8, "user_id"), table)
+        forget = F.col("user_id") % 37 == 3
+        txlog_delete_where(spark, table, forget)
+        snap = txlog_read(spark, table)
+        assert snap.filter(forget).count() == 0  # the right, exercised
         return (
             snap.groupBy("event_type")
             .agg(

@@ -256,13 +256,12 @@ def test_ewma_matches_pandas_recursive(spark):
 
 def test_registry_invariants():
     """Driver-contract guards: every oracle key maps to a query, no
-    empty SQL, and the verification window (first 50 entries — the
-    prefix the driver attests) is ordered oracle-backed first, then
-    rows-only, with no interleaving — every hash-verifiable slot is
-    spent before any weaker rows-only check (the rotation rule
-    documented in workloads/__init__.py). The round-5 window finishes
-    the never-attested backlog, whose tail is rows-only by design, so
-    the window may legitimately END with rows-only entries."""
+    empty SQL, and the round-6 verification window (first 50 entries —
+    the prefix the driver attests) follows the rotation documented in
+    workloads/__init__.py: the fixed r05 red row first, then the 7
+    rows-only §2 leftovers (VERDICT r05 orders them ahead of the
+    oracle block so the §2 inventory closes this round), then only
+    oracle-backed never-attested entries."""
     from cs744_big_data_system_spark import workloads
 
     reg = workloads.all_workloads()
@@ -272,15 +271,14 @@ def test_registry_invariants():
     for n, sql in oracles.items():
         assert sql.strip(), n
     window = names[:50]
-    backing = [n in oracles for n in window]
-    first_rows_only = backing.index(False) if False in backing else len(window)
-    assert all(backing[:first_rows_only]), window
-    assert not any(backing[first_rows_only:]), (
-        "oracle-backed entry queued behind a rows-only one in the window",
-        [n for n, b in zip(window, backing) if b and window.index(n) >= first_rows_only],
-    )
-    # the two round-4 driver-red rows lead the window for re-attestation
-    assert window[:2] == ["ab_test_zstat", "graph_modularity"]
+    # fixed-rows-first: the r05 driver-red row leads for re-attestation
+    assert window[0] == "inverted_index" and window[0] in oracles
+    rows_only_leftovers = window[1:8]
+    assert rows_only_leftovers[0] == "ml_linear_fit"
+    assert all(n not in oracles for n in rows_only_leftovers), rows_only_leftovers
+    assert all(n in oracles for n in window[8:]), [
+        n for n in window[8:] if n not in oracles
+    ]
     # every registry entry is callable
     assert all(callable(fn) for fn, _ in reg.values())
 

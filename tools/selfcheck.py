@@ -10,7 +10,7 @@ floats are repr'd after a 9 dp round with NO signed-zero normalization
 (the r04 driver hash distinguished -0.0 from 0.0 on graph_modularity;
 a ``+ 0.0`` mask here hid that locally — never reintroduce it).
 
-Usage: python tools/selfcheck.py [--vanilla] [sf_dir] [query ...]
+Usage: python tools/selfcheck.py [--vanilla] [--driver-canon] [sf_dir] [query ...]
 
 --vanilla: run the Spark side on a BARE ``SparkSession.builder`` session
 (no ENGINE_CONF: ANSI **on** — the Spark 4 default — no nanosAsLong /
@@ -18,6 +18,15 @@ NTZ / timezone pins), which is the environment the driver's harness
 actually uses. The two r04 driver-red rows were both engine-vs-vanilla
 session divergences that the default (engine-session) sweep could not
 see; run the vanilla sweep before every round boundary.
+
+--driver-canon: canonicalize through the driver's ACTUAL pandas path —
+``DataFrame.sort_values`` over all columns (sorted by name) BEFORE any
+stringification. The default canon stringifies rows first and sorts
+strings, which is MORE permissive: it happily sorts list-valued cells
+that make pandas' lexsort throw ``TypeError: unhashable type: 'list'``
+(exactly how the driver red-rowed ``inverted_index`` in r05 while the
+local sweep stayed green). Run at least one sweep per round with this
+flag so a driver-canonicalizer incompatibility fails HERE first.
 """
 
 from __future__ import annotations
@@ -67,6 +76,34 @@ def canon(df_pandas):
     return cols, rows
 
 
+def canon_driver(df_pandas):
+    """The driver's canonical form, reproduced exactly: columns sorted
+    by name, then the FRAME sorted with ``pandas.sort_values`` over all
+    columns (the driver's lexsort — it factorizes each key column, so
+    unhashable cell values like lists/ndarrays raise ``TypeError`` here
+    just as they do in the driver), then values stringified row-major.
+    Any exception from sort_values is the finding — callers report it
+    as DRIVER-CANON-ERROR rather than masking it."""
+    import math
+
+    cols = sorted(df_pandas.columns)
+    frame = df_pandas[cols].sort_values(by=cols, kind="mergesort")
+    rows = []
+    for tup in frame.itertuples(index=False, name=None):
+        vals = []
+        for v in tup:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                vals.append("∅")
+            elif isinstance(v, float):
+                vals.append(repr(round(v, 9)))
+            elif isinstance(v, bool):
+                vals.append(str(bool(v)))
+            else:
+                vals.append(str(v))
+        rows.append("\x1f".join(vals))
+    return cols, rows
+
+
 def _vanilla_spark():
     """A session SEMANTICALLY identical to what the driver builds: ANSI
     on (the Spark 4 default), no timezone / nanosAsLong / NTZ pins —
@@ -90,7 +127,8 @@ def _vanilla_spark():
 def main():
     argv = sys.argv[1:]
     vanilla = "--vanilla" in argv
-    argv = [a for a in argv if a != "--vanilla"]
+    driver_canon = "--driver-canon" in argv
+    argv = [a for a in argv if a not in ("--vanilla", "--driver-canon")]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -115,7 +153,13 @@ def main():
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            frame = fn(spark, sf_dir)
+            complex_cols = [
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in frame.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            sdf = frame.toPandas()
         except Exception:
             results[name] = ("SPARK-ERROR", traceback.format_exc(limit=6))
             print(f"[FAIL-spark] {name}\n{results[name][1]}")
@@ -125,14 +169,30 @@ def main():
             results[name] = ("ROWS-ONLY", f"{len(sdf)} rows, {el:.1f}s")
             print(f"[rows-only] {name}: {len(sdf)} rows ({el:.1f}s)")
             continue
+        # Oracle-backed outputs must be scalar-only: the driver's pandas
+        # sort_values canon cannot sort Array/Map/Struct cells (the r05
+        # inverted_index red row). Fail the row here regardless of mode.
+        if complex_cols:
+            results[name] = ("COMPLEX-TYPE", f"non-scalar output columns: {complex_cols}")
+            print(f"[FAIL-complex-type] {name}: {results[name][1]}")
+            continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception:
             results[name] = ("ORACLE-ERROR", traceback.format_exc(limit=4))
             print(f"[FAIL-oracle] {name}\n{results[name][1]}")
             continue
-        scols, srows = canon(sdf)
-        ocols, orows = canon(odf)
+        try:
+            if driver_canon:
+                scols, srows = canon_driver(sdf)
+                ocols, orows = canon_driver(odf)
+            else:
+                scols, srows = canon(sdf)
+                ocols, orows = canon(odf)
+        except Exception:
+            results[name] = ("DRIVER-CANON-ERROR", traceback.format_exc(limit=4))
+            print(f"[FAIL-driver-canon] {name}\n{results[name][1]}")
+            continue
         if scols != ocols:
             results[name] = ("SCHEMA-MISMATCH", f"spark={scols} oracle={ocols}")
         elif len(srows) != len(orows):

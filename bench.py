@@ -250,9 +250,17 @@ HEADLINE = [
 
 
 def time_query(fn, spark, sf_dir, reps: int = 2, fresh_memo: bool = False) -> float:
+    """Mean of ``reps`` timed runs after one discarded warm-up. Queries
+    whose warm-up lands under 3 s get ONE extra timed rep: at the 1-2 s
+    scale a single scheduler/GC hiccup moves a 2-rep mean by >1.5x
+    (measured: the r06 pre/post runs flagged two disjoint 'regression'
+    sets of ~1 s queries on identical code), while the extra rep costs
+    ~1 s against the stability it buys. Heavy queries keep reps low —
+    their signal-to-noise is already fine."""
     times = []
     df = None
-    for i in range(reps + 1):
+    i = 0
+    while i < reps + 1:
         if fresh_memo:
             # Producer of a session-memoized table (the simhash→CC
             # cluster pipeline): clear the memo so EVERY rep pays the
@@ -270,6 +278,9 @@ def time_query(fn, spark, sf_dir, reps: int = 2, fresh_memo: bool = False) -> fl
         # orderBys, timing less work than the query declares.
         df.write.format("noop").mode("overwrite").save()
         times.append(time.perf_counter() - t0)
+        if i == 0 and times[0] < 3.0:
+            reps += 1
+        i += 1
     # Iterative operators (pagerank) persist a loop-invariant table and
     # expose it as cached_links; all reps share the one cache entry
     # (CacheManager dedupes by plan), so release it here to keep a long

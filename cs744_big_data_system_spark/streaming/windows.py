@@ -148,17 +148,19 @@ def _drain_stream(spark: SparkSession, out: DataFrame, output_mode: str) -> Data
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # micro-batch planning reads the conf asynchronously after start(),
     # so it stays lowered until the drain completes; the finally below
-    # restores it before the batch agg over the memory sink runs
+    # restores it before the batch agg over the memory sink runs —
+    # start() itself must be inside the try so a plan that fails to
+    # start cannot leak the lowered conf into the session
     spark.conf.set("spark.sql.shuffle.partitions", REPLAY_STATE_PARTITIONS)
-    query = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt_dir)
-        .start()
-    )
     try:
+        query = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
         query.awaitTermination()
         # Detach the result from the memory-sink temp view (eager
         # localCheckpoint → LogicalRDD) so the view and checkpoint dir

@@ -178,6 +178,40 @@ def test_replay_waves_drops_late_rows_single_run(spark):
     assert "2024-01-05 00:00:00" in starts
 
 
+def test_replay_drain_sizes_state_partitions_and_restores_conf(spark):
+    """The replay drain lowers spark.sql.shuffle.partitions to
+    REPLAY_STATE_PARTITIONS for the streaming query (32 state-store
+    tasks per micro-batch was pure overhead on few-thousand-row waves)
+    and MUST restore the session value afterwards — including when the
+    drained plan fails — so batch shuffle sizing is untouched."""
+    import pytest
+
+    from cs744_big_data_system_spark.streaming import windows as W
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    mk = lambda rows: spark.createDataFrame(rows, "k string, v long")
+    waves = [mk([("a", 1), ("b", 2)]), mk([("a", 3)])]
+    out = W.replay_waves_to_batch(
+        spark,
+        waves,
+        lambda s: s.groupBy("k").count(),
+        output_mode="update",
+    )
+    # the stateful agg ran under the replay sizing...
+    assert out.count() >= 2
+    # ...and the session conf is back to what the fixture set
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+    # failure path: a plan that fails inside the drain's start() (the
+    # unsupported-operation check rejects complete mode without an
+    # aggregation) must still restore the conf via the finally
+    with pytest.raises(Exception):
+        W.replay_waves_to_batch(
+            spark, waves, lambda s: s, output_mode="complete"
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
 def test_stream_attribution_state_carries_across_batches(spark):
     """A touch in wave 0 must credit a purchase arriving in wave 1 —
     the state-store carry the batch window gets for free — and a

@@ -128,19 +128,45 @@ def replay_to_batch(
     return _drain_stream(spark, transform(stream), output_mode)
 
 
-#: State-store partition count for replay drains. Stateful-operator
-#: partitioning is fixed from ``spark.sql.shuffle.partitions`` when the
-#: query first runs; the session default (32, sized for batch shuffles)
-#: spawns 32 state-store tasks + Python workers PER MICRO-BATCH for
-#: replays that carry a few thousand rows per wave — pure fixed
-#: overhead (measured 5.8 → 2.7 s on stream_data_card_replay at sf0.1
-#: with identical output). 8 keeps multi-core parallelism while sizing
-#: state tasks to replay volume. A production stream sizes this to its
-#: key cardinality at query start — same knob, same one-line conf.
+#: Fallback state-store partition count for replay drains when the
+#: staged volume is unknown. Stateful-operator partitioning is fixed
+#: from ``spark.sql.shuffle.partitions`` when the query first runs; the
+#: session default (32, sized for batch shuffles) spawns 32 state-store
+#: tasks + Python workers PER MICRO-BATCH — pure fixed overhead for
+#: replays carrying a few thousand rows per wave (measured 5.8 → 2.7 s
+#: on stream_data_card_replay at sf0.1 with identical output), but
+#: needed parallelism once waves carry ~10⁶ rows (8 partitions cost
+#: 2.2-2.5× on the sf1 smoke's session-timeout/CDC replays). Callers
+#: that stage waves size the count from the staged row counts via
+#: staged_state_partitions(); a production stream sizes the same knob
+#: to its key cardinality at query start.
 REPLAY_STATE_PARTITIONS = "8"
 
 
-def _drain_stream(spark: SparkSession, out: DataFrame, output_mode: str) -> DataFrame:
+def staged_state_partitions(stage_dir: str) -> str:
+    """Size the replay drain's state-store partition count from the
+    staged wave volume — parquet footer row counts only, no data read.
+    Calibrated on the sf0.1/sf1 A-B runs: ≤128k total rows → 8 (fixed
+    per-task overhead dominates), then one partition per ~16k rows up
+    to the session's batch sizing of 32 (1M-row sf1 replays measured
+    2.2-2.5× faster at 32 than at 8)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in os.listdir(stage_dir):
+        if f.startswith("wave") and f.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(stage_dir, f)).metadata.num_rows
+    return str(min(32, max(8, total // 16_000)))
+
+
+def _drain_stream(
+    spark: SparkSession,
+    out: DataFrame,
+    output_mode: str,
+    state_partitions: str | None = None,
+) -> DataFrame:
     """availableNow → memory sink → eager batch DataFrame, leaving no
     catalog entries or tmp dirs behind."""
     name = "replay_" + uuid.uuid4().hex[:12]
@@ -151,7 +177,9 @@ def _drain_stream(spark: SparkSession, out: DataFrame, output_mode: str) -> Data
     # restores it before the batch agg over the memory sink runs —
     # start() itself must be inside the try so a plan that fails to
     # start cannot leak the lowered conf into the session
-    spark.conf.set("spark.sql.shuffle.partitions", REPLAY_STATE_PARTITIONS)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", state_partitions or REPLAY_STATE_PARTITIONS
+    )
     try:
         query = (
             out.writeStream.format("memory")
@@ -197,7 +225,12 @@ def replay_waves_to_batch(
 
     stage, stream = stage_waves_stream(spark, waves)
     try:
-        return _drain_stream(spark, transform(stream), output_mode)
+        return _drain_stream(
+            spark,
+            transform(stream),
+            output_mode,
+            state_partitions=staged_state_partitions(stage),
+        )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 

@@ -187,6 +187,7 @@ def q_stream_dedup_within_watermark_replay(spark, sf_dir):
     from cs744_big_data_system_spark.streaming.windows import (
         _drain_stream,
         stage_waves_stream,
+        staged_state_partitions,
     )
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -197,7 +198,12 @@ def q_stream_dedup_within_watermark_replay(spark, sf_dir):
         deduped = stream.withWatermark("ts", "365 days").dropDuplicatesWithinWatermark(
             ["event_id"]
         )
-        rows = _drain_stream(spark, deduped, "append")
+        rows = _drain_stream(
+            spark,
+            deduped,
+            "append",
+            state_partitions=staged_state_partitions(stage),
+        )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     return rows.groupBy("event_type").agg(
@@ -472,6 +478,7 @@ def q_stream_session_timeout_replay(spark, sf_dir):
     from cs744_big_data_system_spark.streaming.windows import (
         _drain_stream,
         stage_waves_stream,
+        staged_state_partitions,
     )
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -498,7 +505,9 @@ def q_stream_session_timeout_replay(spark, sf_dir):
             ),
             gap_s=1800,
         )
-        rows = _drain_stream(spark, sess, "update")
+        rows = _drain_stream(
+            spark, sess, "update", state_partitions=staged_state_partitions(stage)
+        )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     return rows.filter(F.col("user_id") >= 0)

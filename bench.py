@@ -251,12 +251,15 @@ HEADLINE = [
 
 def time_query(fn, spark, sf_dir, reps: int = 2, fresh_memo: bool = False) -> float:
     """Mean of ``reps`` timed runs after one discarded warm-up. Queries
-    whose warm-up lands under 3 s get ONE extra timed rep: at the 1-2 s
-    scale a single scheduler/GC hiccup moves a 2-rep mean by >1.5x
-    (measured: the r06 pre/post runs flagged two disjoint 'regression'
-    sets of ~1 s queries on identical code), while the extra rep costs
-    ~1 s against the stability it buys. Heavy queries keep reps low —
-    their signal-to-noise is already fine."""
+    whose FIRST TIMED rep lands under 3 s get ONE extra timed rep: at
+    the 1-2 s scale a single scheduler/GC hiccup moves a 2-rep mean by
+    >1.5x (measured: the r06 pre/post runs flagged two disjoint
+    'regression' sets of ~1 s queries on identical code), while the
+    extra rep costs ~1 s against the stability it buys. Heavy queries
+    keep reps low — their signal-to-noise is already fine. (ADVICE r06:
+    the trigger must NOT use the warm-up time — it includes planning /
+    JIT, so a >3 s-warm-up ~1 s-steady query — exactly the noisy class
+    — would get no extra rep.)"""
     times = []
     df = None
     i = 0
@@ -278,7 +281,7 @@ def time_query(fn, spark, sf_dir, reps: int = 2, fresh_memo: bool = False) -> fl
         # orderBys, timing less work than the query declares.
         df.write.format("noop").mode("overwrite").save()
         times.append(time.perf_counter() - t0)
-        if i == 0 and times[0] < 3.0:
+        if i == 1 and times[1] < 3.0:
             reps += 1
         i += 1
     # Iterative operators (pagerank) persist a loop-invariant table and
@@ -298,6 +301,61 @@ def time_query(fn, spark, sf_dir, reps: int = 2, fresh_memo: bool = False) -> fl
     return sum(times[1:]) / len(times[1:])
 
 
+def calibration_probe(spark) -> dict[str, float]:
+    """Host-health denominator (VERDICT r06 item 2): two PINNED
+    micro-ops timed before the suite so every bench artifact carries
+    its own evidence of host condition — BENCH_r06's 337.8 s driver
+    run (vs 227.0 s on identical code) was an I/O-contended host and
+    needed a judge re-run to adjudicate; with the probe, the ratio
+    between two runs' probe values separates host degradation from
+    code regressions inside the artifact itself.
+
+    * ``cpu``: fixed arithmetic over 2^30 ids on all 32 cores — pure
+      whole-stage-codegen JVM work, no I/O, no shuffle. Degrades with
+      CPU contention / thermal throttling.
+    * ``io``: 512 write+fsync+rename cycles of 4 KiB files — the
+      syscall pattern of streaming-checkpoint commits, the exact class
+      (checkpoints, tx-log writes, insert-overwrite) that spiked 1.9-10×
+      on the degraded r06 host while CPU-bound queries held.
+
+    min-of-2 after a warm-up: the minimum is the robust statistic for
+    "what the host can do", which is what a denominator needs.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    def cpu_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 1 << 30, 1, 32).select(
+            F.sum(F.col("id") % 1000003).alias("s")
+        ).collect()
+        return time.perf_counter() - t0
+
+    cpu_once()  # warm-up (codegen/JIT)
+    cpu = min(cpu_once() for _ in range(2))
+
+    def io_once() -> float:
+        d = tempfile.mkdtemp(prefix="bench_ioprobe_")
+        try:
+            t0 = time.perf_counter()
+            for i in range(512):
+                p = os.path.join(d, f".tmp{i}")
+                with open(p, "wb") as f:
+                    f.write(b"x" * 4096)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.rename(p, os.path.join(d, f"commit{i}"))
+            return time.perf_counter() - t0
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    io_once()  # warm-up (page cache / dentry state)
+    io = min(io_once() for _ in range(2))
+    return {"cpu": round(cpu, 4), "io": round(io, 4)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -306,6 +364,8 @@ def main() -> None:
         sf = -1.0  # path merely contains 'sf' (e.g. /data/sf_full)
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    probe = calibration_probe(spark)
 
     reg = all_workloads()
     per_query: dict[str, float] = {}
@@ -327,6 +387,7 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
+        "probe": probe,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), f"BENCH_DETAIL_sf{sf}.json"
@@ -334,12 +395,16 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     print(json.dumps(detail))
-    print(summary_line(per_query, total, sf, os.path.basename(detail_path)))
+    print(summary_line(per_query, total, sf, os.path.basename(detail_path), probe))
     spark.stop()
 
 
 def summary_line(
-    per_query: dict[str, float], total: float, sf: float, detail_file: str
+    per_query: dict[str, float],
+    total: float,
+    sf: float,
+    detail_file: str,
+    probe: dict[str, float] | None = None,
 ) -> str:
     """The driver-facing final line: compact enough to always fit the
     tail-capture window (tests pin < 1900 chars for the full suite)."""
@@ -353,6 +418,9 @@ def summary_line(
             "unit": "sec",
             "sf": sf,
             "n_queries": len(per_query),
+            # host-health denominator: pinned CPU + checkpoint-I/O
+            # micro-ops timed before the suite (see calibration_probe)
+            "probe": probe or {},
             "queries": slowest,
             "detail_file": detail_file,
         }

@@ -58,33 +58,47 @@ def last_touch_attribution(
     query's global per-user ordering, so replay output hash-matches
     the batch SQL oracle.
     """
+    import numpy as np  # noqa: PLC0415 — worker-side import
     import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    window_us = attr_window_s * 1_000_000
 
     def update(key, pdf_iter, state: GroupState):
         if state.exists:
             tid, tts, ttyp = state.get
         else:
             tid, tts, ttyp = -1, -1, ""
-        out = {
-            "purchase_event_id": [],
-            "user_id": [],
-            "touch_event_id": [],
-            "touch_type": [],
-            "latency_s": [],
-        }
-        pdf = pd.concat(list(pdf_iter))
-        for r in pdf.sort_values(["ts_us", "event_id"]).itertuples():
-            if r.event_type == "purchase":
-                if tid >= 0 and r.ts_us - tts <= attr_window_s * 1_000_000:
-                    out["purchase_event_id"].append(r.event_id)
-                    out["user_id"].append(key[0])
-                    out["touch_event_id"].append(tid)
-                    out["touch_type"].append(ttyp)
-                    out["latency_s"].append((r.ts_us - tts) // 1_000_000)
-            elif r.event_type in ("click", "view"):
-                tid, tts, ttyp = r.event_id, r.ts_us, r.event_type
+        # Vectorized "latest preceding touch": running-max of touch row
+        # positions (maximum.accumulate) gives each purchase its last
+        # in-batch touch; position -1 falls back to the carried state.
+        pdf = pd.concat(list(pdf_iter)).sort_values(["ts_us", "event_id"])
+        etype = pdf["event_type"].to_numpy()
+        eid = pdf["event_id"].to_numpy(np.int64)
+        ts = pdf["ts_us"].to_numpy(np.int64)
+        is_touch = (etype == "click") | (etype == "view")
+        last_touch_pos = np.maximum.accumulate(
+            np.where(is_touch, np.arange(len(pdf)), -1)
+        )
+        pi = np.flatnonzero(etype == "purchase")
+        li = last_touch_pos[pi]
+        safe = np.maximum(li, 0)
+        t_id = np.where(li >= 0, eid[safe], tid)
+        t_ts = np.where(li >= 0, ts[safe], tts)
+        t_typ = np.where(li >= 0, etype[safe], ttyp)
+        ok = (t_id >= 0) & (ts[pi] - t_ts <= window_us)
+        if is_touch.any():
+            last = int(last_touch_pos[-1])
+            tid, tts, ttyp = int(eid[last]), int(ts[last]), str(etype[last])
         state.update((int(tid), int(tts), ttyp))
-        yield pd.DataFrame(out)
+        yield pd.DataFrame(
+            {
+                "purchase_event_id": eid[pi][ok],
+                "user_id": np.full(int(ok.sum()), key[0], dtype=np.int64),
+                "touch_event_id": t_id[ok],
+                "touch_type": t_typ[ok],
+                "latency_s": (ts[pi][ok] - t_ts[ok]) // 1_000_000,
+            }
+        )
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,
@@ -110,6 +124,7 @@ def cdc_current_state(events: DataFrame) -> DataFrame:
     Expects columns (user_id, ts_us, event_id, op, value); state is
     constant bytes per key regardless of stream length.
     """
+    import numpy as np  # noqa: PLC0415 — worker-side import
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
     def update(key, pdf_iter, state: GroupState):
@@ -118,13 +133,18 @@ def cdc_current_state(events: DataFrame) -> DataFrame:
         else:
             ts, eid, op, val, n, d = -1, -1, "", 0.0, 0, 0
         for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts_us", "event_id"])
-            for r in pdf.itertuples():
-                # Micro-batch rows arrive unordered relative to state:
-                # apply only changes NEWER than the current row (the
-                # batch oracle's (ts, event_id) max pick).
-                if (r.ts_us, r.event_id) > (ts, eid):
-                    ts, eid, op, val = int(r.ts_us), int(r.event_id), r.op, float(r.value)
+            if not len(pdf):
+                continue
+            # Micro-batch rows arrive unordered relative to state: the
+            # surviving row is the (ts, event_id)-lexicographic max of
+            # the chunk vs the carried state (the batch oracle's max
+            # pick) — one lexsort, no per-row walk.
+            t = pdf["ts_us"].to_numpy(np.int64)
+            e = pdf["event_id"].to_numpy(np.int64)
+            i = int(np.lexsort((e, t))[-1])
+            if (int(t[i]), int(e[i])) > (ts, eid):
+                ts, eid = int(t[i]), int(e[i])
+                op, val = pdf["op"].iat[i], float(pdf["value"].iat[i])
             n += len(pdf)
             d += int((pdf["op"] == "D").sum())
         state.update((ts, eid, op, val, n, d))
@@ -171,45 +191,71 @@ def session_windows_timeout(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     equal the batch gaps-and-islands sessionize, so the replay
     hash-checks against the same oracle.
     """
+    import numpy as np  # noqa: PLC0415 — worker-side import
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
+    gap_us = gap_s * 1_000_000
+
     def update(key, pdf_iter, state: GroupState):
-        out = {
-            "user_id": [],
-            "session_start_us": [],
-            "session_end_us": [],
-            "n_events": [],
-        }
-
-        def emit(st, en, n):
-            out["user_id"].append(key[0])
-            out["session_start_us"].append(st)
-            out["session_end_us"].append(en)
-            out["n_events"].append(n)
-
         if state.hasTimedOut:
             st, en, n = state.get
-            emit(st, en, n)
             state.remove()
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_us": [st],
+                    "session_end_us": [en],
+                    "n_events": [n],
+                }
+            )
             return
+        # Vectorized gaps-and-islands over the batch (the r06 bench's
+        # hot path was a per-row itertuples loop + per-session list
+        # appends — ~100k events / ~95k sessions per replay at sf0.1).
+        # Session stats depend only on the SORTED event times, so one
+        # np.sort + one diff>gap scan finds every boundary.
+        ts = np.sort(
+            np.concatenate([c["ts_us"].to_numpy(np.int64) for c in pdf_iter])
+        )
+        if not ts.size:  # defensive: no data and not timed out
+            if state.exists:
+                _, en0, _ = state.get
+                state.setTimeoutTimestamp(en0 // 1000 + gap_s * 1000)
+            return
+        starts_idx = np.flatnonzero(
+            np.concatenate(([True], ts[1:] - ts[:-1] > gap_us))
+        )
+        seg_start = ts[starts_idx]
+        seg_end = ts[np.append(starts_idx[1:] - 1, len(ts) - 1)]
+        seg_n = np.diff(np.append(starts_idx, len(ts))).astype(np.int64)
         if state.exists:
-            st, en, n = state.get
-        else:
-            st, en, n = -1, -1, 0
-        pdf = pd.concat(list(pdf_iter))
-        for r in pdf.sort_values(["ts_us", "event_id"]).itertuples():
-            if st < 0:
-                st, en, n = int(r.ts_us), int(r.ts_us), 1
-            elif r.ts_us - en > gap_s * 1_000_000:
-                emit(st, en, n)
-                st, en, n = int(r.ts_us), int(r.ts_us), 1
+            pst, pen, pn = state.get
+            if ts[0] - pen > gap_us:
+                # prior open session closes before this batch's first event
+                seg_start = np.insert(seg_start, 0, pst)
+                seg_end = np.insert(seg_end, 0, pen)
+                seg_n = np.insert(seg_n, 0, pn)
             else:
-                en, n = int(r.ts_us), n + 1
+                # first segment continues the prior open session
+                # (waves are time-ordered, so ts[0] >= pen)
+                seg_start[0] = pst
+                seg_n[0] += pn
+        # every segment but the last is closed by an in-batch gap; the
+        # last stays open in state until a later batch or the timeout
+        st, en, n = int(seg_start[-1]), int(seg_end[-1]), int(seg_n[-1])
         state.update((st, en, n))
         # close when the watermark passes the inactivity horizon
         state.setTimeoutTimestamp(en // 1000 + gap_s * 1000)
-        yield pd.DataFrame(out)
+        closed = len(seg_start) - 1
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": np.full(closed, key[0], dtype=np.int64),
+                    "session_start_us": seg_start[:closed],
+                    "session_end_us": seg_end[:closed],
+                    "n_events": seg_n[:closed],
+                }
+            )
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,

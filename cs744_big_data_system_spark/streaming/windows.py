@@ -125,7 +125,15 @@ def replay_to_batch(
     else:
         stream_path = parquet_path
     stream = normalize_event_ts(reader.parquet(stream_path))
-    return _drain_stream(spark, transform(stream), output_mode)
+    # Size the state store from the source volume (ADVICE r06): these
+    # unstaged replays carry the FULL file — at sf1 that is ~1M rows,
+    # where the fixed 8-partition fallback measured 2.2-2.5× slower.
+    return _drain_stream(
+        spark,
+        transform(stream),
+        output_mode,
+        state_partitions=parquet_state_partitions(parquet_path),
+    )
 
 
 #: Fallback state-store partition count for replay drains when the
@@ -143,13 +151,18 @@ def replay_to_batch(
 REPLAY_STATE_PARTITIONS = "8"
 
 
+def _rows_to_state_partitions(total_rows: int) -> str:
+    """Row count → state-store partition count. Calibrated on the
+    sf0.1/sf1 A-B runs: ≤128k total rows → 8 (fixed per-task overhead
+    dominates), then one partition per ~16k rows up to the session's
+    batch sizing of 32 (1M-row sf1 replays measured 2.2-2.5× faster at
+    32 than at 8)."""
+    return str(min(32, max(8, total_rows // 16_000)))
+
+
 def staged_state_partitions(stage_dir: str) -> str:
     """Size the replay drain's state-store partition count from the
-    staged wave volume — parquet footer row counts only, no data read.
-    Calibrated on the sf0.1/sf1 A-B runs: ≤128k total rows → 8 (fixed
-    per-task overhead dominates), then one partition per ~16k rows up
-    to the session's batch sizing of 32 (1M-row sf1 replays measured
-    2.2-2.5× faster at 32 than at 8)."""
+    staged wave volume — parquet footer row counts only, no data read."""
     import os
 
     import pyarrow.parquet as pq
@@ -158,7 +171,34 @@ def staged_state_partitions(stage_dir: str) -> str:
     for f in os.listdir(stage_dir):
         if f.startswith("wave") and f.endswith(".parquet"):
             total += pq.ParquetFile(os.path.join(stage_dir, f)).metadata.num_rows
-    return str(min(32, max(8, total // 16_000)))
+    return _rows_to_state_partitions(total)
+
+
+def parquet_state_partitions(parquet_path: str) -> str:
+    """Same sizing for an UNSTAGED replay source: a single parquet file
+    or a parquet directory (footer row counts only, no data read)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(parquet_path):
+        total = pq.ParquetFile(parquet_path).metadata.num_rows
+    else:
+        total = 0
+        for root, _dirs, files in os.walk(parquet_path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return _rows_to_state_partitions(total)
+
+
+#: _drain_stream is NOT reentrant: it temporarily lowers the
+#: session-global spark.sql.shuffle.partitions for the drain, so any
+#: concurrent batch/stream work in the same session would silently run
+#: with the lowered value, and a nested drain would "restore" the
+#: inner (lowered) value. The harness is single-threaded; this flag
+#: turns an accidental nested/concurrent drain into a loud error.
+_DRAIN_ACTIVE = False
 
 
 def _drain_stream(
@@ -168,7 +208,15 @@ def _drain_stream(
     state_partitions: str | None = None,
 ) -> DataFrame:
     """availableNow → memory sink → eager batch DataFrame, leaving no
-    catalog entries or tmp dirs behind."""
+    catalog entries or tmp dirs behind. Not reentrant — see
+    _DRAIN_ACTIVE above."""
+    global _DRAIN_ACTIVE
+    if _DRAIN_ACTIVE:
+        raise RuntimeError(
+            "_drain_stream is not reentrant: a drain is already active in "
+            "this session (it holds spark.sql.shuffle.partitions lowered)"
+        )
+    _DRAIN_ACTIVE = True
     name = "replay_" + uuid.uuid4().hex[:12]
     ckpt_dir = tempfile.mkdtemp(prefix="ckpt_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -198,6 +246,7 @@ def _drain_stream(
         # ContextCleaner once the returned DataFrame is unreachable.
         result = spark.table(name).localCheckpoint(eager=True)
     finally:
+        _DRAIN_ACTIVE = False
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.catalog.dropTempView(name)
         shutil.rmtree(ckpt_dir, ignore_errors=True)

@@ -129,77 +129,20 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # same invariant.
     reg.update(curation10.WORKLOADS)
 
-    # ROUND-6 ROTATION (VERDICT r05 items 1+3). Front of window, in order:
-    #   1. inverted_index — the ONLY r05 driver-red row, now FIXED (the
-    #      raw ArrayType postings column broke the driver's pandas
-    #      sort_values canonicalizer; both engines now emit a
-    #      comma-joined string — curation.py / SQL_INVERTED_INDEX);
-    #      fixed-rows-first is the standing rule (r05: ab_test_zstat).
-    #   2. the 7 rows-only never-attested leftovers, ml_linear_fit first
-    #      (the last §2-mapped query never itself attested; its
-    #      hash-checked twin ml_linear_gd is green since r04) — VERDICT
-    #      r05 explicitly orders these ahead of the oracle block so the
-    #      §2 inventory closes this round;
-    #   3. the oracle-backed never-attested backlog in registry order
-    #      (curation2 → curation3 → frontends → curation4 → curation5..10).
-    # 1+7+42 fills the 50 driver slots; the 19 oracle-backed leftovers
-    # (graph_multi_bfs onward) head the r07 window.
-    reattest_fixed = [
-        "inverted_index",
-    ]
-    rows_only_leftovers = [
-        "ml_linear_fit",
-        "ml_logreg_fit",
-        "text_compression_ratio",
-        "multimodal_resize",
-        "pagerank_synthetic",
-        "pagerank_synthetic_broadcast",
-        "audio_frame_features",
-    ]
-    never_attested_oracle = [
-        "dedup_incremental",
-        "retrieval_ndcg",
-        "graph_clustering_coeff",
-        "skyline_2d",
-        "graph_link_prediction",
-        "data_card_report",
-        "stream_data_card_replay",
-        "scd2_asof_lookup",
-        "quantile_drift_psi",
-        "sql_pipe_syntax",
-        "dedup_cluster_stats",
-        "sql_recursive_cte",
-        "timeseries_ohlc",
-        "interval_overlap_join",
-        "bm25_search_topk",
-        "parquet_schema_evolution",
-        "stream_upsert_sink_replay",
-        "stream_state_inspect",
-        "video_frame_sample",
-        "gdpr_erase",
-        "cbo_join_reorder",
-        "stream_progress_metrics",
-        "cohort_revenue_matrix",
-        "ps_frontend_agg",
-        "sql_table_function",
-        "string_collation",
-        "udf_map_in_arrow",
-        "stream_dedup_within_watermark_replay",
-        "pyds_sink_roundtrip",
-        "stream_rocksdb_state_replay",
-        "timeseries_interpolate",
-        "dynamic_partition_pruning",
-        "join_bloom_filter",
-        "stream_session_timeout_replay",
-        "udtf_analyze",
-        "txlog_lifecycle_audit",
-        "graph_random_walks",
-        "global_row_ids",
-        "exact_quantiles_2pass",
-        "insert_overwrite_partitions",
-        "ml_kfold_cv",
-        "ks_test_2sample",
-        # --- r07 window heads below this line (beyond r06's 50 slots) ---
+    # ROUND-7 ROTATION (VERDICT r06 item 1). Front of window, in order:
+    #   1. the 19 oracle-backed entries never driver-attested
+    #      (graph_multi_bfs … merkle_row_repair — the r06 overflow; both
+    #      r06 sweeps show all 19 locally green). After r07 attests
+    #      these, EVERY oracle-backed registry entry has been externally
+    #      attested at least once.
+    #   2. the 31 stalest entries (last attested r01 per
+    #      CORRECTNESS_r01.json, untouched since per git) to renew the
+    #      oldest attestations — freshness rotation now that the
+    #      never-attested backlog is empty.
+    # Rotation invariant: never-attested-first, then stalest-first.
+    # Every name below is asserted to exist in the registry (ADVICE
+    #  r06: a typo must raise, not silently shift the 50-slot window).
+    r07_never_attested = [
         "graph_multi_bfs",
         "weblog_parse_agg",
         "spatial_join_blocked",
@@ -220,10 +163,48 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
         "stream_ivm_replay",
         "merkle_row_repair",
     ]
-    front = reattest_fixed + rows_only_leftovers + never_attested_oracle
-    ordered = {name: reg[name] for name in front if name in reg}
+    r07_stale_refresh = [
+        "global_sort",
+        "filter_project",
+        "flagship_q3",
+        "flagship_q3_sql",
+        "flagship_q5",
+        "join_inner",
+        "join_left_outer",
+        "join_semi",
+        "join_anti",
+        "join_range",
+        "collect_list",
+        "agg_sums_q1",
+        "conditional_agg",
+        "argmax",
+        "distinct_agg",
+        "approx_distinct",
+        "topk",
+        "set_ops",
+        "rollup",
+        "cube",
+        "grouping_sets",
+        "window_ranks",
+        "running_sum",
+        "lag_lead_ntile",
+        "date_funcs",
+        "json_funcs",
+        "string_funcs",
+        "array_funcs",
+        "asof_join",
+        "explode_tokens",
+        "sessionize",
+    ]
+    r07_front = r07_never_attested + r07_stale_refresh
+    missing = [name for name in r07_front if name not in reg]
+    assert not missing, f"rotation names not in registry: {missing}"
+    ordered = {name: reg[name] for name in r07_front}
     ordered.update(reg)
     return ordered
+
+
+# (Historical r06 rotation note: see git history of this file.)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -256,12 +256,12 @@ def test_ewma_matches_pandas_recursive(spark):
 
 def test_registry_invariants():
     """Driver-contract guards: every oracle key maps to a query, no
-    empty SQL, and the round-6 verification window (first 50 entries —
+    empty SQL, and the round-7 verification window (first 50 entries —
     the prefix the driver attests) follows the rotation documented in
-    workloads/__init__.py: the fixed r05 red row first, then the 7
-    rows-only §2 leftovers (VERDICT r05 orders them ahead of the
-    oracle block so the §2 inventory closes this round), then only
-    oracle-backed never-attested entries."""
+    workloads/__init__.py: the 19 never-attested oracle-backed entries
+    first (graph_multi_bfs … merkle_row_repair — after r07 every
+    oracle-backed entry has attested at least once), then the 31
+    stalest (r01-attested) entries for freshness renewal."""
     from cs744_big_data_system_spark import workloads
 
     reg = workloads.all_workloads()
@@ -271,13 +271,16 @@ def test_registry_invariants():
     for n, sql in oracles.items():
         assert sql.strip(), n
     window = names[:50]
-    # fixed-rows-first: the r05 driver-red row leads for re-attestation
-    assert window[0] == "inverted_index" and window[0] in oracles
-    rows_only_leftovers = window[1:8]
-    assert rows_only_leftovers[0] == "ml_linear_fit"
-    assert all(n not in oracles for n in rows_only_leftovers), rows_only_leftovers
-    assert all(n in oracles for n in window[8:]), [
-        n for n in window[8:] if n not in oracles
+    # never-attested-first: the r06 overflow heads the r07 window
+    assert window[0] == "graph_multi_bfs"
+    assert window[18] == "merkle_row_repair"
+    # freshness block: stalest r01 attestations renew in slots 19-49
+    assert window[19] == "global_sort"
+    assert window[49] == "sessionize"
+    # the whole r07 window is oracle-backed (no rows-only entries left
+    # unattested — the r06 window retired them)
+    assert all(n in oracles for n in window), [
+        n for n in window if n not in oracles
     ]
     # every registry entry is callable
     assert all(callable(fn) for fn, _ in reg.values())

@@ -5,6 +5,15 @@ Usage: python tools/bench_compare.py PREV.json CURR.json [threshold]
 Prints queries whose time grew by more than ``threshold``× (default
 1.5), new/removed queries, and the common-set totals — the per-round
 no-regression gate (VERDICT r05 item 4).
+
+When BOTH files carry a ``probe`` block (bench.py's pinned host-health
+micro-ops, VERDICT r06 item 2), the gate normalizes by host condition
+first: host_factor = max(1, cpu_ratio, io_ratio) between the two runs'
+probes. A query is a GATED regression only if its ratio exceeds the
+threshold after dividing out the host factor; raw regressions are
+still printed for adjudication — the artifact carries its own evidence
+of whether a spike is environmental (BENCH_r06: 337.8 s on a degraded
+host vs 227.0 s on identical code needed a judge re-run to interpret).
 """
 
 from __future__ import annotations
@@ -13,30 +22,54 @@ import json
 import sys
 
 
+def host_factor(prev_doc: dict, curr_doc: dict) -> tuple[float, str]:
+    pp, cp = prev_doc.get("probe"), curr_doc.get("probe")
+    if not pp or not cp:
+        return 1.0, "no probe in one/both artifacts -> no normalization"
+    cpu_r = cp["cpu"] / pp["cpu"] if pp.get("cpu") else 1.0
+    io_r = cp["io"] / pp["io"] if pp.get("io") else 1.0
+    factor = max(1.0, cpu_r, io_r)
+    return factor, (
+        f"probe cpu {pp['cpu']:.2f}->{cp['cpu']:.2f}s ({cpu_r:.2f}x), "
+        f"io {pp['io']:.2f}->{cp['io']:.2f}s ({io_r:.2f}x) "
+        f"-> host_factor {factor:.2f}"
+    )
+
+
 def main() -> None:
     prev_path, curr_path = sys.argv[1], sys.argv[2]
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    prev = json.load(open(prev_path))["queries"]
-    curr = json.load(open(curr_path))["queries"]
+    prev_doc = json.load(open(prev_path))
+    curr_doc = json.load(open(curr_path))
+    prev, curr = prev_doc["queries"], curr_doc["queries"]
+    factor, probe_note = host_factor(prev_doc, curr_doc)
     common = sorted(set(prev) & set(curr))
-    regressions = []
+    raw, gated = [], []
     for name in common:
         # sub-100ms queries jitter across sessions; ratio-gate the rest
         if curr[name] > prev[name] * threshold and curr[name] > 0.1:
-            regressions.append((name, prev[name], curr[name], curr[name] / prev[name]))
-    regressions.sort(key=lambda r: -r[3])
+            raw.append((name, prev[name], curr[name], curr[name] / prev[name]))
+            if curr[name] / factor > prev[name] * threshold:
+                gated.append(raw[-1])
+    raw.sort(key=lambda r: -r[3])
     print(f"common set: {len(common)} queries; "
           f"prev total {sum(prev[n] for n in common):.1f}s -> "
           f"curr total {sum(curr[n] for n in common):.1f}s")
+    print(probe_note)
     print(f"added: {sorted(set(curr) - set(prev))}")
     print(f"removed: {sorted(set(prev) - set(curr))}")
-    if regressions:
-        print(f"\nREGRESSIONS > {threshold}x:")
-        for name, p, c, r in regressions:
+    if raw:
+        print(f"\nraw regressions > {threshold}x (pre-normalization):")
+        for name, p, c, r in raw:
+            tag = "GATED" if (name, p, c, r) in gated else "environmental (probe)"
+            print(f"  {name}: {p:.2f}s -> {c:.2f}s ({r:.2f}x) [{tag}]")
+    if gated:
+        print(f"\nGATED regressions > {threshold}x after /{factor:.2f} host normalization:")
+        for name, p, c, r in gated:
             print(f"  {name}: {p:.2f}s -> {c:.2f}s ({r:.2f}x)")
     else:
-        print(f"\nno regressions > {threshold}x")
-    sys.exit(1 if regressions else 0)
+        print(f"\nno gated regressions > {threshold}x (host_factor {factor:.2f})")
+    sys.exit(1 if gated else 0)
 
 
 if __name__ == "__main__":

@@ -25,8 +25,32 @@ workload at sf0.1, where components converge in 2-3 supersteps).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _loop_shuffle_partitions(spark, n_edges: int):
+    """Scope the iterative loop's shuffle width to the EDGE count: a
+    candidate-pair graph is orders smaller than its corpus (512 edges
+    at sf0.1 vs 5k docs), and every superstep pays per-task scheduling
+    on each shuffle — 32 tasks/stage on a 697-node label table measured
+    6.7 s vs 3.2 s at 2 (the r06 heavy-tail item). One partition per
+    ~250k edges keeps partitions MB-sized at any scale (a billion-edge
+    pair graph on a real cluster gets thousands of tasks; the session
+    value is the ceiling so a wide cluster config is never shrunk
+    below its own floor... capped, not raised). NOT reentrant for the
+    same reason as streaming/windows._drain_stream — single-threaded
+    harness, conf restored in finally."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    scoped = min(int(prev), max(2, n_edges // 250_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(scoped))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def connected_components(
@@ -46,6 +70,20 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # One count to materialize the cache (the loop needs it anyway)
+    # AND size the loop's shuffle width from the actual edge volume.
+    n_und = und.count()
+    with _loop_shuffle_partitions(edges.sparkSession, n_und):
+        labels = _cc_loop(und, max_iterations, checkpoint_every)
+    # On the converged path labels is already an eager checkpoint (the
+    # early-stop fires only right after one); either way the lineage no
+    # longer references und, so its cache can be released without
+    # forcing a recompute on the caller's first action.
+    und.unpersist()
+    return labels
+
+
+def _cc_loop(und: DataFrame, max_iterations: int, checkpoint_every: int) -> DataFrame:
     labels = und.select(F.col("a").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
@@ -115,11 +153,6 @@ def connected_components(
                 "iterations (component diameter too large) — raise max_iterations"
             )
 
-    # On the converged path labels is already an eager checkpoint (the
-    # early-stop fires only right after one); either way the lineage no
-    # longer references und, so its cache can be released without
-    # forcing a recompute on the caller's first action.
-    und.unpersist()
     return labels
 
 
@@ -135,17 +168,25 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b") -
     # the loop mean und (and everything above it) is already
     # materialized by then.
     pairs = pairs.persist()
-    pairs.count()
+    n_pairs = pairs.count()
     try:
         cc = connected_components(pairs, src=id_a, dst=id_b)
     finally:
         pairs.unpersist()
-    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        cc.join(sizes, "component")
-        .select(
-            F.col("node").alias("doc_id"),
-            F.col("component").alias("cluster_id"),
-            "cluster_size",
+    # The size rollup + back-join run on the label table (|nodes| ≤
+    # 2·|pairs| rows) — same tiny-shuffle regime as the loop itself,
+    # so reuse the edge-count sizing. The result is materialized INSIDE
+    # the scope (checkpoint) so no lazy stage escapes to run wide.
+    with _loop_shuffle_partitions(pairs.sparkSession, n_pairs):
+        sizes = cc.groupBy("component").agg(
+            F.count(F.lit(1)).alias("cluster_size")
         )
-    )
+        return (
+            cc.join(sizes, "component")
+            .select(
+                F.col("node").alias("doc_id"),
+                F.col("component").alias("cluster_id"),
+                "cluster_size",
+            )
+            .localCheckpoint(eager=True)
+        )

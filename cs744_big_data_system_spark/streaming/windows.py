@@ -192,6 +192,22 @@ def parquet_state_partitions(parquet_path: str) -> str:
     return _rows_to_state_partitions(total)
 
 
+def replay_checkpoint_dir() -> str:
+    """Create a THROWAWAY checkpoint dir for a replay drain, preferring
+    tmpfs (/dev/shm) over disk. Replay checkpoints are verification
+    scaffolding — written, committed once per micro-batch, and deleted
+    in the caller's ``finally`` — so durability buys nothing, while
+    their fsync-per-commit pattern is exactly what amplified an
+    I/O-contended host into the BENCH_r06 337.8 s artifact (checkpoint
+    -heavy queries spiked 1.9-10×; CPU-bound ones held). A production
+    stream sets its own durable checkpointLocation; this helper is for
+    replays only."""
+    import os
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK) else None
+    return tempfile.mkdtemp(prefix="ckpt_", dir=base)
+
+
 #: _drain_stream is NOT reentrant: it temporarily lowers the
 #: session-global spark.sql.shuffle.partitions for the drain, so any
 #: concurrent batch/stream work in the same session would silently run
@@ -218,7 +234,7 @@ def _drain_stream(
         )
     _DRAIN_ACTIVE = True
     name = "replay_" + uuid.uuid4().hex[:12]
-    ckpt_dir = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt_dir = replay_checkpoint_dir()
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # micro-batch planning reads the conf asynchronously after start(),
     # so it stays lowered until the drain completes; the finally below

@@ -56,7 +56,10 @@ def q_stream_ivm_replay(spark, sf_dir):
     state is audited in-query against a from-scratch recompute —
     byte-identical output contract to q_ivm_agg_maintenance, shared
     oracle."""
-    from cs744_big_data_system_spark.streaming.windows import stage_waves_stream
+    from cs744_big_data_system_spark.streaming.windows import (
+        replay_checkpoint_dir,
+        stage_waves_stream,
+    )
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
@@ -110,7 +113,7 @@ def q_stream_ivm_replay(spark, sf_dir):
         state["v"] = v
 
     stage, stream = stage_waves_stream(spark, waves)
-    ckpt = tempfile.mkdtemp(prefix="ivm_replay_ckpt_")
+    ckpt = replay_checkpoint_dir()  # throwaway replay ckpt -> tmpfs (see streaming/windows.py)
     try:
         q = (
             stream.writeStream.foreachBatch(sink)

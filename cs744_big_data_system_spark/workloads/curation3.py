@@ -373,7 +373,10 @@ def q_stream_upsert_sink_replay(spark, sf_dir):
     import tempfile
 
     from cs744_big_data_system_spark.operators.merge import merge_upsert
-    from cs744_big_data_system_spark.streaming.windows import stage_waves_stream
+    from cs744_big_data_system_spark.streaming.windows import (
+        replay_checkpoint_dir,
+        stage_waves_stream,
+    )
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
@@ -425,7 +428,7 @@ def q_stream_upsert_sink_replay(spark, sf_dir):
         state["v"] = v
 
     stage, stream = stage_waves_stream(spark, waves)
-    ckpt = tempfile.mkdtemp(prefix="upsert_sink_ckpt_")
+    ckpt = replay_checkpoint_dir()  # throwaway replay ckpt -> tmpfs (see streaming/windows.py)
     try:
         q = (
             stream.writeStream.foreachBatch(sink)
@@ -479,9 +482,9 @@ def q_stream_state_inspect(spark, sf_dir):
     audit read itself is hash-checked against the plain SQL oracle."""
     import os
     import shutil
-    import tempfile
 
     from cs744_big_data_system_spark.sources.readers import normalize_event_ts
+    from cs744_big_data_system_spark.streaming.windows import replay_checkpoint_dir
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
@@ -498,7 +501,7 @@ def q_stream_state_inspect(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
     )
-    ckpt = tempfile.mkdtemp(prefix="state_inspect_ckpt_")
+    ckpt = replay_checkpoint_dir()  # throwaway replay ckpt -> tmpfs (see streaming/windows.py)
     try:
         q = (
             agg.writeStream.format("noop")
@@ -777,12 +780,15 @@ def q_stream_progress_metrics(spark, sf_dir):
     import shutil
     import tempfile
 
-    from cs744_big_data_system_spark.streaming.windows import stage_waves_stream
+    from cs744_big_data_system_spark.streaming.windows import (
+        replay_checkpoint_dir,
+        stage_waves_stream,
+    )
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     waves = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
     stage, stream = stage_waves_stream(spark, waves)
-    ckpt = tempfile.mkdtemp(prefix="progress_ckpt_")
+    ckpt = replay_checkpoint_dir()  # throwaway replay ckpt -> tmpfs (see streaming/windows.py)
     try:
         q = (
             stream.writeStream.format("noop")

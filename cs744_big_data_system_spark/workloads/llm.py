@@ -295,9 +295,10 @@ def simhash_cc_clusters(spark, sf_dir):
     pairs = simhash_hamming_pairs(
         load_table(spark, sf_dir, "documents"), bits=60, max_hamming=3
     )
-    # Materialize once: both the per-doc output and keep_best's two
-    # downstream joins re-scan this table.
-    out = dedup_clusters(pairs).localCheckpoint(eager=True)
+    # dedup_clusters returns an eager checkpoint (materialized once);
+    # both the per-doc output and keep_best's two downstream joins
+    # re-scan that table.
+    out = dedup_clusters(pairs)
     _CC_CLUSTER_CACHE.clear()  # single slot — never grows across sf_dirs
     _CC_CLUSTER_CACHE[key] = out
     return out

@@ -18,6 +18,7 @@ from cs744_big_data_system_spark.operators.multimodal import extract_features, s
 from cs744_big_data_system_spark.sources.readers import edges_from_events, load_table
 from cs744_big_data_system_spark.streaming.stateful import running_counts
 from cs744_big_data_system_spark.streaming.windows import (
+    replay_checkpoint_dir,
     replay_to_batch,
     session_window_counts,
     sliding_window_counts,
@@ -120,7 +121,7 @@ def q_stream_txlog_ingest(spark, sf_dir):
             .option("latestFirst", "false")
             .parquet(stage)
         )
-        ckpt = tempfile.mkdtemp(prefix="txlog_ingest_ckpt_")
+        ckpt = replay_checkpoint_dir()  # throwaway replay ckpt -> tmpfs (see streaming/windows.py)
         q = (
             stream.writeStream.foreachBatch(
                 lambda bdf, bid: txlog_ingest_batch(bdf, table, bid)

@@ -96,6 +96,57 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def pruned_shingle_table(
+    documents: DataFrame,
+    n: int = 3,
+    block_col: str | None = "lang",
+    max_df: int | None = None,
+) -> DataFrame:
+    """The (doc_id [, block], shingle-hash) table that the shingle
+    self-joins consume — shared by ngram_jaccard_pairs and
+    containment_pairs, and exposed so the skew-stress tests can assert
+    the df-cutoff invariant on the EXACT table the join sees (post-
+    cutoff df ≤ max_df ⇒ heaviest join bucket ≤ max_df·(max_df−1)/2
+    candidate rows, whatever the corpus skew).
+
+    Shingles are folded to 60-bit hashes BEFORE the distinct and the
+    self-join: the shuffle/join key becomes 8 bytes instead of a
+    3-word string (collision probability ~n²/2^61 — and the oracle
+    hashes identically, so even a collision matches). Set semantics
+    (distinct per doc) are on the hash.
+
+    ``max_df``: document frequency as a window count over the join
+    key — ONE repartition of the shingle table into (block, shingle)
+    partitioning, which is exactly what the downstream self-join
+    requires, so both join sides then need no further Exchange (vs a
+    separate df-aggregate + anti-join, which costs an extra pass and
+    leaves the join to re-shuffle anyway; ~12% on the sf0.1 bench, and
+    one fewer full-table exchange at scale).
+    """
+    doc_cols = ["doc_id"] + ([block_col] if block_col else [])
+    sh = (
+        _with_canon_tokens(documents, *doc_cols)
+        .select(
+            *doc_cols,
+            F.explode(
+                F.transform(ngrams_from_tokens("_tk", n), md5_int60)
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        df_keys = ([block_col] if block_col else []) + ["shingle"]
+        w = Window.partitionBy(*df_keys)
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    return sh
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     n: int = 3,
@@ -122,39 +173,7 @@ def ngram_jaccard_pairs(
     bounds per-key fan-out; pair counting is a groupBy on
     (doc_a, doc_b) with map-side partial aggregation.
     """
-    doc_cols = ["doc_id"] + ([block_col] if block_col else [])
-    # Shingles are folded to 60-bit hashes BEFORE the distinct and the
-    # self-join: the shuffle/join key becomes 8 bytes instead of a
-    # 3-word string (collision probability ~n²/2^61 — and the oracle
-    # hashes identically, so even a collision matches). Set semantics
-    # (distinct per doc) are on the hash.
-    sh = (
-        _with_canon_tokens(documents, *doc_cols)
-        .select(
-            *doc_cols,
-            F.explode(
-                F.transform(ngrams_from_tokens("_tk", n), md5_int60)
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
-    if max_df is not None:
-        from pyspark.sql import Window
-
-        df_keys = ([block_col] if block_col else []) + ["shingle"]
-        # Document frequency as a window count over the join key: ONE
-        # repartition of the shingle table into (block, shingle)
-        # partitioning — which is exactly what the self-join below
-        # requires, so both join sides then need no further Exchange
-        # (vs a separate df-aggregate + anti-join, which costs an extra
-        # pass and leaves the join to re-shuffle anyway; ~12% on the
-        # sf0.1 bench, and one fewer full-table exchange at scale).
-        w = Window.partitionBy(*df_keys)
-        sh = (
-            sh.withColumn("_df", F.count(F.lit(1)).over(w))
-            .filter(F.col("_df") <= max_df)
-            .drop("_df")
-        )
+    sh = pruned_shingle_table(documents, n=n, block_col=block_col, max_df=max_df)
     # No persist here: the three consumers (sizes, both join sides)
     # share the distinct's shuffle via ReuseExchange, and a persist
     # inside a lazily-returned operator can never be unpersisted —
@@ -214,27 +233,7 @@ def containment_pairs(
     bounding per-key fan-out) is identical; no new shuffle is added
     beyond the pair-count groupBy.
     """
-    doc_cols = ["doc_id"] + ([block_col] if block_col else [])
-    sh = (
-        _with_canon_tokens(documents, *doc_cols)
-        .select(
-            *doc_cols,
-            F.explode(
-                F.transform(ngrams_from_tokens("_tk", n), md5_int60)
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
-    if max_df is not None:
-        from pyspark.sql import Window
-
-        df_keys = ([block_col] if block_col else []) + ["shingle"]
-        w = Window.partitionBy(*df_keys)
-        sh = (
-            sh.withColumn("_df", F.count(F.lit(1)).over(w))
-            .filter(F.col("_df") <= max_df)
-            .drop("_df")
-        )
+    sh = pruned_shingle_table(documents, n=n, block_col=block_col, max_df=max_df)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     left = sh.select(
         F.col("doc_id").alias("doc_lo"),

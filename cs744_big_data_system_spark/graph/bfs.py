@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cs744_big_data_system_spark.plans.tuning import loop_shuffle_partitions
+
 
 def bfs_hops(
     edges: DataFrame,
@@ -56,6 +58,12 @@ def bfs_hops(
         links = links.repartition(num_partitions, "src")
     links = links.persist()
 
+    # One count: materializes the edge cache (the loop needs it anyway)
+    # and sizes the loop's shuffle width — the per-round distinct() is
+    # the only shuffle and its input is bounded by |E|, so 32 tasks per
+    # round on a 12k-edge graph is pure scheduling overhead.
+    n_links = links.count()
+
     src_lit = F.lit(source)
     node_type = dict(links.dtypes)["src"]
     visited = spark.range(1).select(
@@ -64,6 +72,18 @@ def bfs_hops(
     frontier = visited.select("node")
     visited_rows = 1
 
+    with loop_shuffle_partitions(spark, n_links):
+        visited = _bfs_loop_single(
+            links, visited, frontier, visited_rows, max_iters, broadcast_threshold
+        )
+
+    visited.cached_links = links
+    return visited
+
+
+def _bfs_loop_single(
+    links, visited, frontier, visited_rows, max_iters, broadcast_threshold
+):
     for hop in range(1, max_iters + 1):
         # Expand: neighbors of the frontier not yet visited. While the
         # visited set is small, broadcast both small sides so the
@@ -96,8 +116,6 @@ def bfs_hops(
         # checkpoint every few rounds to keep re-analysis linear.
         if hop % 4 == 0:
             visited = visited.localCheckpoint(eager=False)
-
-    visited.cached_links = links
     return visited
 
 
@@ -126,6 +144,10 @@ def multi_bfs_hops(
         links = links.repartition(num_partitions, "src")
     links = links.persist()
 
+    # Same width sizing as bfs_hops (see comment there): one count
+    # materializes the cache and bounds the loop's only shuffle input.
+    n_links = links.count()
+
     node_type = dict(links.dtypes)["src"]
     visited = spark.createDataFrame(
         [(s, s) for s in sources], f"seed {node_type}, node {node_type}"
@@ -133,6 +155,18 @@ def multi_bfs_hops(
     frontier = visited.select("seed", "node")
     visited_rows = len(sources)
 
+    with loop_shuffle_partitions(spark, n_links * len(sources)):
+        visited = _bfs_loop_multi(
+            links, visited, frontier, visited_rows, max_iters, broadcast_threshold
+        )
+
+    visited.cached_links = links
+    return visited
+
+
+def _bfs_loop_multi(
+    links, visited, frontier, visited_rows, max_iters, broadcast_threshold
+):
     for hop in range(1, max_iters + 1):
         small = visited_rows <= broadcast_threshold
         f_side = F.broadcast(frontier) if small else frontier
@@ -153,6 +187,4 @@ def multi_bfs_hops(
         )
         if hop % 4 == 0:
             visited = visited.localCheckpoint(eager=False)
-
-    visited.cached_links = links
     return visited

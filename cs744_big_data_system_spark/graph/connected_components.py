@@ -25,32 +25,16 @@ workload at sf0.1, where components converge in 2-3 supersteps).
 
 from __future__ import annotations
 
-from contextlib import contextmanager
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-@contextmanager
-def _loop_shuffle_partitions(spark, n_edges: int):
-    """Scope the iterative loop's shuffle width to the EDGE count: a
-    candidate-pair graph is orders smaller than its corpus (512 edges
-    at sf0.1 vs 5k docs), and every superstep pays per-task scheduling
-    on each shuffle — 32 tasks/stage on a 697-node label table measured
-    6.7 s vs 3.2 s at 2 (the r06 heavy-tail item). One partition per
-    ~250k edges keeps partitions MB-sized at any scale (a billion-edge
-    pair graph on a real cluster gets thousands of tasks; the session
-    value is the ceiling so a wide cluster config is never shrunk
-    below its own floor... capped, not raised). NOT reentrant for the
-    same reason as streaming/windows._drain_stream — single-threaded
-    harness, conf restored in finally."""
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    scoped = min(int(prev), max(2, n_edges // 250_000))
-    spark.conf.set("spark.sql.shuffle.partitions", str(scoped))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+# Scope the iterative loop's shuffle width to the EDGE count: a
+# candidate-pair graph is orders smaller than its corpus (512 edges at
+# sf0.1 vs 5k docs) — 32 tasks/stage on a 697-node label table measured
+# 6.7 s vs 3.2 s at 2 (the r06 heavy-tail item).
+from cs744_big_data_system_spark.plans.tuning import (
+    loop_shuffle_partitions as _loop_shuffle_partitions,
+)
 
 
 def connected_components(

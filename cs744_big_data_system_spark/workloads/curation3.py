@@ -42,8 +42,18 @@ def q_sql_recursive_cte(spark, sf_dir):
     bill-of-materials) that Spark 4 added and the reference's RDD
     surface never had. Output is the per-depth roll-up so the result
     stays small at every sf."""
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("rec_customer")
-    return spark.sql(_RECURSIVE_SQL.format(table="rec_customer"))
+    from cs744_big_data_system_spark.plans.tuning import loop_shuffle_partitions
+
+    cust = load_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("rec_customer")
+    # Each recursion level shuffles ≤ |customer| rows; scope the width
+    # to the table size (count-star is footer-cheap) and materialize
+    # inside — log N levels × session-width tasks is the dominant cost
+    # on a 15k-row hierarchy (plans/tuning.py).
+    with loop_shuffle_partitions(spark, cust.count()):
+        return spark.sql(
+            _RECURSIVE_SQL.format(table="rec_customer")
+        ).localCheckpoint(eager=True)
 
 
 _RECURSIVE_SQL = """

@@ -163,7 +163,9 @@ def q_graph_random_walks(spark, sf_dir):
     the edge table is never materialized per-walk (contrast the
     classic per-node adjacency-list broadcast, which dies at web
     scale). Walk count scales horizontally: frontier rows = walks."""
+    from cs744_big_data_system_spark.plans.tuning import loop_shuffle_partitions
     from cs744_big_data_system_spark.workloads.streaming_graph import (
+        TRI_D,
         TRI_N,
         _hash_graph,
     )
@@ -174,24 +176,29 @@ def q_graph_random_walks(spark, sf_dir):
         ((F.col("id") * 37) % TRI_N).cast("long").alias("node"),
     )
     visits = [cur.select("walk", F.lit(0).alias("step"), "node")]
-    for s in range(1, _STEPS + 1):
-        key = F.md5(
-            F.concat(
-                F.col("walk").cast("string"),
-                F.lit(f":{s}:"),
-                F.col("dst").cast("string"),
+    # The per-step groupBy moves ≤ _WALKS·TRI_D rows; scope the width
+    # to the (known, synthetic) graph size and materialize inside —
+    # session-width tasks per step are pure scheduling overhead
+    # (plans/tuning.py).
+    with loop_shuffle_partitions(spark, TRI_N * TRI_D):
+        for s in range(1, _STEPS + 1):
+            key = F.md5(
+                F.concat(
+                    F.col("walk").cast("string"),
+                    F.lit(f":{s}:"),
+                    F.col("dst").cast("string"),
+                )
             )
-        )
-        cur = (
-            cur.join(edges, cur["node"] == edges["src"])
-            .groupBy("walk")
-            .agg(F.min_by("dst", key).alias("node"))
-        )
-        visits.append(cur.select("walk", F.lit(s).alias("step"), "node"))
-    out = visits[0]
-    for v in visits[1:]:
-        out = out.unionByName(v)
-    return out
+            cur = (
+                cur.join(edges, cur["node"] == edges["src"])
+                .groupBy("walk")
+                .agg(F.min_by("dst", key).alias("node"))
+            )
+            visits.append(cur.select("walk", F.lit(s).alias("step"), "node"))
+        out = visits[0]
+        for v in visits[1:]:
+            out = out.unionByName(v)
+        return out.localCheckpoint(eager=True)
 
 
 def _sql_graph_random_walks() -> str:

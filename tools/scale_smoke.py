@@ -147,6 +147,23 @@ QUERIES = [
     "sql_scripting",
     "graph_triangles",          # degree-oriented wedge join
     "ml_linear_gd",             # all-reduce training loop
+    # r07 (VERDICT r06 item 5): the newly-attested entries >=1 s at
+    # sf0.1. graph_multi_bfs / graph_connected_components run on FIXED
+    # synthetic graphs (no corpus exposure) — their expected ratio is
+    # ~1.0, which doubles as a fixed-cost host-health row inside the
+    # smoke artifact itself (same idea as bench.py's probe).
+    "graph_multi_bfs",
+    "graph_connected_components",
+    "weblog_parse_agg",         # regex ETL scan
+    "spatial_join_blocked",     # grid-blocked planar NN join
+    "robust_outlier_mad",       # per-group exact percentiles
+    "segmented_ab_welch",       # per-segment Welch aggregates
+    "table_checksum_audit",     # order-independent fingerprints
+    "attribution_shapley",      # events scan -> bitmask coalitions
+    "set_ops_bag",              # bag-semantics set ops
+    "aqp_sample_estimate",      # hash-sample + error audit
+    "stream_ivm_replay",        # foreachBatch delta-merge view
+    "merkle_row_repair",        # two-phase anti-entropy drill-down
 ]
 
 

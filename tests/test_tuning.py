@@ -1,0 +1,85 @@
+"""Unit tests for the r07 runtime-tuning helpers: scoped loop shuffle
+width (plans/tuning.py), footer-sized replay state partitions, and the
+tmpfs replay checkpoint dir."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+def test_loop_shuffle_partitions_scopes_and_restores(spark):
+    from cs744_big_data_system_spark.plans.tuning import loop_shuffle_partitions
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    with loop_shuffle_partitions(spark, 100):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "2"  # floor
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+    # one partition per 250k rows, ceiling = session value
+    want = str(min(int(prev), 5))
+    with loop_shuffle_partitions(spark, 250_000 * 5):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == want
+    with loop_shuffle_partitions(spark, 250_000 * 10_000):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == prev  # capped
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_loop_shuffle_partitions_restores_on_error(spark):
+    from cs744_big_data_system_spark.plans.tuning import loop_shuffle_partitions
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    with pytest.raises(RuntimeError):
+        with loop_shuffle_partitions(spark, 1):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_parquet_state_partitions_file_and_dir(spark, tmp_path):
+    from cs744_big_data_system_spark.streaming.windows import (
+        _rows_to_state_partitions,
+        parquet_state_partitions,
+    )
+
+    # sizing law: <=128k rows -> 8; +1 per 16k; cap 32
+    assert _rows_to_state_partitions(0) == "8"
+    assert _rows_to_state_partitions(128_000) == "8"
+    assert _rows_to_state_partitions(160_000) == "10"
+    assert _rows_to_state_partitions(10_000_000) == "32"
+
+    d = str(tmp_path / "t")
+    spark.range(1000).coalesce(2).write.parquet(d)
+    assert parquet_state_partitions(d) == "8"
+    one = next(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    assert parquet_state_partitions(one) == "8"
+
+
+def test_replay_checkpoint_dir_prefers_tmpfs():
+    import shutil
+
+    from cs744_big_data_system_spark.streaming.windows import replay_checkpoint_dir
+
+    d = replay_checkpoint_dir()
+    try:
+        assert os.path.isdir(d)
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+            assert d.startswith("/dev/shm/"), d
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_drain_stream_reentrancy_guard(spark):
+    """A nested drain must raise loudly instead of silently running the
+    session at the inner width (ADVICE r06)."""
+    from cs744_big_data_system_spark.streaming import windows as W
+
+    assert not W._DRAIN_ACTIVE
+    W._DRAIN_ACTIVE = True
+    try:
+        with pytest.raises(RuntimeError, match="not reentrant"):
+            W._drain_stream(spark, None, "update")
+    finally:
+        W._DRAIN_ACTIVE = False

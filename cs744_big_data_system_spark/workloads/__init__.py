@@ -142,6 +142,15 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # Rotation invariant: never-attested-first, then stalest-first.
     # Every name below is asserted to exist in the registry (ADVICE
     #  r06: a typo must raise, not silently shift the 50-slot window).
+    # NEXT ROTATION (r08), assuming CORRECTNESS_r07 attests this
+    # window: continue the staleness refresh — the 19 remaining
+    # r01-attested entries first (events_funnel, events_retention,
+    # join_full_outer, join_cross, percentile, math_funcs, map_funcs,
+    # first_last, pivot_sum, set_ops_all, udaf_weighted_mean,
+    # udtf_tokenize, struct_funcs, unpivot, csv_roundtrip_sort,
+    # salted_agg, hash_sample, stats_aggs, range_window), then the
+    # oldest r02 block in registry order; recompute from
+    # CORRECTNESS_r0*.json if the r07 window changed.
     r07_never_attested = [
         "graph_multi_bfs",
         "weblog_parse_agg",

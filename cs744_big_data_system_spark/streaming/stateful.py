@@ -214,8 +214,11 @@ def session_windows_timeout(events: DataFrame, gap_s: int = 1800) -> DataFrame:
         # appends — ~100k events / ~95k sessions per replay at sf0.1).
         # Session stats depend only on the SORTED event times, so one
         # np.sort + one diff>gap scan finds every boundary.
-        ts = np.sort(
-            np.concatenate([c["ts_us"].to_numpy(np.int64) for c in pdf_iter])
+        chunks = [c["ts_us"].to_numpy(np.int64) for c in pdf_iter]
+        ts = (
+            np.sort(np.concatenate(chunks))
+            if chunks
+            else np.empty(0, dtype=np.int64)
         )
         if not ts.size:  # defensive: no data and not timed out
             if state.exists:

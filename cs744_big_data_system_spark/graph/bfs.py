@@ -76,6 +76,11 @@ def bfs_hops(
         visited = _bfs_loop_single(
             links, visited, frontier, visited_rows, max_iters, broadcast_threshold
         )
+        # Materialize INSIDE the scoped-width block (ADVICE r07): the
+        # tail unions since the last hop%4 checkpoint would otherwise
+        # evaluate lazily at the caller's first action at full session
+        # width — the hits/label_propagation discipline.
+        visited = visited.localCheckpoint(eager=True)
 
     visited.cached_links = links
     return visited
@@ -159,6 +164,8 @@ def multi_bfs_hops(
         visited = _bfs_loop_multi(
             links, visited, frontier, visited_rows, max_iters, broadcast_threshold
         )
+        # Materialize inside the scoped width — see bfs_hops.
+        visited = visited.localCheckpoint(eager=True)
 
     visited.cached_links = links
     return visited

@@ -74,6 +74,10 @@ def sssp(
         dist = _sssp_loop(
             links, dist, frontier, dist_rows, max_iters, broadcast_threshold
         )
+        # Materialize INSIDE the scoped-width block (ADVICE r07): the
+        # final anti-join+union level is lazy, and evaluating it at the
+        # caller's first action would run at full session width.
+        dist = dist.localCheckpoint(eager=True)
 
     dist.cached_links = links
     return dist

@@ -232,19 +232,28 @@ def _drain_stream(
             "_drain_stream is not reentrant: a drain is already active in "
             "this session (it holds spark.sql.shuffle.partitions lowered)"
         )
+    # Everything after the flag flip lives inside the try whose finally
+    # resets it (ADVICE r07): if checkpoint-dir creation, the conf read,
+    # or the conf set raises, the flag must still reset and the ckpt dir
+    # must still be removed — otherwise every later drain in the session
+    # raises "not reentrant" forever.
     _DRAIN_ACTIVE = True
     name = "replay_" + uuid.uuid4().hex[:12]
-    ckpt_dir = replay_checkpoint_dir()
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    # micro-batch planning reads the conf asynchronously after start(),
-    # so it stays lowered until the drain completes; the finally below
-    # restores it before the batch agg over the memory sink runs —
-    # start() itself must be inside the try so a plan that fails to
-    # start cannot leak the lowered conf into the session
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", state_partitions or REPLAY_STATE_PARTITIONS
-    )
+    ckpt_dir = None
+    prev_parts = None
     try:
+        ckpt_dir = replay_checkpoint_dir()
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        # micro-batch planning reads the conf asynchronously after
+        # start(), so it stays lowered until the drain completes; the
+        # finally below restores it before the batch agg over the
+        # memory sink runs — start() itself is inside the try so a plan
+        # that fails to start cannot leak the lowered conf into the
+        # session
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            state_partitions or REPLAY_STATE_PARTITIONS,
+        )
         query = (
             out.writeStream.format("memory")
             .queryName(name)
@@ -263,9 +272,11 @@ def _drain_stream(
         result = spark.table(name).localCheckpoint(eager=True)
     finally:
         _DRAIN_ACTIVE = False
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.catalog.dropTempView(name)
-        shutil.rmtree(ckpt_dir, ignore_errors=True)
+        if ckpt_dir is not None:
+            shutil.rmtree(ckpt_dir, ignore_errors=True)
     return result
 
 

@@ -129,91 +129,94 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # same invariant.
     reg.update(curation10.WORKLOADS)
 
-    # ROUND-7 ROTATION (VERDICT r06 item 1). Front of window, in order:
-    #   1. the 19 oracle-backed entries never driver-attested
-    #      (graph_multi_bfs … merkle_row_repair — the r06 overflow; both
-    #      r06 sweeps show all 19 locally green). After r07 attests
-    #      these, EVERY oracle-backed registry entry has been externally
-    #      attested at least once.
-    #   2. the 31 stalest entries (last attested r01 per
-    #      CORRECTNESS_r01.json, untouched since per git) to renew the
-    #      oldest attestations — freshness rotation now that the
-    #      never-attested backlog is empty.
+    # ROUND-8 ROTATION (VERDICT r07 item 1) — staleness refresh. The
+    # never-attested backlog is empty (CORRECTNESS_r07 retired it), so
+    # the window is pure freshness rotation. Front of window, in order:
+    #   1. the 19 remaining entries last attested in r01
+    #      (events_funnel … range_window per CORRECTNESS_r01.json —
+    #      every other r01 entry was re-attested in r07).
+    #   2. the oldest r02 block: the first 31 entries (registry order)
+    #      whose latest attestation across CORRECTNESS_r0{1..7}.json is
+    #      round 2 (dedup/text/llm families + window_tumbling).
     # Rotation invariant: never-attested-first, then stalest-first.
-    # Every name below is asserted to exist in the registry (ADVICE
-    #  r06: a typo must raise, not silently shift the 50-slot window).
-    # NEXT ROTATION (r08), assuming CORRECTNESS_r07 attests this
-    # window: continue the staleness refresh — the 19 remaining
-    # r01-attested entries first (events_funnel, events_retention,
-    # join_full_outer, join_cross, percentile, math_funcs, map_funcs,
-    # first_last, pivot_sum, set_ops_all, udaf_weighted_mean,
-    # udtf_tokenize, struct_funcs, unpivot, csv_roundtrip_sort,
-    # salted_agg, hash_sample, stats_aggs, range_window), then the
-    # oldest r02 block in registry order; recompute from
-    # CORRECTNESS_r0*.json if the r07 window changed.
-    r07_never_attested = [
-        "graph_multi_bfs",
-        "weblog_parse_agg",
-        "spatial_join_blocked",
-        "decision_stump_fit",
-        "column_entropy_profile",
-        "bootstrap_ci",
-        "mode_impute",
-        "skew_report",
-        "graph_connected_components",
-        "robust_outlier_mad",
-        "segmented_ab_welch",
-        "table_checksum_audit",
-        "attribution_shapley",
-        "set_ops_bag",
-        "ivm_agg_maintenance",
-        "aqp_sample_estimate",
-        "merkle_bucket_diff",
-        "stream_ivm_replay",
-        "merkle_row_repair",
+    # Every name below must exist in the registry (ADVICE r06: a typo
+    # must raise, not silently shift the 50-slot window; ADVICE r07:
+    # raise explicitly, never bare assert — `python -O` strips asserts).
+    # NEXT ROTATION (r09), assuming CORRECTNESS_r08 attests this
+    # window: the 19 remaining r02-attested entries first
+    # (window_sliding, stream_tumbling_replay, stream_sliding_replay,
+    # stream_session_replay, stream_dedup_replay,
+    # stream_stream_join_replay, stream_outer_join_replay,
+    # stream_stateful_counts, stream_late_data_drop,
+    # multimodal_doc_features, graph_triangles, graph_degree_histogram,
+    # graph_bfs_hops, graph_two_hop, stream_static_join_replay,
+    # merge_upsert, scd2_history, flagship_q18, approx_percentile),
+    # then the oldest r03 block in registry order; recompute from
+    # CORRECTNESS_r0*.json if the r08 window changed.
+    r08_stale_r01 = [
+        "events_funnel",
+        "events_retention",
+        "join_full_outer",
+        "join_cross",
+        "percentile",
+        "math_funcs",
+        "map_funcs",
+        "first_last",
+        "pivot_sum",
+        "set_ops_all",
+        "udaf_weighted_mean",
+        "udtf_tokenize",
+        "struct_funcs",
+        "unpivot",
+        "csv_roundtrip_sort",
+        "salted_agg",
+        "hash_sample",
+        "stats_aggs",
+        "range_window",
     ]
-    r07_stale_refresh = [
-        "global_sort",
-        "filter_project",
-        "flagship_q3",
-        "flagship_q3_sql",
-        "flagship_q5",
-        "join_inner",
-        "join_left_outer",
-        "join_semi",
-        "join_anti",
-        "join_range",
-        "collect_list",
-        "agg_sums_q1",
-        "conditional_agg",
-        "argmax",
-        "distinct_agg",
-        "approx_distinct",
-        "topk",
-        "set_ops",
-        "rollup",
-        "cube",
-        "grouping_sets",
-        "window_ranks",
-        "running_sum",
-        "lag_lead_ntile",
-        "date_funcs",
-        "json_funcs",
-        "string_funcs",
-        "array_funcs",
-        "asof_join",
-        "explode_tokens",
-        "sessionize",
+    r08_stale_r02 = [
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_sig",
+        "dedup_simhash",
+        "dedup_simhash_pairs",
+        "dedup_clusters",
+        "dedup_embedding_cosine",
+        "sim_cosine_topk",
+        "sim_cosine_topk_ivf",
+        "sim_cosine_topk_ivf2",
+        "text_lang_id",
+        "text_quality",
+        "text_token_counts",
+        "text_fingerprints",
+        "text_tfidf_bm25",
+        "text_pmi_cooccurrence",
+        "text_boilerplate",
+        "text_repetition",
+        "text_decontaminate",
+        "corpus_sample_stratified",
+        "pii_redact",
+        "seq_pack_chunks",
+        "token_histogram",
+        "domain_mix_weights",
+        "text_bigram_lm",
+        "text_perplexity_filter",
+        "llm_clean_corpus",
+        "label_mean_embedding",
+        "embedding_quantize",
+        "dataset_split",
+        "window_tumbling",
     ]
-    r07_front = r07_never_attested + r07_stale_refresh
-    missing = [name for name in r07_front if name not in reg]
-    assert not missing, f"rotation names not in registry: {missing}"
-    ordered = {name: reg[name] for name in r07_front}
+    r08_front = r08_stale_r01 + r08_stale_r02
+    missing = [name for name in r08_front if name not in reg]
+    if missing:
+        raise KeyError(f"rotation names not in registry: {missing}")
+    ordered = {name: reg[name] for name in r08_front}
     ordered.update(reg)
     return ordered
 
 
-# (Historical r06 rotation note: see git history of this file.)
+# (Historical r06/r07 rotation notes: see git history of this file.)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

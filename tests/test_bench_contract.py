@@ -30,44 +30,91 @@ def test_summary_line_fits_tail_capture_window():
     assert parsed["probe"] == {"cpu": 12.3456, "io": 12.3456}
 
 
-def test_bench_compare_probe_normalization(tmp_path):
-    """A uniform slowdown matching the probes' degradation must NOT
-    gate (environmental); a query that regressed beyond the host
-    factor must gate."""
+def _run_compare(tmp_path, prev, curr, *extra, tag=""):
     import subprocess
     import sys
 
-    prev = {
-        "queries": {"q_cpu": 2.0, "q_ckpt": 4.0, "q_real": 2.0},
-        "probe": {"cpu": 1.0, "io": 1.0},
-    }
-    # host 2x degraded on io (probe io 1->2); q_ckpt doubled with it
-    # (environmental), q_real 3.25x (beyond the 2x host factor ->
-    # a real regression even after normalization)
-    curr = {
-        "queries": {"q_cpu": 2.1, "q_ckpt": 8.0, "q_real": 6.5},
-        "probe": {"cpu": 1.05, "io": 2.0},
-    }
-    p, c = tmp_path / "prev.json", tmp_path / "curr.json"
+    p, c = tmp_path / f"prev{tag}.json", tmp_path / f"curr{tag}.json"
     p.write_text(json.dumps(prev))
     c.write_text(json.dumps(curr))
-    r = subprocess.run(
-        [sys.executable, "tools/bench_compare.py", str(p), str(c)],
+    return subprocess.run(
+        [sys.executable, "tools/bench_compare.py", str(p), str(c), *extra],
         capture_output=True, text=True,
     )
+
+
+def test_bench_compare_probe_normalization(tmp_path):
+    """Per-dimension normalization (ADVICE r07): an io-degraded probe
+    forgives only replay/streaming queries; a compute-bound query that
+    doubled under a healthy cpu probe must GATE even when io is 2x."""
+    prev = {
+        "queries": {"q_cpu": 2.0, "stream_x_replay": 4.0, "q_real": 2.0},
+        "probe": {"cpu": 1.0, "io": 1.0},
+    }
+    # io probe 2x degraded, cpu healthy: the replay doubling is
+    # environmental (io-bound family), but q_real doubling is a REAL
+    # regression — cpu probe 1.05x cannot forgive a 3.25x cpu query,
+    # and the io factor must not leak across dimensions.
+    curr = {
+        "queries": {"q_cpu": 2.1, "stream_x_replay": 8.0, "q_real": 6.5},
+        "probe": {"cpu": 1.05, "io": 2.0},
+    }
+    r = _run_compare(tmp_path, prev, curr)
     assert r.returncode == 1, r.stdout
-    assert "q_real" in r.stdout.split("GATED regressions")[1]
-    assert "q_ckpt: 4.00s -> 8.00s (2.00x) [environmental (probe)]" in r.stdout
-    # without the probe blocks, both raw regressions gate
-    p2, c2 = tmp_path / "prev2.json", tmp_path / "curr2.json"
-    p2.write_text(json.dumps({"queries": prev["queries"]}))
-    c2.write_text(json.dumps({"queries": curr["queries"]}))
-    r2 = subprocess.run(
-        [sys.executable, "tools/bench_compare.py", str(p2), str(c2)],
-        capture_output=True, text=True,
+    gated = r.stdout.split("GATED regressions")[1]
+    assert "q_real" in gated
+    assert "stream_x_replay: 4.00s -> 8.00s (2.00x) [environmental (io probe)]" in r.stdout
+    # cross-dimension leak check: a cpu-bound query doubled under a
+    # healthy cpu probe gates even though io is 2x degraded
+    curr_leak = {
+        "queries": {"q_cpu": 4.0, "stream_x_replay": 8.0, "q_real": 2.0},
+        "probe": {"cpu": 1.05, "io": 2.0},
+    }
+    r_leak = _run_compare(tmp_path, prev, curr_leak, tag="leak")
+    assert r_leak.returncode == 1, r_leak.stdout
+    assert "q_cpu" in r_leak.stdout.split("GATED regressions")[1]
+    # without the probe blocks, raw regressions gate unnormalized
+    r2 = _run_compare(
+        tmp_path,
+        {"queries": prev["queries"]},
+        {"queries": curr["queries"]},
+        tag="noprobe",
     )
     assert r2.returncode == 1
-    assert "q_ckpt" in r2.stdout.split("GATED regressions")[1]
+    assert "stream_x_replay" in r2.stdout.split("GATED regressions")[1]
+
+
+def test_bench_compare_environmental_requires_opt_in(tmp_path):
+    """Environmental-only rows exit 2 unless --allow-environmental is
+    passed (ADVICE r07: the gate must not silently pass regressions
+    that only the host factor forgives)."""
+    prev = {
+        "queries": {"stream_x_replay": 4.0, "q_cpu": 2.0},
+        "probe": {"cpu": 1.0, "io": 1.0},
+    }
+    curr = {
+        "queries": {"stream_x_replay": 8.0, "q_cpu": 2.1},
+        "probe": {"cpu": 1.0, "io": 2.0},
+    }
+    r = _run_compare(tmp_path, prev, curr)
+    assert r.returncode == 2, r.stdout
+    assert "--allow-environmental" in r.stdout
+    r_ok = _run_compare(tmp_path, prev, curr, "--allow-environmental", tag="ok")
+    assert r_ok.returncode == 0, r_ok.stdout
+    # fully clean run exits 0 without the flag
+    r_clean = _run_compare(tmp_path, prev, prev, tag="clean")
+    assert r_clean.returncode == 0
+
+
+def test_bench_compare_probe_schema_drift(tmp_path):
+    """A probe block missing a dimension on either side degrades to
+    no normalization for that dimension instead of crashing
+    (ADVICE r07 KeyError guard)."""
+    prev = {"queries": {"q_cpu": 2.0}, "probe": {"cpu": 1.0, "io": 1.0}}
+    curr = {"queries": {"q_cpu": 2.1}, "probe": {"cpu": 1.0}}  # io missing
+    r = _run_compare(tmp_path, prev, curr)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "io missing on one side" in r.stdout
 
 
 def test_headline_names_all_resolve_in_registry():

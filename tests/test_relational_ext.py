@@ -256,12 +256,12 @@ def test_ewma_matches_pandas_recursive(spark):
 
 def test_registry_invariants():
     """Driver-contract guards: every oracle key maps to a query, no
-    empty SQL, and the round-7 verification window (first 50 entries —
+    empty SQL, and the round-8 verification window (first 50 entries —
     the prefix the driver attests) follows the rotation documented in
-    workloads/__init__.py: the 19 never-attested oracle-backed entries
-    first (graph_multi_bfs … merkle_row_repair — after r07 every
-    oracle-backed entry has attested at least once), then the 31
-    stalest (r01-attested) entries for freshness renewal."""
+    workloads/__init__.py: pure staleness refresh — the 19 remaining
+    r01-attested entries first (events_funnel … range_window), then
+    the oldest 31 r02-attested entries in registry order (dedup/text/
+    llm families, ending at window_tumbling)."""
     from cs744_big_data_system_spark import workloads
 
     reg = workloads.all_workloads()
@@ -271,14 +271,14 @@ def test_registry_invariants():
     for n, sql in oracles.items():
         assert sql.strip(), n
     window = names[:50]
-    # never-attested-first: the r06 overflow heads the r07 window
-    assert window[0] == "graph_multi_bfs"
-    assert window[18] == "merkle_row_repair"
-    # freshness block: stalest r01 attestations renew in slots 19-49
-    assert window[19] == "global_sort"
-    assert window[49] == "sessionize"
-    # the whole r07 window is oracle-backed (no rows-only entries left
-    # unattested — the r06 window retired them)
+    # stalest-first: the 19 remaining r01 attestations head the window
+    assert window[0] == "events_funnel"
+    assert window[18] == "range_window"
+    # freshness block: the oldest r02 attestations renew in slots 19-49
+    assert window[19] == "dedup_exact"
+    assert window[49] == "window_tumbling"
+    # the whole r08 window is oracle-backed (rows-only entries were all
+    # attested in earlier rounds and none is staleness-eligible yet)
     assert all(n in oracles for n in window), [
         n for n in window if n not in oracles
     ]

@@ -1,6 +1,7 @@
 """Compare two BENCH_DETAIL json files and report per-query regressions.
 
 Usage: python tools/bench_compare.py PREV.json CURR.json [threshold]
+           [--allow-environmental]
 
 Prints queries whose time grew by more than ``threshold``× (default
 1.5), new/removed queries, and the common-set totals — the per-round
@@ -8,12 +9,23 @@ no-regression gate (VERDICT r05 item 4).
 
 When BOTH files carry a ``probe`` block (bench.py's pinned host-health
 micro-ops, VERDICT r06 item 2), the gate normalizes by host condition
-first: host_factor = max(1, cpu_ratio, io_ratio) between the two runs'
-probes. A query is a GATED regression only if its ratio exceeds the
-threshold after dividing out the host factor; raw regressions are
-still printed for adjudication — the artifact carries its own evidence
-of whether a spike is environmental (BENCH_r06: 337.8 s on a degraded
-host vs 227.0 s on identical code needed a judge re-run to interpret).
+first — but per-query by the RELEVANT probe dimension (ADVICE r07):
+checkpoint/replay-heavy queries (streaming replays — dominated by
+state-store + checkpoint I/O) normalize by the io ratio, everything
+else by the cpu ratio. A degraded io probe can therefore never forgive
+a regression in a compute-bound query, and vice versa. A query is a
+GATED regression only if its ratio exceeds the threshold after
+dividing out its dimension factor; raw regressions are still printed
+for adjudication — the artifact carries its own evidence of whether a
+spike is environmental (BENCH_r06: 337.8 s on a degraded host vs
+227.0 s on identical code needed a judge re-run to interpret).
+
+Exit codes: 0 = clean (no raw regressions, or every environmental row
+explicitly allowed via --allow-environmental); 1 = GATED regressions;
+2 = no gated regressions but environmental-only rows exist and
+--allow-environmental was not passed (ADVICE r07: the gate must not
+silently pass real regressions that only the host factor forgives —
+the caller must opt in after adjudicating them in BENCH_NOTES.md).
 """
 
 from __future__ import annotations
@@ -22,54 +34,90 @@ import json
 import sys
 
 
-def host_factor(prev_doc: dict, curr_doc: dict) -> tuple[float, str]:
+def probe_ratios(prev_doc: dict, curr_doc: dict) -> tuple[dict, str]:
+    """Per-dimension curr/prev probe ratios, guarding missing keys on
+    EITHER side (schema drift between rounds must degrade to
+    no-normalization for that dimension, not crash the gate)."""
     pp, cp = prev_doc.get("probe"), curr_doc.get("probe")
     if not pp or not cp:
-        return 1.0, "no probe in one/both artifacts -> no normalization"
-    cpu_r = cp["cpu"] / pp["cpu"] if pp.get("cpu") else 1.0
-    io_r = cp["io"] / pp["io"] if pp.get("io") else 1.0
-    factor = max(1.0, cpu_r, io_r)
-    return factor, (
-        f"probe cpu {pp['cpu']:.2f}->{cp['cpu']:.2f}s ({cpu_r:.2f}x), "
-        f"io {pp['io']:.2f}->{cp['io']:.2f}s ({io_r:.2f}x) "
-        f"-> host_factor {factor:.2f}"
-    )
+        return {"cpu": 1.0, "io": 1.0}, (
+            "no probe in one/both artifacts -> no normalization"
+        )
+    ratios, notes = {}, []
+    for dim in ("cpu", "io"):
+        p, c = pp.get(dim), cp.get(dim)
+        if p and c:
+            ratios[dim] = c / p
+            notes.append(f"{dim} {p:.2f}->{c:.2f}s ({c / p:.2f}x)")
+        else:
+            ratios[dim] = 1.0
+            notes.append(f"{dim} missing on one side -> 1.00x")
+    return ratios, "probe " + ", ".join(notes)
+
+
+def query_dimension(name: str) -> str:
+    """Which probe dimension governs this query's host sensitivity.
+
+    Streaming replays stage waves to disk, run a micro-batch engine
+    with per-batch state-store checkpoints, and fsync commit logs —
+    their round-to-round variance tracks the io probe. Everything else
+    in the registry is scan+shuffle compute whose variance tracks the
+    cpu probe.
+    """
+    return "io" if ("replay" in name or name.startswith("stream_")) else "cpu"
 
 
 def main() -> None:
-    prev_path, curr_path = sys.argv[1], sys.argv[2]
-    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    argv = [a for a in sys.argv[1:] if a != "--allow-environmental"]
+    allow_env = "--allow-environmental" in sys.argv[1:]
+    prev_path, curr_path = argv[0], argv[1]
+    threshold = float(argv[2]) if len(argv) > 2 else 1.5
     prev_doc = json.load(open(prev_path))
     curr_doc = json.load(open(curr_path))
     prev, curr = prev_doc["queries"], curr_doc["queries"]
-    factor, probe_note = host_factor(prev_doc, curr_doc)
+    ratios, probe_note = probe_ratios(prev_doc, curr_doc)
+    factors = {dim: max(1.0, r) for dim, r in ratios.items()}
     common = sorted(set(prev) & set(curr))
     raw, gated = [], []
     for name in common:
         # sub-100ms queries jitter across sessions; ratio-gate the rest
         if curr[name] > prev[name] * threshold and curr[name] > 0.1:
-            raw.append((name, prev[name], curr[name], curr[name] / prev[name]))
-            if curr[name] / factor > prev[name] * threshold:
-                gated.append(raw[-1])
+            dim = query_dimension(name)
+            row = (name, prev[name], curr[name], curr[name] / prev[name], dim)
+            raw.append(row)
+            if curr[name] / factors[dim] > prev[name] * threshold:
+                gated.append(row)
     raw.sort(key=lambda r: -r[3])
     print(f"common set: {len(common)} queries; "
           f"prev total {sum(prev[n] for n in common):.1f}s -> "
           f"curr total {sum(curr[n] for n in common):.1f}s")
-    print(probe_note)
+    print(f"{probe_note} -> factors cpu {factors['cpu']:.2f}, "
+          f"io {factors['io']:.2f} (applied per-query by dimension)")
     print(f"added: {sorted(set(curr) - set(prev))}")
     print(f"removed: {sorted(set(prev) - set(curr))}")
     if raw:
         print(f"\nraw regressions > {threshold}x (pre-normalization):")
-        for name, p, c, r in raw:
-            tag = "GATED" if (name, p, c, r) in gated else "environmental (probe)"
+        for row in raw:
+            name, p, c, r, dim = row
+            tag = "GATED" if row in gated else f"environmental ({dim} probe)"
             print(f"  {name}: {p:.2f}s -> {c:.2f}s ({r:.2f}x) [{tag}]")
     if gated:
-        print(f"\nGATED regressions > {threshold}x after /{factor:.2f} host normalization:")
-        for name, p, c, r in gated:
-            print(f"  {name}: {p:.2f}s -> {c:.2f}s ({r:.2f}x)")
-    else:
-        print(f"\nno gated regressions > {threshold}x (host_factor {factor:.2f})")
-    sys.exit(1 if gated else 0)
+        print(f"\nGATED regressions > {threshold}x after per-dimension "
+              f"host normalization:")
+        for name, p, c, r, dim in gated:
+            print(f"  {name}: {p:.2f}s -> {c:.2f}s ({r:.2f}x, {dim} "
+                  f"factor {factors[dim]:.2f})")
+        sys.exit(1)
+    env_only = [row for row in raw if row not in gated]
+    if env_only and not allow_env:
+        print(f"\nno gated regressions > {threshold}x, but {len(env_only)} "
+              f"environmental-only row(s) above — adjudicate them in "
+              f"BENCH_NOTES.md and re-run with --allow-environmental")
+        sys.exit(2)
+    print(f"\nno gated regressions > {threshold}x "
+          f"(factors cpu {factors['cpu']:.2f} / io {factors['io']:.2f}"
+          f"{'; environmental rows explicitly allowed' if env_only else ''})")
+    sys.exit(0)
 
 
 if __name__ == "__main__":

@@ -92,7 +92,7 @@ _PERTURB = {
             (x, i) -> CAST(x * (1.0 + (
                 (md5_number_lower(
                      vec_id::VARCHAR || '_' || r.r::VARCHAR
-                     || '_' || i::VARCHAR) % 2001) - 1000
+                     || '_' || i::VARCHAR) % 2001)::BIGINT - 1000
             ) * 1e-5 * r.r) AS FLOAT)) END AS embedding
     """,
 }
@@ -144,9 +144,9 @@ def main() -> None:
         n = con.sql(
             f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')"
         ).fetchone()[0]
-        mode = "verbatim" if verbatim or (t, "text") not in _PERTURB and (
-            t, "embedding") not in _PERTURB else "perturbed"
-        print(f"{t}: {n} rows ({REPLICAS}x, {mode})")
+        perturbed = not verbatim and any(tt == t for tt, _ in _PERTURB)
+        print(f"{t}: {n} rows ({REPLICAS}x, "
+              f"{'perturbed' if perturbed else 'verbatim content'})")
 
 
 if __name__ == "__main__":

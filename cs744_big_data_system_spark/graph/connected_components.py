@@ -6,9 +6,19 @@ collided in a band).
 
 Algorithm: every node starts labeled with itself; each superstep
 replaces a node's label with the min over itself and its neighbors'
-labels; converges to the component-minimum id within diameter
-supersteps (near-dup clusters have tiny diameters). Deterministic —
-oracle-checkable with a recursive CTE.
+labels — converging in diameter supersteps. From superstep
+``COMPRESS_FROM`` on, each round ALSO shortcuts through the previous
+round's materialized table (pointer jumping: L(v) ← min(L(v),
+L_prev(L(v))), valid because labels only decrease and every label is
+itself a node of the same component), so long-chain components
+converge in O(log diameter) rounds past that point. The first
+``COMPRESS_FROM`` rounds are byte-identical to plain propagation —
+near-dup clusters usually have tiny diameters and converge before the
+compression path ever runs; the graded-perturbation sf1 corpus (clone
+chains orig↔r1↔…↔r9 linked through natural near-dups) is what
+surfaced >20-diameter components in practice. Deterministic — the
+oracle is a recursive CTE computing the same transitive-closure
+fixpoint, so it is algorithm-independent.
 
 Same BSP driver-loop shape as graph/pagerank.py (reference anchor:
 assignment1/part3/task1/task1.py's iterate-join-aggregate loop): edges
@@ -67,6 +77,13 @@ def connected_components(
     return labels
 
 
+#: superstep index from which pointer jumping joins in. 3 keeps the
+#: common small-diameter case (sf0.1 simhash clusters converge in 2-3
+#: supersteps) on the exact pre-r08 plan; only genuinely long chains
+#: pay the extra label-table join — and then converge geometrically.
+COMPRESS_FROM = 3
+
+
 def _cc_loop(und: DataFrame, max_iterations: int, checkpoint_every: int) -> DataFrame:
     labels = und.select(F.col("a").alias("node")).distinct().withColumn(
         "component", F.col("node")
@@ -90,6 +107,30 @@ def _cc_loop(und: DataFrame, max_iterations: int, checkpoint_every: int) -> Data
                 ).alias("component"),
             )
         )
+        if i >= COMPRESS_FROM:
+            # Pointer jumping against the PREVIOUS round's labels — a
+            # materialized checkpoint, so the shortcut lookup is one
+            # cheap join, never a self-join that would recompute the
+            # propagation twice. L_prev(u) <= u for every node u and
+            # always stays inside u's component, so min() with it is a
+            # pure monotone decrease: the Observation sum invariant and
+            # the fixpoint (= component min) are unchanged, only the
+            # round count drops from O(diameter) to O(log diameter).
+            shortcut = labels.select(
+                F.col("node").alias("_pn"), F.col("component").alias("_pc")
+            )
+            new_labels = (
+                new_labels.join(
+                    shortcut, new_labels.component == shortcut._pn, "left"
+                )
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("_pc"), F.col("component")),
+                    ).alias("component"),
+                )
+            )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             # Early stop on a monotone invariant: labels only ever
             # DECREASE, so the component-id sum strictly decreases

@@ -145,3 +145,38 @@ def test_checksum_layout_invariance_and_sensitivity(spark):
     changed = _fingerprint(perturbed, "t", s).collect()[0]
     assert changed.n_rows == base.n_rows
     assert changed.hash_sum != base.hash_sum
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 64-node path (diameter 63 >> the 20-round cap) must converge
+    under the default max_iterations: plain min-label propagation needs
+    diameter rounds and used to raise RuntimeError here; the r08
+    pointer-jumping step (COMPRESS_FROM onward) converges in O(log d)
+    rounds and must land every node on component 0."""
+    from cs744_big_data_system_spark.graph.connected_components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src bigint, dst bigint"
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_connected_components_two_chains_stay_separate(spark):
+    """Pointer jumping must not leak labels across components: two
+    disjoint long chains resolve to their own minima."""
+    from cs744_big_data_system_spark.graph.connected_components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)]
+        + [(100 + i, 100 + i + 1) for i in range(30)],
+        "src bigint, dst bigint",
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert all(c == 0 for n, c in got.items() if n < 100)
+    assert all(c == 100 for n, c in got.items() if n >= 100)
+    assert len(got) == 62

@@ -212,6 +212,33 @@ def test_replay_drain_sizes_state_partitions_and_restores_conf(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
 
 
+def test_drain_guard_resets_when_setup_raises(spark, monkeypatch):
+    """ADVICE r07: if checkpoint-dir creation raises BEFORE the drain's
+    try block, _DRAIN_ACTIVE must still reset — otherwise every later
+    drain in the session raises 'not reentrant' forever."""
+    import pytest
+
+    from cs744_big_data_system_spark.streaming import windows as W
+
+    def boom():
+        raise OSError("no space left on device")
+
+    monkeypatch.setattr(W, "replay_checkpoint_dir", boom)
+    mk = lambda rows: spark.createDataFrame(rows, "k string, v long")
+    waves = [mk([("a", 1), ("b", 2)]), mk([("a", 3)])]
+    with pytest.raises(OSError):
+        W.replay_waves_to_batch(
+            spark, waves, lambda s: s.groupBy("k").count(), output_mode="update"
+        )
+    assert W._DRAIN_ACTIVE is False
+    monkeypatch.undo()
+    # the session can still drain after the failed setup
+    out = W.replay_waves_to_batch(
+        spark, waves, lambda s: s.groupBy("k").count(), output_mode="update"
+    )
+    assert out.count() >= 2
+
+
 def test_stream_attribution_state_carries_across_batches(spark):
     """A touch in wave 0 must credit a purchase arriving in wave 1 —
     the state-store carry the batch window gets for free — and a

@@ -8,6 +8,9 @@ outlier means a pair blowup or a single-task stage and fails the run.
 
 Usage:
     python tools/scale_data.py              # once: builds /tmp/scale_sf1
+                                            # (perturbed clones by default
+                                            #  since r08; --verbatim for the
+                                            #  10-clique stress input)
     python tools/scale_smoke.py [out_md]    # writes BENCH_SF1.md
 """
 

@@ -151,8 +151,11 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # multimodal_doc_features, graph_triangles, graph_degree_histogram,
     # graph_bfs_hops, graph_two_hop, stream_static_join_replay,
     # merge_upsert, scd2_history, flagship_q18, approx_percentile),
-    # then the oldest r03 block in registry order; recompute from
-    # CORRECTNESS_r0*.json if the r08 window changed.
+    # then the oldest r03 block in registry order. Since r08 the window
+    # is derived mechanically: `python tools/attest_rotation.py` prints
+    # the next 50-slot window from the CORRECTNESS_r0*.json artifacts,
+    # and tests/test_bench_contract.py asserts the wired front matches
+    # it (never-attested first, then stalest-first, registry order).
     r08_stale_r01 = [
         "events_funnel",
         "events_retention",

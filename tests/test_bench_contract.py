@@ -123,3 +123,20 @@ def test_headline_names_all_resolve_in_registry():
     reg = all_workloads()
     missing = [n for n in bench.HEADLINE if n not in reg]
     assert not missing, missing
+
+
+def test_rotation_window_matches_attestation_artifacts():
+    """The registry front (= the driver's 50-slot attestation window)
+    must equal the window derived mechanically from the CORRECTNESS
+    artifacts on disk: never-attested first, then stalest-first,
+    registry order within a class. Catches a rotation edit or registry
+    addition that silently violates the invariant (VERDICT r06/r07)."""
+    import os
+
+    from cs744_big_data_system_spark.workloads import all_workloads
+    from tools.attest_rotation import WINDOW, latest_attestation, next_window
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    names = list(all_workloads())
+    computed = next_window(names, latest_attestation(root))
+    assert names[:WINDOW] == computed

@@ -215,7 +215,12 @@ def main() -> None:
         "",
         "sf1 data = tools/scale_data.py's 10x key-offset replication of",
         "the driver's sf0.1 parquet (fixed calendar span, 10x density —",
-        "see that tool's docstring). Same harness as bench.py: noop sink,",
+        "see that tool's docstring). Since r08 the generator PERTURBS",
+        "clone content by default (graded md5-seeded token substitution",
+        "for documents.text, ±r% jitter for embeddings), so dedup-family",
+        "ratios measure plan scaling instead of the quadratic output",
+        "growth that verbatim 10-cliques force by construction.",
+        "Same harness as bench.py: noop sink,",
         "discard-first-rep, mean of 2. local[32], so sf0.1 underutilizes",
         "cores and sub-10x ratios are expected for shuffle-bound plans;",
         "anything clearly SUPER-linear (≫10x) would flag a pair blowup or",

@@ -140,3 +140,20 @@ def test_rotation_window_matches_attestation_artifacts():
     names = list(all_workloads())
     computed = next_window(names, latest_attestation(root))
     assert names[:WINDOW] == computed
+
+
+def test_next_window_orders_never_attested_then_stalest():
+    from tools.attest_rotation import next_window
+
+    names = [f"q{i}" for i in range(60)]
+    latest = {n: 3 for n in names}
+    latest["q10"] = 1          # stalest
+    latest["q20"] = 2
+    del latest["q30"]          # never attested
+    del latest["q40"]
+    win = next_window(names, latest)
+    assert win[:4] == ["q30", "q40", "q10", "q20"]  # never-first, then stalest
+    assert len(win) == 50
+    # ties keep registry order
+    rest = [n for n in win[4:]]
+    assert rest == sorted(rest, key=lambda n: names.index(n))

@@ -240,3 +240,45 @@ def test_table_diff_matches_dict_semantics(spark, old, new):
         else:
             want[k] = "unchanged" if old[k] == new[k] else "changed"
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=1,
+        max_size=40,
+    ),
+    max_it=st.sampled_from([20, 40]),
+)
+@_settings
+def test_connected_components_matches_union_find(spark, edges, max_it):
+    """CC (min-label propagation + pointer jumping from superstep 3)
+    must equal a pure-Python union-find on arbitrary graphs — including
+    self-loops, parallel/reversed duplicate edges, and path graphs long
+    enough to force the compression branch (graph/connected_components
+    .py:110). The fixpoint is algorithm-independent: component id =
+    min node id."""
+    from cs744_big_data_system_spark.graph.connected_components import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_iterations=max_it).collect()
+    }
+    assert got == expected

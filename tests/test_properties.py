@@ -282,3 +282,45 @@ def test_connected_components_matches_union_find(spark, edges, max_it):
         for r in connected_components(df, max_iterations=max_it).collect()
     }
     assert got == expected
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14), st.integers(1, 9)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@_settings
+def test_sssp_matches_dijkstra(spark, edges):
+    """Frontier-relaxation SSSP (graph/sssp.py) must equal pure-Python
+    Dijkstra on arbitrary random weighted digraphs — duplicate edges
+    (min weight wins), equal-weight ties, cycles, unreachable nodes
+    (absent from the result, like the recursive-CTE oracle)."""
+    import heapq
+
+    from cs744_big_data_system_spark.graph.sssp import sssp
+
+    source = edges[0][0]
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for a, b, w in edges:
+        if a != b:
+            adj.setdefault(a, []).append((b, w))
+    dist = {source: 0}
+    pq = [(0, source)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            if d + w < dist.get(v, float("inf")):
+                dist[v] = d + w
+                heapq.heappush(pq, (d + w, v))
+
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    res = sssp(df, source=source, max_iters=40)
+    got = {r["node"]: r["dist"] for r in res.collect()}
+    cached = getattr(res, "cached_links", None)
+    if cached is not None:
+        cached.unpersist()
+    assert got == dist

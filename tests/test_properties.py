@@ -324,3 +324,42 @@ def test_sssp_matches_dijkstra(spark, edges):
     if cached is not None:
         cached.unpersist()
     assert got == dist
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@_settings
+def test_bfs_hops_matches_python_bfs(spark, edges):
+    """Frontier BFS (graph/bfs.py) must equal a pure-Python BFS on
+    arbitrary random digraphs — duplicate/reversed edges, self-loops
+    (ignored), cycles, unreachable nodes absent from the result."""
+    from collections import deque
+
+    from cs744_big_data_system_spark.graph.bfs import bfs_hops
+
+    source = edges[0][0]
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+    hops = {source: 0}
+    dq = deque([source])
+    while dq:
+        u = dq.popleft()
+        for v in adj.get(u, ()):
+            if v not in hops:
+                hops[v] = hops[u] + 1
+                dq.append(v)
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = bfs_hops(df, source=source, max_iters=20)
+    got = {r["node"]: r["hop"] for r in res.collect()}
+    cached = getattr(res, "cached_links", None)
+    if cached is not None:
+        cached.unpersist()
+    assert got == hops

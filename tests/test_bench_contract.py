@@ -139,7 +139,12 @@ def test_rotation_window_matches_attestation_artifacts():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     names = list(all_workloads())
     computed = next_window(names, latest_attestation(root))
-    assert names[:WINDOW] == computed
+    assert names[:WINDOW] == computed, (
+        "registry front is stale for the CORRECTNESS artifacts on disk "
+        "— a new round's artifact landed (or the rotation was edited by "
+        "hand). Fix: re-wire the front of all_workloads() to the output "
+        "of `python tools/attest_rotation.py`."
+    )
 
 
 def test_next_window_orders_never_attested_then_stalest():

@@ -363,3 +363,48 @@ def test_bfs_hops_matches_python_bfs(spark, edges):
     if cached is not None:
         cached.unpersist()
     assert got == hops
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=1,
+        max_size=30,
+    ),
+    n_seeds=st.integers(1, 3),
+)
+@_settings
+def test_multi_bfs_matches_per_seed_bfs(spark, edges, n_seeds):
+    """Batched multi-seed BFS (one frontier loop for k seeds) must
+    equal k independent pure-Python BFS runs — the batching is a pure
+    scheduling optimization, never a semantic one."""
+    from collections import deque
+
+    from cs744_big_data_system_spark.graph.bfs import multi_bfs_hops
+
+    seeds = sorted({a for a, _ in edges})[:n_seeds]
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+
+    expected = {}
+    for s in seeds:
+        hops = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            for v in adj.get(u, ()):
+                if v not in hops:
+                    hops[v] = hops[u] + 1
+                    dq.append(v)
+        for n, h in hops.items():
+            expected[(s, n)] = h
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = multi_bfs_hops(df, sources=seeds, max_iters=20)
+    got = {(r["seed"], r["node"]): r["hop"] for r in res.collect()}
+    cached = getattr(res, "cached_links", None)
+    if cached is not None:
+        cached.unpersist()
+    assert got == expected

@@ -129,97 +129,28 @@ def all_workloads() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # same invariant.
     reg.update(curation10.WORKLOADS)
 
-    # ROUND-8 ROTATION (VERDICT r07 item 1) — staleness refresh. The
-    # never-attested backlog is empty (CORRECTNESS_r07 retired it), so
-    # the window is pure freshness rotation. Front of window, in order:
-    #   1. the 19 remaining entries last attested in r01
-    #      (events_funnel … range_window per CORRECTNESS_r01.json —
-    #      every other r01 entry was re-attested in r07).
-    #   2. the oldest r02 block: the first 31 entries (registry order)
-    #      whose latest attestation across CORRECTNESS_r0{1..7}.json is
-    #      round 2 (dedup/text/llm families + window_tumbling).
-    # Rotation invariant: never-attested-first, then stalest-first.
-    # Every name below must exist in the registry (ADVICE r06: a typo
-    # must raise, not silently shift the 50-slot window; ADVICE r07:
-    # raise explicitly, never bare assert — `python -O` strips asserts).
-    # NEXT ROTATION (r09), assuming CORRECTNESS_r08 attests this
-    # window: the 19 remaining r02-attested entries first
-    # (window_sliding, stream_tumbling_replay, stream_sliding_replay,
-    # stream_session_replay, stream_dedup_replay,
-    # stream_stream_join_replay, stream_outer_join_replay,
-    # stream_stateful_counts, stream_late_data_drop,
-    # multimodal_doc_features, graph_triangles, graph_degree_histogram,
-    # graph_bfs_hops, graph_two_hop, stream_static_join_replay,
-    # merge_upsert, scd2_history, flagship_q18, approx_percentile),
-    # then the oldest r03 block in registry order. Since r08 the window
-    # is derived mechanically: `python tools/attest_rotation.py` prints
-    # the next 50-slot window from the CORRECTNESS_r0*.json artifacts,
-    # and tests/test_bench_contract.py asserts the wired front matches
-    # it (never-attested first, then stalest-first, registry order).
-    r08_stale_r01 = [
-        "events_funnel",
-        "events_retention",
-        "join_full_outer",
-        "join_cross",
-        "percentile",
-        "math_funcs",
-        "map_funcs",
-        "first_last",
-        "pivot_sum",
-        "set_ops_all",
-        "udaf_weighted_mean",
-        "udtf_tokenize",
-        "struct_funcs",
-        "unpivot",
-        "csv_roundtrip_sort",
-        "salted_agg",
-        "hash_sample",
-        "stats_aggs",
-        "range_window",
-    ]
-    r08_stale_r02 = [
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "dedup_minhash_sig",
-        "dedup_simhash",
-        "dedup_simhash_pairs",
-        "dedup_clusters",
-        "dedup_embedding_cosine",
-        "sim_cosine_topk",
-        "sim_cosine_topk_ivf",
-        "sim_cosine_topk_ivf2",
-        "text_lang_id",
-        "text_quality",
-        "text_token_counts",
-        "text_fingerprints",
-        "text_tfidf_bm25",
-        "text_pmi_cooccurrence",
-        "text_boilerplate",
-        "text_repetition",
-        "text_decontaminate",
-        "corpus_sample_stratified",
-        "pii_redact",
-        "seq_pack_chunks",
-        "token_histogram",
-        "domain_mix_weights",
-        "text_bigram_lm",
-        "text_perplexity_filter",
-        "llm_clean_corpus",
-        "label_mean_embedding",
-        "embedding_quantize",
-        "dataset_split",
-        "window_tumbling",
-    ]
-    r08_front = r08_stale_r01 + r08_stale_r02
-    missing = [name for name in r08_front if name not in reg]
+    # ATTESTATION ROTATION — the driver attests the FIRST 50 registry
+    # entries each round, so the registry front doubles as the rotation
+    # window. Invariant (VERDICT r06/r07): never-attested entries
+    # first, then stalest-first (oldest successful attestation round),
+    # registry order within a class. Since r09 the front is GENERATED:
+    # `python tools/attest_rotation.py --write` derives it from the
+    # CORRECTNESS_r*.json artifacts on disk and rewrites _rotation.py;
+    # tests/test_bench_contract.py asserts the wired front still
+    # matches the artifacts. Every name must exist in the registry
+    # (ADVICE r06: a typo must raise, not silently shift the window;
+    # ADVICE r07: raise explicitly — `python -O` strips asserts).
+    from ._rotation import FRONT
+
+    missing = [name for name in FRONT if name not in reg]
     if missing:
         raise KeyError(f"rotation names not in registry: {missing}")
-    ordered = {name: reg[name] for name in r08_front}
+    ordered = {name: reg[name] for name in FRONT}
     ordered.update(reg)
     return ordered
 
 
-# (Historical r06/r07 rotation notes: see git history of this file.)
+# (Historical r06–r08 rotation notes: see git history of this file.)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

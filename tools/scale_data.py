@@ -98,15 +98,22 @@ _PERTURB = {
 }
 
 
+USAGE = (
+    "Usage: python tools/scale_data.py [out_dir] [--verbatim]\n"
+    "       (default out_dir /tmp/scale_sf1)"
+)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if a != "--verbatim"]
     verbatim = "--verbatim" in sys.argv[1:]
     flags = [a for a in args if a.startswith("-")]
     if flags:
         # An unknown flag must not silently become the output directory
-        # (`--help` once created a ./--help dir full of parquet).
-        sys.exit(f"unknown option(s) {flags}; usage: {__doc__.splitlines()[-2].strip()}\n"
-                 f"       {__doc__.splitlines()[-1].strip()}")
+        # (`--help` once created a ./--help dir full of parquet). Hard
+        # constant, not __doc__ slices: under `python -OO` __doc__ is
+        # None and the error path itself would raise (ADVICE r08).
+        sys.exit(f"unknown option(s) {flags}; {USAGE}")
     out = args[0] if args else "/tmp/scale_sf1"
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()

@@ -1047,6 +1047,28 @@ def corpus_drift_kl(
     )
 
 
+def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — each doc's DISTINCT hashed n-gram shingles
+    over the canonical tokenization. This cardinality is the work
+    driver for ``ngram_novelty`` (both of its shuffles key on it), so
+    the sf1 scale smoke counts it as the measured input-growth
+    denominator when adjudicating that query's time ratio."""
+    from cs744_big_data_system_spark.functions.text import ngrams_from_tokens
+
+    return (
+        documents.select(
+            "doc_id", tokens(normalized_text("text")).alias("_tk")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(ngrams_from_tokens("_tk", n), md5_int60)
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
 def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
     """Per-document novelty: the share of a doc's distinct n-gram
     shingles whose FIRST appearance in the corpus (by ascending
@@ -1060,20 +1082,7 @@ def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
     the 60-bit hash), joined back to the per-doc distinct shingles —
     two near-uniform shuffles, no self-join, no window.
     """
-    from cs744_big_data_system_spark.functions.text import ngrams_from_tokens
-
-    sh = (
-        documents.select(
-            "doc_id", tokens(normalized_text("text")).alias("_tk")
-        )
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(ngrams_from_tokens("_tk", n), md5_int60)
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
+    sh = doc_shingles(documents, n)
     first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     return (
         sh.join(first_seen, "shingle")

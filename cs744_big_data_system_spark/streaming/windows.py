@@ -208,6 +208,21 @@ def replay_checkpoint_dir() -> str:
     return tempfile.mkdtemp(prefix="ckpt_", dir=base)
 
 
+def replay_stage_dir(prefix: str = "replay_waves_") -> str:
+    """Create a THROWAWAY stage dir for replay wave files, preferring
+    tmpfs (/dev/shm) over disk — same rationale as
+    ``replay_checkpoint_dir``: wave staging is input-side verification
+    scaffolding (written once, read once per micro-batch, deleted in
+    the caller's ``finally``), so durability buys nothing while each
+    ``coalesce(1)`` parquet write pays a disk fsync per wave. A
+    production stream reads its real source directory; this helper is
+    for replays only."""
+    import os
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK) else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 #: _drain_stream is NOT reentrant: it temporarily lowers the
 #: session-global spark.sql.shuffle.partitions for the drain, so any
 #: concurrent batch/stream work in the same session would silently run
@@ -319,7 +334,7 @@ def stage_waves_stream(spark: SparkSession, waves: list[DataFrame]):
     cleanup (the stream reads it lazily)."""
     import os
 
-    stage = tempfile.mkdtemp(prefix="replay_waves_")
+    stage = replay_stage_dir()
     try:
         for i, w in enumerate(waves):
             tmp = os.path.join(stage, f"_stage{i}")

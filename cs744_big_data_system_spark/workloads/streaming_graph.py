@@ -19,6 +19,7 @@ from cs744_big_data_system_spark.sources.readers import edges_from_events, load_
 from cs744_big_data_system_spark.streaming.stateful import running_counts
 from cs744_big_data_system_spark.streaming.windows import (
     replay_checkpoint_dir,
+    replay_stage_dir,
     replay_to_batch,
     session_window_counts,
     sliding_window_counts,
@@ -95,7 +96,7 @@ def q_stream_txlog_ingest(spark, sf_dir):
 
     table = os.path.join(tempfile.gettempdir(), f"txlog_ingest_{os.getpid()}")
     shutil.rmtree(table, ignore_errors=True)
-    stage = tempfile.mkdtemp(prefix="txlog_ingest_waves_")
+    stage = replay_stage_dir("txlog_ingest_waves_")  # tmpfs (see streaming/windows.py)
     try:
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "value"

@@ -170,6 +170,52 @@ QUERIES = [
 ]
 
 
+def _input_text_novelty(spark, sf_dir: str) -> int:
+    """doc-distinct 3-gram shingle pairs — the cardinality both of
+    ngram_novelty's shuffles key on (the query's true work driver;
+    the corpus text itself decides it, not the row count)."""
+    from cs744_big_data_system_spark.operators.text_analysis import doc_shingles
+    from cs744_big_data_system_spark.sources.readers import load_table
+
+    return doc_shingles(load_table(spark, sf_dir, "documents"), n=3).count()
+
+
+def _input_entity_match_pairs(spark, sf_dir: str) -> int:
+    """Sorted-neighborhood candidate pairs, closed form from block
+    sizes: per block of B rows with window W the rank-banded join
+    emits sum_i min(W, B-i) = (B-W)*W + W*(W-1)/2 for B >= W, else
+    B*(B-1)/2 — the exact pre-filter pair count the query scores."""
+    from pyspark.sql import functions as F
+
+    from cs744_big_data_system_spark.sources.readers import load_table
+    from cs744_big_data_system_spark.workloads.curation import SNM_WINDOW as W
+
+    sizes = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .count()
+    )
+    b = F.col("count")
+    pairs = sizes.select(
+        F.sum(
+            F.when(b >= W, (b - W) * W + W * (W - 1) / 2).otherwise(
+                b * (b - 1) / 2
+            )
+        ).alias("pairs")
+    ).first()["pairs"]
+    return int(pairs or 0)
+
+
+#: measured input-growth counters for the rows whose 10x time ratios
+#: needed out-of-band adjudication in r07/r08 (VERDICT r08 item 5: the
+#: 13.1x distinct-shingle count was a hand-run query — emit it from
+#: the smoke itself so the adjudication is fully in-artifact).
+INPUT_GROWTH = {
+    "text_novelty": _input_text_novelty,
+    "entity_match_pairs": _input_entity_match_pairs,
+}
+
+
 def time_query(fn, spark, sf_dir, reps: int = 2, fresh_memo: bool = False) -> float:
     times = []
     df = None
@@ -214,6 +260,12 @@ def main() -> None:
         ratio = t1 / t01 if t01 > 0 else float("inf")
         rows.append((name, round(t01, 3), round(t1, 3), round(ratio, 2)))
         print(json.dumps({"q": name, "sf0.1": rows[-1][1], "sf1": rows[-1][2], "x": rows[-1][3]}))
+    growth = []
+    for name, counter in INPUT_GROWTH.items():
+        n01, n1 = counter(spark, SF01), counter(spark, SF1)
+        growth.append((name, n01, n1, round(n1 / n01, 2) if n01 else float("inf")))
+        print(json.dumps({"q": name, "input_sf0.1": n01, "input_sf1": n1,
+                          "input_x": growth[-1][3]}))
     probe_end = bench.calibration_probe(spark)
     spark.stop()
 
@@ -251,6 +303,31 @@ def main() -> None:
         f"| **total** | **{total01}** | **{total1}** | **{round(total1 / total01, 2)}x** |",
         "",
     ]
+    if growth:
+        by_name = {r[0]: r for r in rows}
+        lines += [
+            "## Measured input growth (in-artifact adjudication)",
+            "",
+            "For rows whose time ratio exceeds the 10x row-growth prior,",
+            "the smoke measures the query's true work driver at both",
+            "scales (these counters run inside this same smoke session —",
+            "no hand-carried numbers). A time ratio at or below the input",
+            "ratio is linear in the work the data actually presents.",
+            "",
+            "| query | time ratio | input (work driver) | input sf0.1 | input sf1 | input growth |",
+            "|---|---|---|---|---|---|",
+        ]
+        driver_desc = {
+            "text_novelty": "doc-distinct 3-gram shingle pairs",
+            "entity_match_pairs": "sorted-neighborhood candidate pairs",
+        }
+        for name, n01, n1, g in growth:
+            tr = f"{by_name[name][3]}x" if name in by_name else "-"
+            lines.append(
+                f"| {name} | {tr} | {driver_desc.get(name, '')} | "
+                f"{n01} | {n1} | {g}x |"
+            )
+        lines.append("")
     with open(out_md, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {out_md}")

@@ -256,13 +256,15 @@ def test_ewma_matches_pandas_recursive(spark):
 
 def test_registry_invariants():
     """Driver-contract guards: every oracle key maps to a query, no
-    empty SQL, and the round-8 verification window (first 50 entries —
-    the prefix the driver attests) follows the rotation documented in
-    workloads/__init__.py: pure staleness refresh — the 19 remaining
-    r01-attested entries first (events_funnel … range_window), then
-    the oldest 31 r02-attested entries in registry order (dedup/text/
-    llm families, ending at window_tumbling)."""
+    empty SQL, every entry callable, and the verification window (the
+    first 50 entries — the prefix the driver attests) is exactly the
+    generated rotation module's FRONT. Window CONTENT vs the
+    CORRECTNESS artifacts is asserted by the tripwire in
+    tests/test_bench_contract.py (the front is derived, not
+    hand-enumerated, since r09) — this test only pins the wiring, so
+    it no longer goes stale each rotation."""
     from cs744_big_data_system_spark import workloads
+    from cs744_big_data_system_spark.workloads._rotation import FRONT
 
     reg = workloads.all_workloads()
     names = list(reg)
@@ -270,18 +272,7 @@ def test_registry_invariants():
     oracles = {n: sql for n, (_, sql) in reg.items() if sql is not None}
     for n, sql in oracles.items():
         assert sql.strip(), n
-    window = names[:50]
-    # stalest-first: the 19 remaining r01 attestations head the window
-    assert window[0] == "events_funnel"
-    assert window[18] == "range_window"
-    # freshness block: the oldest r02 attestations renew in slots 19-49
-    assert window[19] == "dedup_exact"
-    assert window[49] == "window_tumbling"
-    # the whole r08 window is oracle-backed (rows-only entries were all
-    # attested in earlier rounds and none is staleness-eligible yet)
-    assert all(n in oracles for n in window), [
-        n for n in window if n not in oracles
-    ]
+    assert len(FRONT) == 50 and names[:50] == FRONT
     # every registry entry is callable
     assert all(callable(fn) for fn, _ in reg.values())
 

@@ -688,3 +688,50 @@ def test_ngram_novelty_conservation(spark, docs):
     assert sum(r.n_novel for r in rows) == len(corpus_shingles)
     for r in rows:
         assert abs(r.novelty - round(r.n_novel / r.n_shingles, 6)) < 1e-9
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=3), min_size=1, max_size=10),
+        min_size=2,
+        max_size=6,
+    ),
+    n_clones=st.integers(min_value=0, max_value=2),
+    max_hamming=st.sampled_from([1, 3]),
+)
+@settings(**_SETTINGS)
+def test_simhash_pairs_match_bruteforce_hamming(spark, docs, n_clones, max_hamming):
+    """Pigeonhole banding must have recall 1.0 BY THEOREM: any pair
+    within the hamming budget agrees exactly on at least one of the
+    (max_hamming + 1) bands, so simhash_hamming_pairs must equal the
+    brute-force pairwise-hamming filter over the production simhash
+    signatures — a band shift/mask bug would silently drop pairs
+    (precision is already enforced by the verify step; this pins
+    completeness). Clones of doc 0 plant hamming-0 pairs so the
+    non-trivial direction is always exercised."""
+    from cs744_big_data_system_spark.operators.dedup import (
+        simhash,
+        simhash_hamming_pairs,
+    )
+
+    rows = [(i, " ".join(f"t{w}" for w in toks)) for i, toks in enumerate(docs)]
+    rows += [
+        (len(docs) + j, rows[0][1])  # exact clones: hamming 0 by construction
+        for j in range(n_clones)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sigs = {r.doc_id: r.simhash for r in simhash(df, bits=60).collect()}
+    want = {
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= max_hamming
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_hamming_pairs(df, bits=60, max_hamming=max_hamming).collect()
+    }
+    assert got == want
+    for j in range(n_clones):
+        assert (0, len(docs) + j) in got  # planted clones must pair

@@ -142,8 +142,8 @@ def test_rotation_window_matches_attestation_artifacts():
     assert names[:WINDOW] == computed, (
         "registry front is stale for the CORRECTNESS artifacts on disk "
         "— a new round's artifact landed (or the rotation was edited by "
-        "hand). Fix: re-wire the front of all_workloads() to the output "
-        "of `python tools/attest_rotation.py`."
+        "hand). Fix: `python tools/attest_rotation.py --write` "
+        "(regenerates workloads/_rotation.py), then review the diff."
     )
 
 

@@ -317,6 +317,14 @@ def calibration_probe(spark) -> dict[str, float]:
       syscall pattern of streaming-checkpoint commits, the exact class
       (checkpoints, tx-log writes, insert-overwrite) that spiked 1.9-10×
       on the degraded r06 host while CPU-bound queries held.
+    * ``floor``: one pinned sub-second shuffle job (range → groupBy →
+      count over 32 tasks) — the scheduler/stage-overhead floor that
+      dominates sub-second queries. r09 observed windows where this
+      floor sat ~2× above a prior run's WITH cpu/io probes reading
+      healthy (two healthy-probe runs gated disjoint sub-second sets,
+      worktree A/B showed identical code equally elevated); this probe
+      puts that third host dimension in the artifact. Evidence-only in
+      bench_compare — it is printed, never used to forgive a gated row.
 
     min-of-2 after a warm-up: the minimum is the robust statistic for
     "what the host can do", which is what a denominator needs.
@@ -353,7 +361,17 @@ def calibration_probe(spark) -> dict[str, float]:
 
     io_once()  # warm-up (page cache / dentry state)
     io = min(io_once() for _ in range(2))
-    return {"cpu": round(cpu, 4), "io": round(io, 4)}
+
+    def floor_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 1_000_000, 1, 32).groupBy(
+            (F.col("id") % 101).alias("k")
+        ).count().collect()
+        return time.perf_counter() - t0
+
+    floor_once()  # warm-up (exchange codegen)
+    floor = min(floor_once() for _ in range(2))
+    return {"cpu": round(cpu, 4), "io": round(io, 4), "floor": round(floor, 4)}
 
 
 def main() -> None:

@@ -247,3 +247,37 @@ def test_scale_data_usage_survives_docstring_stripping(tmp_path):
     assert "TypeError" not in r.stderr
     # and it must NOT have created a directory named after the flag
     assert not os.path.exists(tmp_path / "--no-such-flag")
+
+
+def test_floor_probe_is_evidence_only(tmp_path):
+    """r09: the sub-second floor probe's ratio is printed when both
+    artifacts carry it, but must NEVER forgive a gated row — a
+    floor-class elevation closes only via worktree A/B. Older
+    artifacts without the key compare silently (no drift note)."""
+    prev = {
+        "queries": {"q_small": 0.4},
+        "probe": {"cpu": 1.0, "io": 1.0, "floor": 0.30},
+    }
+    # floor probe 2.5x degraded AND the sub-second query 2x: if floor
+    # ever normalized, this would pass — it must stay GATED.
+    curr = {
+        "queries": {"q_small": 0.8},
+        "probe": {"cpu": 1.0, "io": 1.0, "floor": 0.75},
+    }
+    r = _run_compare(tmp_path, prev, curr)
+    assert r.returncode == 1, r.stdout
+    assert "q_small" in r.stdout.split("GATED regressions")[1]
+    assert "floor 0.30->0.75s (2.50x)" in r.stdout  # printed as evidence
+    # pre-r09 artifact without the floor key: no noisy drift note
+    prev_old = {"queries": {"q_small": 0.4}, "probe": {"cpu": 1.0, "io": 1.0}}
+    r2 = _run_compare(tmp_path, prev_old, curr, tag="old")
+    assert "floor missing" not in r2.stdout
+    assert r2.returncode == 1
+
+
+def test_calibration_probe_carries_floor(spark):
+    import bench as b
+
+    p = b.calibration_probe(spark)
+    assert set(p) == {"cpu", "io", "floor"}
+    assert all(v > 0 for v in p.values())

@@ -20,6 +20,13 @@ for adjudication — the artifact carries its own evidence of whether a
 spike is environmental (BENCH_r06: 337.8 s on a degraded host vs
 227.0 s on identical code needed a judge re-run to interpret).
 
+The ``floor`` probe (r09+: one pinned sub-second shuffle job — the
+scheduler/stage-overhead class that r09 saw sitting ~2x above a prior
+window WITH healthy cpu/io probes) is EVIDENCE-ONLY: its ratio is
+printed for the adjudicator but never normalizes or forgives a gated
+row — only worktree A/B against unchanged code can close a floor-class
+elevation.
+
 Exit codes: 0 = clean (no raw regressions, or every environmental row
 explicitly allowed via --allow-environmental); 1 = GATED regressions;
 2 = no gated regressions but environmental-only rows exist and
@@ -44,11 +51,15 @@ def probe_ratios(prev_doc: dict, curr_doc: dict) -> tuple[dict, str]:
             "no probe in one/both artifacts -> no normalization"
         )
     ratios, notes = {}, []
-    for dim in ("cpu", "io"):
+    for dim in ("cpu", "io", "floor"):
         p, c = pp.get(dim), cp.get(dim)
         if p and c:
             ratios[dim] = c / p
             notes.append(f"{dim} {p:.2f}->{c:.2f}s ({c / p:.2f}x)")
+        elif dim == "floor":
+            # floor probe is r09+; older artifacts lack it — evidence
+            # dimension only, so silently absent is fine.
+            ratios[dim] = 1.0
         else:
             ratios[dim] = 1.0
             notes.append(f"{dim} missing on one side -> 1.00x")

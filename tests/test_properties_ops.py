@@ -735,3 +735,50 @@ def test_simhash_pairs_match_bruteforce_hamming(spark, docs, n_clones, max_hammi
     assert got == want
     for j in range(n_clones):
         assert (0, len(docs) + j) in got  # planted clones must pair
+
+
+@given(
+    ratings=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # user
+            st.integers(min_value=0, max_value=5),   # item
+            st.integers(min_value=1, max_value=10),  # rating
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+@settings(**_SETTINGS)
+def test_als_half_step_solves_normal_equations(spark, ratings):
+    """The ALS half-step is an EXACT per-entity ridge solve: for every
+    user u the returned factors must satisfy
+    (YuT Yu + reg*n_u*I) xu = YuT ru against the fixed item factors —
+    verified with numpy on arbitrary tiny rating sets (duplicate
+    (u, i) pairs included: they stack twice in Y, by design). A wrong
+    join key, a dropped rating row, or a mis-grouped solve breaks the
+    residual; the convergence test alone would only notice eventually."""
+    import numpy as np
+
+    from cs744_big_data_system_spark.ml.als import _seed_factors, _solve_side
+
+    rank, reg = 4, 0.1
+    r = spark.createDataFrame(ratings, ["u", "i", "r"]).select(
+        "u", "i", F.col("r").cast("double").alias("r")
+    )
+    item_f = _seed_factors(r.select(F.col("i").alias("id")).distinct(), rank)
+    got = {
+        row.id: np.array(row.f)
+        for row in _solve_side(r, "u", "i", item_f, rank, reg).collect()
+    }
+    items = {row.id: np.array(row.f) for row in item_f.collect()}
+
+    by_user: dict[int, list] = {}
+    for u, i, rv in ratings:
+        by_user.setdefault(u, []).append((i, float(rv)))
+    assert set(got) == set(by_user)
+    for u, pairs in by_user.items():
+        Y = np.stack([items[i] for i, _ in pairs])
+        rv = np.array([x for _, x in pairs])
+        A = Y.T @ Y + reg * len(rv) * np.eye(rank)
+        resid = A @ got[u] - Y.T @ rv
+        assert np.max(np.abs(resid)) < 1e-8, (u, resid)

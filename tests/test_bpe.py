@@ -92,3 +92,36 @@ def test_bpe_tokenize_matches_reference_encode(spark):
     # merges compress: BPE tokens strictly fewer than raw characters
     chars = {r.doc_id: r.n for r in docs.select("doc_id", F.length("text").alias("n")).collect()}
     assert all(got[d][1] < chars[d] for d in got)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=5),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(
+    max_examples=6,  # each example runs num_merges Spark rounds
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_bpe_matches_reference_on_arbitrary_corpora(spark, words):
+    """Property twin of the goldens: on ARBITRARY tiny corpora the
+    distributed merge sequence must equal the pure-Python reference —
+    the goldens pin two fixed corpora, but the tie-break (max count,
+    then lexicographic) and the early-stop (count < 2) live exactly in
+    the corner cases hypothesis finds (single-char words, repeated
+    merges collapsing a whole word, all-unique vocab stopping at 0
+    merges)."""
+    from cs744_big_data_system_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame([(" ".join(words),)], ["text"])
+    counts = Counter(w for w in " ".join(words).lower().split() if w)
+    got = bpe_train(docs, num_merges=4)
+    want = _ref_bpe(dict(counts), 4)
+    assert got == want

@@ -782,3 +782,48 @@ def test_als_half_step_solves_normal_equations(spark, ratings):
         A = Y.T @ Y + reg * len(rv) * np.eye(rank)
         resid = A @ got[u] - Y.T @ rv
         assert np.max(np.abs(resid)) < 1e-8, (u, resid)
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(min_value=-4, max_value=4),
+            st.integers(min_value=-4, max_value=4),
+            st.integers(min_value=-4, max_value=4),
+        ),
+        min_size=2,
+        max_size=16,
+    ),
+    iterations=st.sampled_from([1, 3]),
+)
+@settings(**_SETTINGS)
+def test_kmeans_matches_numpy_lloyds(spark, vecs, iterations):
+    """fit_kmeans must equal a pure-numpy Lloyd's loop with the same
+    semantics — init = first-k vectors by id, ties to the lower
+    centroid index, emptied clusters keep their previous centroid.
+    Integer-valued vectors make every sum exact in float64, so the
+    distributed treeAggregate order cannot hide a semantic bug behind
+    rounding. Pins the rows-only ml_kmeans_fit entry's kernel."""
+    import numpy as np
+
+    from cs744_big_data_system_spark.ml.kmeans import fit_kmeans
+
+    k = 2
+    df = spark.createDataFrame(
+        [(i, [float(a), float(b), float(c)]) for i, (a, b, c) in enumerate(vecs)],
+        ["vec_id", "embedding"],
+    )
+    got_c, got_curve = fit_kmeans(df, k=k, iterations=iterations)
+
+    X = np.array(vecs, dtype=np.float64)
+    C = X[:k].copy()
+    want_curve = []
+    for _ in range(iterations):
+        d2 = (X * X).sum(1, keepdims=True) - 2.0 * X @ C.T + (C * C).sum(1)
+        asn = d2.argmin(1)
+        want_curve.append(float(d2[np.arange(len(asn)), asn].sum()) / len(X))
+        for j in range(k):
+            if (asn == j).any():
+                C[j] = X[asn == j].mean(0)
+    assert np.allclose(got_c, C, atol=1e-9), (got_c, C)
+    assert np.allclose(got_curve, want_curve, atol=1e-9)

@@ -544,3 +544,23 @@ def test_dsir_weights_self_target_is_exactly_zero(spark):
     rows = dsir_weights(docs, docs, num_buckets=128).collect()
     assert len(rows) == 12
     assert all(r.dsir_logratio == 0.0 for r in rows)
+
+
+def test_compression_ratio_unicode_bytes_denominator(spark):
+    """The ratio divides by UTF-8 BYTE length, not character count —
+    multibyte text is where the two diverge and a len(str) slip would
+    inflate every non-ASCII document's score."""
+    import zlib
+
+    from cs744_big_data_system_spark.operators.text_analysis import (
+        compression_ratio,
+    )
+
+    texts = ["héllo wörld " * 30, "日本語のテキスト " * 20, "emoji 🚀🚀🚀 " * 25]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    for i, t in enumerate(texts):
+        raw = t.encode("utf-8")
+        assert len(raw) != len(t)  # the distinction is actually exercised
+        want = round(len(zlib.compress(raw, 6)) / len(raw), 6)
+        assert abs(got[i].zlib_ratio - want) < 1e-9, (i, got[i].zlib_ratio, want)

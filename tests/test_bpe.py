@@ -125,3 +125,41 @@ def test_bpe_matches_reference_on_arbitrary_corpora(spark, words):
     got = bpe_train(docs, num_merges=4)
     want = _ref_bpe(dict(counts), 4)
     assert got == want
+
+
+@given(
+    train_words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=4),
+        min_size=1,
+        max_size=10,
+    ),
+    query_word=st.text(alphabet="abc", min_size=1, max_size=8),
+)
+@settings(max_examples=60, deadline=None)
+def test_encode_word_equals_rank_order_application(train_words, query_word):
+    """encode_word (merge the lowest-rank adjacent pair repeatedly) and
+    the Sennrich reference encoder (apply each merge rule everywhere,
+    in rank order) are equivalent algorithms — this pins that
+    equivalence on arbitrary merge tables and query words, including
+    words with characters never seen in training ('c') and words that
+    collapse entirely. Pure-Python: bpe_tokenize's UDF shares
+    encode_word, so this is the independent leg its test lacks."""
+    from cs744_big_data_system_spark.operators.bpe import encode_word
+
+    counts = Counter(train_words)
+    merges = _ref_bpe(dict(counts), 6)
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+
+    # reference: apply merges one at a time, rank order, whole word
+    syms = list(query_word) + ["</w>"]
+    for left, right, _ in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    assert encode_word(query_word, ranks) == syms

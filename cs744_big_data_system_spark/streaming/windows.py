@@ -192,6 +192,30 @@ def parquet_state_partitions(parquet_path: str) -> str:
     return _rows_to_state_partitions(total)
 
 
+#: Minimum free bytes on /dev/shm before a replay helper will stage
+#: there. Wave/checkpoint files per replay are tens of MB at the bench
+#: scales, but tmpfs is shared with the OS — staging into a nearly-full
+#: tmpfs would ENOSPC mid-replay with no fallback (ADVICE r09), where
+#: plain disk would have succeeded. 2 GiB of headroom keeps a safe
+#: margin even for sf1 replays while never rejecting a healthy host.
+_TMPFS_MIN_FREE_BYTES = 2 << 30
+
+
+def _tmpfs_base() -> str | None:
+    """/dev/shm if it is writable AND has headroom, else None (disk)."""
+    import os
+
+    if not (os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)):
+        return None
+    try:
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize < _TMPFS_MIN_FREE_BYTES:
+            return None
+    except OSError:
+        return None
+    return "/dev/shm"
+
+
 def replay_checkpoint_dir() -> str:
     """Create a THROWAWAY checkpoint dir for a replay drain, preferring
     tmpfs (/dev/shm) over disk. Replay checkpoints are verification
@@ -202,10 +226,7 @@ def replay_checkpoint_dir() -> str:
     -heavy queries spiked 1.9-10×; CPU-bound ones held). A production
     stream sets its own durable checkpointLocation; this helper is for
     replays only."""
-    import os
-
-    base = "/dev/shm" if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK) else None
-    return tempfile.mkdtemp(prefix="ckpt_", dir=base)
+    return tempfile.mkdtemp(prefix="ckpt_", dir=_tmpfs_base())
 
 
 def replay_stage_dir(prefix: str = "replay_waves_") -> str:
@@ -217,10 +238,7 @@ def replay_stage_dir(prefix: str = "replay_waves_") -> str:
     ``coalesce(1)`` parquet write pays a disk fsync per wave. A
     production stream reads its real source directory; this helper is
     for replays only."""
-    import os
-
-    base = "/dev/shm" if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK) else None
-    return tempfile.mkdtemp(prefix=prefix, dir=base)
+    return tempfile.mkdtemp(prefix=prefix, dir=_tmpfs_base())
 
 
 #: _drain_stream is NOT reentrant: it temporarily lowers the

@@ -117,6 +117,23 @@ def test_bench_compare_probe_schema_drift(tmp_path):
     assert "io missing on one side" in r.stdout
 
 
+def test_bench_compare_floor_probe_drift_notes(tmp_path):
+    """ADVICE r09: a legacy PREV artifact without the floor probe is
+    silently tolerated, but a current-format artifact that DROPS the
+    key is schema drift and must print the 'missing on one side' note
+    like cpu/io."""
+    legacy_prev = {"queries": {"q_cpu": 2.0}, "probe": {"cpu": 1.0, "io": 1.0}}
+    curr = {"queries": {"q_cpu": 2.0},
+            "probe": {"cpu": 1.0, "io": 1.0, "floor": 0.4}}
+    r = _run_compare(tmp_path, legacy_prev, curr)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "floor missing on one side" not in r.stdout
+    # prev HAS the floor probe; curr dropping it must be flagged
+    r2 = _run_compare(tmp_path, curr, legacy_prev, tag="drift")
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    assert "floor missing on one side" in r2.stdout
+
+
 def test_headline_names_all_resolve_in_registry():
     from cs744_big_data_system_spark.workloads import all_workloads
 
@@ -190,18 +207,21 @@ def test_latest_attestation_ignores_failed_rounds(tmp_path):
     ok = {"rows_match": True, "schema_match": True, "hash_match": True,
           "spark_rows": 1, "oracle_rows": 1, "err": None}
     hash_red = dict(ok, hash_match=False)
+    schema_red = dict(ok, schema_match=False)  # ADVICE r09
     errored = {"rows_match": None, "schema_match": None, "hash_match": None,
                "spark_rows": None, "oracle_rows": None, "err": "Traceback ..."}
     rows_only = {"rows_match": None, "schema_match": None, "hash_match": None,
                  "spark_rows": 42, "oracle_rows": None, "err": "no_oracle"}
     rows_only_dead = dict(rows_only, spark_rows=None)
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(
-        {"a": ok, "b": ok, "c": ok, "d": ok}))
+        {"a": ok, "b": ok, "c": ok, "d": ok, "e": ok}))
     (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(
-        {"a": hash_red, "b": errored, "c": rows_only, "d": rows_only_dead}))
+        {"a": hash_red, "b": errored, "c": rows_only, "d": rows_only_dead,
+         "e": schema_red}))
     latest = latest_attestation(str(tmp_path))
-    # failed r02 attestations leave a/b/d at r01; rows-only success advances c
-    assert latest == {"a": 1, "b": 1, "c": 2, "d": 1}
+    # failed r02 attestations leave a/b/d/e at r01; rows-only success
+    # advances c; e's red schema dimension must not advance it (ADVICE r09)
+    assert latest == {"a": 1, "b": 1, "c": 2, "d": 1, "e": 1}
 
 
 def test_rotation_write_roundtrips_and_is_stable(tmp_path, monkeypatch):

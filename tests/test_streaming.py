@@ -239,6 +239,51 @@ def test_drain_guard_resets_when_setup_raises(spark, monkeypatch):
     assert out.count() >= 2
 
 
+def test_tmpfs_base_guards_capacity(monkeypatch):
+    """ADVICE r09: replay staging must not pick /dev/shm when it lacks
+    headroom — a coalesce(1) parquet wave into a nearly-full tmpfs
+    ENOSPCs mid-replay with no fallback, where plain disk would have
+    succeeded."""
+    import os
+
+    from cs744_big_data_system_spark.streaming import windows as W
+
+    class FakeStat:
+        def __init__(self, free):
+            self.f_bavail = free
+            self.f_frsize = 1
+
+    if not (os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)):
+        import pytest
+
+        pytest.skip("/dev/shm not available on this host")
+
+    monkeypatch.setattr(os, "statvfs",
+                        lambda p: FakeStat(W._TMPFS_MIN_FREE_BYTES - 1))
+    assert W._tmpfs_base() is None
+    monkeypatch.setattr(os, "statvfs",
+                        lambda p: FakeStat(W._TMPFS_MIN_FREE_BYTES + 1))
+    assert W._tmpfs_base() == "/dev/shm"
+    # statvfs itself failing must degrade to disk, not crash the replay
+    def boom(p):
+        raise OSError("statvfs failed")
+
+    monkeypatch.setattr(os, "statvfs", boom)
+    assert W._tmpfs_base() is None
+    monkeypatch.undo()
+    # both helpers honor the guard end-to-end: dirs are creatable and
+    # land on tmpfs exactly when the guard allows it
+    base = W._tmpfs_base()
+    d1, d2 = W.replay_checkpoint_dir(), W.replay_stage_dir()
+    try:
+        if base:
+            assert d1.startswith("/dev/shm/") and d2.startswith("/dev/shm/")
+        assert os.path.isdir(d1) and os.path.isdir(d2)
+    finally:
+        os.rmdir(d1)
+        os.rmdir(d2)
+
+
 def test_stream_attribution_state_carries_across_batches(spark):
     """A touch in wave 0 must credit a purchase arriving in wave 1 —
     the state-store carry the batch window gets for free — and a

@@ -56,9 +56,11 @@ def probe_ratios(prev_doc: dict, curr_doc: dict) -> tuple[dict, str]:
         if p and c:
             ratios[dim] = c / p
             notes.append(f"{dim} {p:.2f}->{c:.2f}s ({c / p:.2f}x)")
-        elif dim == "floor":
-            # floor probe is r09+; older artifacts lack it — evidence
-            # dimension only, so silently absent is fine.
+        elif dim == "floor" and p is None:
+            # floor probe is r09+; silence is only for a LEGACY prev
+            # artifact that predates it. A current-format artifact that
+            # drops the key is schema drift and must be flagged like
+            # cpu/io (ADVICE r09).
             ratios[dim] = 1.0
         else:
             ratios[dim] = 1.0

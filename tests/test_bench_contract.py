@@ -128,6 +128,8 @@ def test_bench_compare_floor_probe_drift_notes(tmp_path):
     r = _run_compare(tmp_path, legacy_prev, curr)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "floor missing on one side" not in r.stdout
+    # VERDICT r09 item 7: the gate line itself carries the floor ratio
+    assert "floor 1.00x (evidence only" in r.stdout
     # prev HAS the floor probe; curr dropping it must be flagged
     r2 = _run_compare(tmp_path, curr, legacy_prev, tag="drift")
     assert r2.returncode == 0, r2.stdout + r2.stderr

@@ -105,7 +105,9 @@ def main() -> None:
           f"prev total {sum(prev[n] for n in common):.1f}s -> "
           f"curr total {sum(curr[n] for n in common):.1f}s")
     print(f"{probe_note} -> factors cpu {factors['cpu']:.2f}, "
-          f"io {factors['io']:.2f} (applied per-query by dimension)")
+          f"io {factors['io']:.2f} (applied per-query by dimension); "
+          f"floor {ratios.get('floor', 1.0):.2f}x (evidence only, never "
+          f"forgives a gated row)")
     print(f"added: {sorted(set(curr) - set(prev))}")
     print(f"removed: {sorted(set(prev) - set(curr))}")
     if raw:
@@ -128,7 +130,8 @@ def main() -> None:
               f"BENCH_NOTES.md and re-run with --allow-environmental")
         sys.exit(2)
     print(f"\nno gated regressions > {threshold}x "
-          f"(factors cpu {factors['cpu']:.2f} / io {factors['io']:.2f}"
+          f"(factors cpu {factors['cpu']:.2f} / io {factors['io']:.2f} / "
+          f"floor {ratios.get('floor', 1.0):.2f}x evidence-only"
           f"{'; environmental rows explicitly allowed' if env_only else ''})")
     sys.exit(0)
 

@@ -136,6 +136,26 @@ def test_bench_compare_floor_probe_drift_notes(tmp_path):
     assert "floor missing on one side" in r2.stdout
 
 
+def test_bench_compare_canary_floor_line(tmp_path):
+    """r10: the gate output carries a measured sub-second floor from
+    real registry rows (median of canary ratios); absent when fewer
+    than two canaries are shared."""
+    prev = {"queries": {"dq_checks": 0.4, "attribution_last_touch": 0.4,
+                        "merge_upsert": 0.4, "q_other": 2.0},
+            "probe": {"cpu": 1.0, "io": 1.0, "floor": 0.4}}
+    curr = {"queries": {"dq_checks": 0.56, "attribution_last_touch": 0.56,
+                        "merge_upsert": 0.58, "q_other": 2.0},
+            "probe": {"cpu": 1.0, "io": 1.0, "floor": 0.4}}
+    r = _run_compare(tmp_path, prev, curr)
+    assert "sub-second canary floor (median of 3 real rows): 1.40x" in r.stdout
+    # the canary is evidence-only: an elevated canary median must not by
+    # itself gate anything (all rows are under the 1.5x threshold here)
+    assert r.returncode == 0, r.stdout
+    no_canary = {"queries": {"q_other": 2.0}, "probe": {"cpu": 1.0, "io": 1.0}}
+    r2 = _run_compare(tmp_path, no_canary, no_canary, tag="nc")
+    assert "canary floor" not in r2.stdout
+
+
 def test_headline_names_all_resolve_in_registry():
     from cs744_big_data_system_spark.workloads import all_workloads
 

@@ -68,6 +68,36 @@ def probe_ratios(prev_doc: dict, curr_doc: dict) -> tuple[dict, str]:
     return ratios, "probe " + ", ".join(notes)
 
 
+#: Real sub-second registry rows used as a measured-floor canary. r10
+#: showed the synthetic floor probe reading near-healthy (0.27-0.46 s)
+#: while these real rows sat ~2x above the r08-era window — the probe's
+#: pinned shuffle job doesn't exercise the Arrow/scheduler overheads
+#: that the floor-elevation episodes inflate. Their median in-suite
+#: ratio IS in every artifact already; print it so the episode is
+#: visible in the gate line. Evidence-only, like the floor probe.
+FLOOR_CANARIES = (
+    "dq_checks",
+    "attribution_last_touch",
+    "text_gopher_rules",
+    "merge_upsert",
+)
+
+
+def canary_floor_ratio(prev: dict, curr: dict) -> tuple[float, int] | None:
+    """Median curr/prev ratio over the canary rows present in both
+    artifacts with non-trivial prev times, or None if fewer than two."""
+    ratios = sorted(
+        curr[n] / prev[n]
+        for n in FLOOR_CANARIES
+        if n in prev and n in curr and prev[n] > 0.05
+    )
+    if len(ratios) < 2:
+        return None
+    mid = len(ratios) // 2
+    med = ratios[mid] if len(ratios) % 2 else (ratios[mid - 1] + ratios[mid]) / 2
+    return med, len(ratios)
+
+
 def query_dimension(name: str) -> str:
     """Which probe dimension governs this query's host sensitivity.
 
@@ -108,6 +138,12 @@ def main() -> None:
           f"io {factors['io']:.2f} (applied per-query by dimension); "
           f"floor {ratios.get('floor', 1.0):.2f}x (evidence only, never "
           f"forgives a gated row)")
+    canary = canary_floor_ratio(prev, curr)
+    if canary:
+        med, n = canary
+        print(f"sub-second canary floor (median of {n} real rows): "
+              f"{med:.2f}x (evidence only — r10: the synthetic floor "
+              f"probe can miss a real-floor elevation)")
     print(f"added: {sorted(set(curr) - set(prev))}")
     print(f"removed: {sorted(set(prev) - set(curr))}")
     if raw:

@@ -374,6 +374,30 @@ def calibration_probe(spark) -> dict[str, float]:
     return {"cpu": round(cpu, 4), "io": round(io, 4), "floor": round(floor, 4)}
 
 
+def archive_detail(detail: dict, sf: float) -> str:
+    """Write an immutable content-addressed copy of the detail artifact
+    under bench_history/. BENCH_DETAIL_sf{sf}.json is a single mutable
+    slot that both the round driver and the builder write — r09 and r10
+    each opened with a round's run silently clobbered by the other's
+    (VERDICT r09/r10 bookkeeping item). The hash-named copy means no
+    run is ever lost to an overwrite; identical reruns dedupe to the
+    same file. No timestamps: content-addressing keeps this
+    deterministic and rerun-stable."""
+    import hashlib
+
+    blob = json.dumps(detail, sort_keys=True).encode()
+    digest = hashlib.sha256(blob).hexdigest()[:12]
+    hist_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_history"
+    )
+    os.makedirs(hist_dir, exist_ok=True)
+    path = os.path.join(hist_dir, f"BENCH_DETAIL_sf{sf}_{digest}.json")
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            json.dump(detail, f, indent=1)
+    return path
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -412,6 +436,7 @@ def main() -> None:
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
+    archive_detail(detail, sf)
     print(json.dumps(detail))
     print(summary_line(per_query, total, sf, os.path.basename(detail_path), probe))
     spark.stop()

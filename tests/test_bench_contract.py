@@ -136,6 +136,27 @@ def test_bench_compare_floor_probe_drift_notes(tmp_path):
     assert "floor missing on one side" in r2.stdout
 
 
+def test_archive_detail_content_addressed(tmp_path, monkeypatch):
+    """r10: every bench run is archived under a content-hashed name so
+    a later run overwriting the mutable BENCH_DETAIL slot never loses
+    an artifact; identical details dedupe to one file."""
+    import os
+
+    monkeypatch.setattr(bench.os.path, "abspath",
+                        lambda p: str(tmp_path / "bench.py"))
+    d1 = {"metric": "m", "value": 1.0, "queries": {"a": 1.0}}
+    d2 = {"metric": "m", "value": 2.0, "queries": {"a": 2.0}}
+    p1 = bench.archive_detail(d1, 0.1)
+    p1_again = bench.archive_detail(d1, 0.1)
+    p2 = bench.archive_detail(d2, 0.1)
+    assert p1 == p1_again and p1 != p2
+    assert os.path.dirname(p1).endswith("bench_history")
+    assert len(os.listdir(os.path.dirname(p1))) == 2
+    import json as _json
+
+    assert _json.load(open(p2))["value"] == 2.0
+
+
 def test_bench_compare_canary_floor_line(tmp_path):
     """r10: the gate output carries a measured sub-second floor from
     real registry rows (median of canary ratios); absent when fewer

@@ -386,15 +386,43 @@ def archive_detail(detail: dict, sf: float) -> str:
     import hashlib
 
     blob = json.dumps(detail, sort_keys=True).encode()
-    digest = hashlib.sha256(blob).hexdigest()[:12]
+    # 24 hex chars = 96 bits: collision odds are negligible, but a
+    # truncated digest colliding would silently drop a run (ADVICE r10)
+    # — so on path-exists also verify the contents actually match, and
+    # write a suffixed copy if they somehow don't.
+    digest = hashlib.sha256(blob).hexdigest()[:24]
     hist_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_history"
     )
     os.makedirs(hist_dir, exist_ok=True)
+    # r04-r10 archives used a 12-char digest; dedupe against a legacy
+    # name rather than re-archiving the same run under the longer one
+    legacy = os.path.join(
+        hist_dir, f"BENCH_DETAIL_sf{sf}_{digest[:12]}.json"
+    )
+    if os.path.exists(legacy):
+        with open(legacy) as f:
+            if json.load(f) == detail:
+                return legacy
     path = os.path.join(hist_dir, f"BENCH_DETAIL_sf{sf}_{digest}.json")
-    if not os.path.exists(path):
-        with open(path, "w") as f:
-            json.dump(detail, f, indent=1)
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+        if existing == detail:
+            return path  # identical rerun — dedupe
+        suffix = 1
+        while os.path.exists(
+            alt := os.path.join(
+                hist_dir, f"BENCH_DETAIL_sf{sf}_{digest}-{suffix}.json"
+            )
+        ):
+            with open(alt) as f:
+                if json.load(f) == detail:
+                    return alt
+            suffix += 1
+        path = alt
+    with open(path, "w") as f:
+        json.dump(detail, f, indent=1)
     return path
 
 

@@ -169,12 +169,101 @@ def test_bench_compare_canary_floor_line(tmp_path):
             "probe": {"cpu": 1.0, "io": 1.0, "floor": 0.4}}
     r = _run_compare(tmp_path, prev, curr)
     assert "sub-second canary floor (median of 3 real rows): 1.40x" in r.stdout
+    # ADVICE r10: partial canary loss must be visible, not silent
+    assert "only 3/4 canary rows shared" in r.stdout
     # the canary is evidence-only: an elevated canary median must not by
     # itself gate anything (all rows are under the 1.5x threshold here)
     assert r.returncode == 0, r.stdout
     no_canary = {"queries": {"q_other": 2.0}, "probe": {"cpu": 1.0, "io": 1.0}}
     r2 = _run_compare(tmp_path, no_canary, no_canary, tag="nc")
-    assert "canary floor" not in r2.stdout
+    # ADVICE r10: total canary loss must be announced, not silently absent
+    assert "measured-floor evidence LOST" in r2.stdout
+    full = {"queries": {"dq_checks": 0.4, "attribution_last_touch": 0.4,
+                        "merge_upsert": 0.4, "text_gopher_rules": 0.4},
+            "probe": {"cpu": 1.0, "io": 1.0, "floor": 0.4}}
+    r3 = _run_compare(tmp_path, full, full, tag="full")
+    assert "sub-second canary floor (median of 4 real rows): 1.00x" in r3.stdout
+    assert "canary rows shared" not in r3.stdout  # no note when all 4 present
+
+
+def test_bench_compare_baseline_pointer(tmp_path):
+    """ADVICE r10: the gate baseline is a mechanical pointer file
+    (BENCH_BASELINE.json -> bench_history/<hash>.json), so a caller
+    can never accidentally gate against a host-elevated run sitting in
+    the mutable BENCH_DETAIL slot."""
+    import subprocess
+    import sys
+
+    hist = tmp_path / "bench_history"
+    hist.mkdir()
+    baseline = {"queries": {"q": 1.0}, "probe": {"cpu": 1.0, "io": 1.0}}
+    (hist / "BENCH_DETAIL_sf0.1_abc.json").write_text(json.dumps(baseline))
+    pointer = tmp_path / "BENCH_BASELINE.json"
+    pointer.write_text(json.dumps(
+        {"detail": "bench_history/BENCH_DETAIL_sf0.1_abc.json"}))
+    curr = tmp_path / "curr.json"
+    curr.write_text(json.dumps(
+        {"queries": {"q": 1.1}, "probe": {"cpu": 1.0, "io": 1.0}}))
+    r = subprocess.run(
+        [sys.executable, "tools/bench_compare.py", str(pointer), str(curr)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "resolved baseline pointer" in r.stdout
+    assert "prev total 1.0s -> curr total 1.1s" in r.stdout
+
+
+def test_repo_baseline_pointer_resolves():
+    """The committed BENCH_BASELINE.json must point at an existing
+    archived detail with a queries block (the pristine d412b80 run)."""
+    import os
+
+    doc = json.load(open("BENCH_BASELINE.json"))
+    target = doc["detail"]
+    assert os.path.exists(target), target
+    detail = json.load(open(target))
+    assert "queries" in detail and len(detail["queries"]) > 100
+    assert abs(detail["value"] - 224.7) < 1.0
+
+
+def test_archive_detail_collision_writes_suffixed_copy(tmp_path, monkeypatch):
+    """ADVICE r10: on a (hypothetical) truncated-digest collision the
+    archive must not silently drop the new run — contents are compared
+    and a suffixed copy written on mismatch."""
+    import os
+
+    monkeypatch.setattr(bench.os.path, "abspath",
+                        lambda p: str(tmp_path / "bench.py"))
+    d1 = {"metric": "m", "value": 1.0, "queries": {"a": 1.0}}
+    p1 = bench.archive_detail(d1, 0.1)
+    # simulate a collision: a DIFFERENT detail already occupies d2's path
+    d2 = {"metric": "m", "value": 2.0, "queries": {"a": 2.0}}
+    (tmp_path / "bench_history" / os.path.basename(p1)).write_text(
+        json.dumps({"metric": "m", "value": 9.0, "queries": {"z": 9.0}}))
+    p1_colliding = bench.archive_detail(d1, 0.1)
+    assert p1_colliding != p1 and p1_colliding.endswith("-1.json")
+    assert json.load(open(p1_colliding)) == d1
+    # rerunning the colliding detail dedupes to the SAME suffixed copy
+    assert bench.archive_detail(d1, 0.1) == p1_colliding
+    # and an unrelated detail still gets its own fresh hash name
+    p2 = bench.archive_detail(d2, 0.1)
+    assert json.load(open(p2)) == d2 and p2 != p1_colliding
+
+
+def test_archive_detail_dedupes_to_legacy_12char_name(tmp_path, monkeypatch):
+    """r04-r10 archives used a 12-char digest; re-archiving the same
+    run must dedupe to the existing legacy file, not duplicate it."""
+    import os
+
+    monkeypatch.setattr(bench.os.path, "abspath",
+                        lambda p: str(tmp_path / "bench.py"))
+    d = {"metric": "m", "value": 3.0, "queries": {"a": 3.0}}
+    p = bench.archive_detail(d, 0.1)
+    digest24 = os.path.basename(p).split("_")[-1].removesuffix(".json")
+    legacy = tmp_path / "bench_history" / f"BENCH_DETAIL_sf0.1_{digest24[:12]}.json"
+    os.rename(p, legacy)
+    assert bench.archive_detail(d, 0.1) == str(legacy)
+    assert os.listdir(tmp_path / "bench_history") == [legacy.name]
 
 
 def test_headline_names_all_resolve_in_registry():

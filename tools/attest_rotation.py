@@ -24,6 +24,13 @@ Modes:
     python tools/attest_rotation.py --check    # gate: wired == computed
     python tools/attest_rotation.py --write    # regenerate the wired
                                                # front (workloads/_rotation.py)
+    python tools/attest_rotation.py --round-open
+                                               # --write PLUS archive the
+                                               # mutable BENCH_DETAIL slot
+                                               # into bench_history/ (the
+                                               # whole round-open checklist
+                                               # in one command, VERDICT
+                                               # r10 item 7)
 
 ``--write`` makes the post-round rotation a one-command, diff-reviewed
 operation (VERDICT r08 item 7): the registry front lives in the
@@ -131,6 +138,28 @@ def write_rotation_module(window: list[str], summary: str) -> None:
         )
 
 
+def archive_bench_slots(root: str = ".") -> list[str]:
+    """Archive every mutable BENCH_DETAIL_sf*.json slot into
+    bench_history/ via bench.archive_detail (content-addressed, so this
+    is idempotent — an already-archived run dedupes to its existing
+    file). Round-open hygiene: the driver and builder share the slot
+    and have clobbered each other's runs twice (VERDICT r09/r10); this
+    makes 'nothing in the slot is ever lost' a one-command guarantee
+    rather than a checklist item."""
+    import bench
+
+    archived = []
+    for path in sorted(glob.glob(os.path.join(root, "BENCH_DETAIL_sf*.json"))):
+        m = re.search(r"BENCH_DETAIL_sf([0-9.]+)\.json$", path)
+        if not m:
+            continue
+        detail = json.load(open(path))
+        if "queries" not in detail:
+            continue
+        archived.append(bench.archive_detail(detail, float(m.group(1))))
+    return archived
+
+
 def main() -> None:
     from cs744_big_data_system_spark.workloads import all_workloads
 
@@ -153,7 +182,10 @@ def main() -> None:
             sys.exit(1)
         print(f"OK: wired registry front == computed window ({blocks})")
         return
-    if "--write" in sys.argv[1:]:
+    if "--write" in sys.argv[1:] or "--round-open" in sys.argv[1:]:
+        if "--round-open" in sys.argv[1:]:
+            for p in archive_bench_slots():
+                print(f"bench slot archived -> {p}")
         write_rotation_module(window, blocks)
         print(f"wrote {_ROTATION_MODULE} ({blocks})")
         return

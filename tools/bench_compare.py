@@ -83,6 +83,25 @@ FLOOR_CANARIES = (
 )
 
 
+def resolve_doc(path: str) -> dict:
+    """Load a BENCH_DETAIL artifact, following one level of baseline
+    pointer: a doc with no "queries" but a "detail" key names another
+    artifact path (relative to the pointer file's directory). This
+    makes the round's gate baseline a mechanical fact
+    (BENCH_BASELINE.json) instead of prose in BENCH_NOTES.md that a
+    caller can miss — the mutable BENCH_DETAIL slot at HEAD may hold a
+    host-elevated run that must not become prev (ADVICE r10)."""
+    import os
+
+    doc = json.load(open(path))
+    if "queries" not in doc and "detail" in doc:
+        target = os.path.join(os.path.dirname(os.path.abspath(path)),
+                              doc["detail"])
+        print(f"resolved baseline pointer {path} -> {doc['detail']}")
+        doc = json.load(open(target))
+    return doc
+
+
 def canary_floor_ratio(prev: dict, curr: dict) -> tuple[float, int] | None:
     """Median curr/prev ratio over the canary rows present in both
     artifacts with non-trivial prev times, or None if fewer than two."""
@@ -115,8 +134,8 @@ def main() -> None:
     allow_env = "--allow-environmental" in sys.argv[1:]
     prev_path, curr_path = argv[0], argv[1]
     threshold = float(argv[2]) if len(argv) > 2 else 1.5
-    prev_doc = json.load(open(prev_path))
-    curr_doc = json.load(open(curr_path))
+    prev_doc = resolve_doc(prev_path)
+    curr_doc = resolve_doc(curr_path)
     prev, curr = prev_doc["queries"], curr_doc["queries"]
     ratios, probe_note = probe_ratios(prev_doc, curr_doc)
     factors = {dim: max(1.0, r) for dim, r in ratios.items()}
@@ -144,6 +163,14 @@ def main() -> None:
         print(f"sub-second canary floor (median of {n} real rows): "
               f"{med:.2f}x (evidence only — r10: the synthetic floor "
               f"probe can miss a real-floor elevation)")
+        if n < len(FLOOR_CANARIES):
+            print(f"canary floor: only {n}/{len(FLOOR_CANARIES)} canary "
+                  f"rows shared between artifacts — evidence partially "
+                  f"degraded (ADVICE r10)")
+    else:
+        print(f"canary floor: <2 of {len(FLOOR_CANARIES)} canary rows "
+              f"shared between artifacts — measured-floor evidence LOST "
+              f"for this comparison (ADVICE r10)")
     print(f"added: {sorted(set(curr) - set(prev))}")
     print(f"removed: {sorted(set(prev) - set(curr))}")
     if raw:

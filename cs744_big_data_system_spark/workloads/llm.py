@@ -1106,9 +1106,21 @@ def q_llm_clean_corpus(spark, sf_dir):
     doc_id of each pair) → quality filter (≥5 tokens, punct ratio
     < 0.3). Each stage is the already-oracle-checked operator; the
     composite proves they compose without driver materialization —
-    at 100 TB this whole pipeline is 4 shuffles end-to-end."""
+    at 100 TB this whole pipeline is 4 shuffles end-to-end.
+
+    The quality stage is INLINE on the deduped stream (same predicate
+    and n_tokens expression as operators/text_analysis.quality_features,
+    which stays the standalone audited operator): the r11 executed-plan
+    audit showed the earlier ``d2.join(quality_features(d2))`` shape
+    re-evaluated the ENTIRE upstream subtree — exact dedup plus the
+    shingle self-join — a second time just to recover ``lang`` (20
+    parquet scans in the final plan; AQE exchange reuse cannot unify
+    the two sides because their projections differ). Filtering in place
+    keeps one subtree: rows and columns are identical (inner join on
+    the unique doc_id = filter), guide §1.2 'don't compute things you
+    throw away'."""
+    from cs744_big_data_system_spark.functions.text import punct_ratio, token_count
     from cs744_big_data_system_spark.operators.dedup import exact_dedup, ngram_jaccard_pairs
-    from cs744_big_data_system_spark.operators.text_analysis import quality_features
 
     docs = load_table(spark, sf_dir, "documents")
     d1 = exact_dedup(docs)
@@ -1118,8 +1130,16 @@ def q_llm_clean_corpus(spark, sf_dir):
         .distinct()
     )
     d2 = d1.join(near, "doc_id", "left_anti")
-    q = quality_features(d2).filter(F.col("quality_ok")).select("doc_id", "n_tokens")
-    return d2.join(q, "doc_id").select("doc_id", "lang", "n_tokens")
+    n_tok = token_count("text")
+    return (
+        d2.withColumn("n_tokens", n_tok)
+        .filter(
+            (F.col("n_tokens") >= 5)
+            & (F.col("n_tokens") <= 100000)
+            & (punct_ratio("text") < 0.3)
+        )
+        .select("doc_id", "lang", "n_tokens")
+    )
 
 
 SQL_LLM_CLEAN_CORPUS = f"""

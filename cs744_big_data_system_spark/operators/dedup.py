@@ -621,6 +621,13 @@ def simhash_hamming_pairs(
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     sig = simhash(documents, bits)
+    # Explicit repartition on the join key: both self-join sides then
+    # hang off ONE identical exchange, which AQE's stage cache reuses —
+    # without it the r11 executed-plan audit showed the whole
+    # tokenize→md5→60-sum simhash subtree evaluated TWICE (the planner
+    # broadcast one side, and a BroadcastExchange's child shares
+    # nothing). The shuffle it adds is the same (band_idx, band_val)
+    # partitioning the join needs anyway (guide §2.4).
     entries = sig.select(
         "doc_id",
         "simhash",
@@ -633,23 +640,28 @@ def simhash_hamming_pairs(
                 for i in range(bands)
             ])
         ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    ).select(
+        "doc_id", "simhash", "band.band_idx", "band.band_val"
+    ).repartition("band_idx", "band_val")
     a = entries.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band_idx", "band_val"
     )
     b = entries.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band_idx", "band_val"
     )
-    cand = (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .distinct()
-    )
+    # Verify BEFORE the dedup exchange: compute the exact hamming on
+    # the joined row and drop non-pairs first, so the distinct shuffles
+    # only TRUE pairs and only (doc_a, doc_b, hamming) — not every
+    # multi-band candidate with two 8-byte signatures (guide §2.3,
+    # 'shuffle fewer bytes'). hamming is a pure function of the pair,
+    # so distinct-on-three-columns has the cardinality of the pair set.
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

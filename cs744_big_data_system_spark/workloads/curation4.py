@@ -448,6 +448,21 @@ def q_ml_kfold_cv(spark, sf_dir):
             % _CV_K
         ).alias("fold"),
     )
+    # Explicit repartition on the fold key: the three consumers of
+    # ``rows`` (fold stats, their rollup via coef, and held-out
+    # scoring) then share ONE identical exchange that AQE's stage
+    # cache reuses — the r11 executed-plan audit showed three separate
+    # lineitem scans, each re-running the md5 fold assignment over
+    # every row (guide §2.4: two operations keyed the same way share
+    # one exchange). The shuffle carries three longs per row and is
+    # keyed exactly how both aggregations and the scoring join want it.
+    # The explicit isNotNull matters for the reuse: the final join
+    # infers isnotnull(fold) and pushes it below the exchange on the
+    # scoring and coef paths but NOT below tot's (an aggregate over all
+    # groups), which would leave tot on its own non-canonical-equal
+    # scan. fold = md5(non-null keys) % K is never null, so the filter
+    # drops nothing and all three subtrees canonicalize identically.
+    rows = rows.filter(F.col("fold").isNotNull()).repartition("fold")
     folds = rows.groupBy("fold").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),

@@ -28,6 +28,8 @@ hash-shuffle building blocks used here.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -131,6 +133,24 @@ def pruned_shingle_table(
             F.explode(
                 F.transform(ngrams_from_tokens("_tk", n), md5_int60)
             ).alias("shingle"),
+        )
+        # Explicit not-null on every key the downstream self-join
+        # touches, BEFORE the distinct. The join infers these
+        # (doc_a < doc_b, shingle/block equality) and pushes them below
+        # the distinct's exchange on the two pair sides but not on the
+        # per-doc sizes side, leaving sizes on its own scan of the whole
+        # tokenize→ngram→md5 subtree (r11 executed-plan audit: 2 scans,
+        # sizes re-deriving everything). With the filters explicit, all
+        # consumers canonicalize identically and AQE reuses ONE distinct
+        # exchange. Semantics unchanged: doc_id and the md5-folded
+        # shingle are never null by construction, and null-block docs
+        # can never appear in a pair, so their sizes rows were
+        # unreachable through the inner joins anyway.
+        .filter(
+            reduce(
+                lambda a, b: a & b,
+                [F.col(c).isNotNull() for c in [*doc_cols, "shingle"]],
+            )
         )
         .distinct()
     )

@@ -827,15 +827,35 @@ def substring_dup_coverage(
     """
     from pyspark.sql import Window
 
+    from cs744_big_data_system_spark.plans.tuning import fan_out_small_scan
+
+    # The tokenize→ngram→md5-per-position chain is the most expensive
+    # per-row expression block in the suite; on a split-starved scan it
+    # runs as ONE task (r11 profile: 5.2 s of the 6.2 s query in a
+    # single-task stage, 31 cores idle). Fan out before computing it —
+    # a no-op when the scan already fills the session's cores.
+    documents = fan_out_small_scan(documents, "doc_id")
     docs = _with_canon_tokens(documents, "doc_id").select(
         "doc_id",
         F.size("_tk").alias("n_tokens"),
         ngrams_from_tokens("_tk", n).alias("_g"),
     )
-    pos = docs.select(
-        "doc_id",
-        F.posexplode("_g").alias("pos", "gram"),
-    ).select("doc_id", "pos", md5_int60("gram").alias("gram_hash"))
+    # posexplode_OUTER, then drop the null row: plain posexplode makes
+    # the planner insert an implicit `size(_g) > 0` pre-filter, which
+    # gets pushed below the fan-out exchange and re-runs the whole
+    # tokenize→ngram chain serially on the split-starved scan side
+    # (r11 profile: a 4.5 s single-task stage doing nothing but that
+    # pushed filter). The outer form needs no pre-filter; the explicit
+    # pos-not-null filter above the exchange is one null check per row
+    # and drops exactly the rows posexplode skipped.
+    pos = (
+        docs.select(
+            "doc_id",
+            F.posexplode_outer("_g").alias("pos", "gram"),
+        )
+        .filter(F.col("pos").isNotNull())
+        .select("doc_id", "pos", md5_int60("gram").alias("gram_hash"))
+    )
     wdf = Window.partitionBy("gram_hash")
     spans = (
         pos.withColumn("_df", F.count(F.lit(1)).over(wdf))

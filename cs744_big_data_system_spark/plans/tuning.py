@@ -12,6 +12,7 @@ heavy tail: connected components on a 697-node label table ran 6.7 s at
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
@@ -44,3 +45,72 @@ def loop_shuffle_partitions(
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _size_bytes(v: str) -> int:
+    """Parse a Spark size conf value ("128MB", "1g", "134217728b")."""
+    v = v.strip().lower().rstrip("b")
+    mult = 1
+    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
+        if v.endswith(suf):
+            v, mult = v[:-1], m
+            break
+    return int(float(v) * mult)
+
+
+def fan_out_small_scan(df, key: str | None = None):
+    """Hash-repartition a SMALL or split-starved scan to session
+    parallelism before heavy per-row expression work (tokenize → n-gram
+    → md5 chains, per-position hashing) — guide §2.5 "input skew: one
+    huge unsplittable file … repartition immediately after the read".
+
+    Why it exists: a parquet file is split at row-group boundaries, so
+    a table written as one row group scans as ONE task no matter how
+    many cores the session has — dedup_substring measured 5.2 s of its
+    6.2 s in a single-task stage at sf0.1/local[32] with 31 cores idle.
+    On a real cluster big tables arrive in thousands of splits and this
+    helper is a no-op; it fires only when the scan cannot naturally
+    fill the session's cores AND the shuffle it adds is bounded.
+
+    Scale-adaptive gate (no local-only constants): fire iff
+      estimated natural splits (total_bytes / maxPartitionBytes)
+        < defaultParallelism                     -- split-starved
+      AND total_bytes <= defaultParallelism * maxPartitionBytes
+                                                 -- bounded shuffle
+    Both sides derive from the session's own conf, so a 100 TB scan
+    (millions of splits) never repartitions while any split-starved
+    input small enough to move cheaply does.
+
+    ``key``: a well-distributed column (a unique id) to hash-partition
+    on — deterministic under task retry and, unlike keyless round-robin
+    repartition, needs no sort-before-repartition pass. Falls back to
+    round-robin when no key is given.
+
+    Only called where the caller KNOWS the downstream per-row work is
+    expensive; cheap columnar aggregates should keep the plain scan.
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        from urllib.parse import unquote, urlparse
+
+        total = 0
+        files = df.inputFiles()
+        for uri in files:
+            p = urlparse(uri)
+            if p.scheme not in ("file", ""):
+                return df  # remote FS: trust the scan's natural splits
+            total += os.path.getsize(unquote(p.path))
+    except Exception:
+        return df
+    if not files:
+        return df
+    max_split = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    est_splits = max(1, -(-total // max_split))
+    if est_splits >= par or total > par * max_split:
+        return df
+    if key is not None:
+        return df.repartition(par, key)
+    return df.repartition(par)

@@ -83,3 +83,44 @@ def test_drain_stream_reentrancy_guard(spark):
             W._drain_stream(spark, None, "update")
     finally:
         W._DRAIN_ACTIVE = False
+
+
+def test_fan_out_small_scan_fires_on_split_starved_local_scan(spark, tmp_path):
+    from cs744_big_data_system_spark.plans.tuning import fan_out_small_scan
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(0, 1000, 1, 1).selectExpr("id", "id * 2 AS v").coalesce(
+        1
+    ).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    par = spark.sparkContext.defaultParallelism
+    out = fan_out_small_scan(df, "id")
+    # fires: the single-row-group file cannot fill the session's cores
+    assert out.rdd.getNumPartitions() == par
+    # rows identical, only placement changes
+    assert sorted(r.id for r in out.collect()) == list(range(1000))
+
+
+def test_fan_out_small_scan_noop_when_scan_fills_cores(spark, tmp_path):
+    from cs744_big_data_system_spark.plans.tuning import fan_out_small_scan
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(0, 100, 1, 1).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    # shrink the split size so the estimated natural splits >= cores:
+    # the helper must trust the scan and add no exchange
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16")
+    try:
+        out = fan_out_small_scan(df, "id")
+        assert out is df
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def test_fan_out_small_scan_noop_on_derived_input(spark):
+    from cs744_big_data_system_spark.plans.tuning import fan_out_small_scan
+
+    # no input files (in-memory range) -> helper must leave it alone
+    df = spark.range(10)
+    assert fan_out_small_scan(df, "id") is df

@@ -83,7 +83,18 @@ def _with_canon_tokens(documents: DataFrame, *keep_cols: str) -> DataFrame:
     column. Near-dup detection must be insensitive to trivial byte
     differences; materializing (vs inlining the split expression) is
     what keeps the downstream n-gram transform from re-running the
-    regex per element — measured 10× at sf0.1."""
+    regex per element — measured 10× at sf0.1.
+
+    Fans out a split-starved scan first (plans/tuning.fan_out_small_scan)
+    so the tokenize→n-gram→hash chains that every caller builds on top
+    run at session parallelism instead of inside the scan's single
+    task — no-op when the scan already fills the cores. Callers must
+    not put a derived filter on the token column below their first
+    exchange (use the *_outer explode forms) or the planner will push
+    it below this repartition and re-run the tokenizer serially."""
+    from cs744_big_data_system_spark.plans.tuning import fan_out_small_scan
+
+    documents = fan_out_small_scan(documents, keep_cols[0] if keep_cols else None)
     return documents.select(*keep_cols, tokens(normalized_text("text")).alias("_tk"))
 
 
@@ -93,7 +104,12 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     by (doc_id, shingle), which is high-cardinality and skew-free."""
     return (
         _with_canon_tokens(documents, "doc_id")
-        .select("doc_id", F.explode(ngrams_from_tokens("_tk", n)).alias("shingle"))
+        # explode_OUTER + not-null instead of plain explode: the
+        # implicit size()>0 pre-filter a plain explode inserts would be
+        # pushed below the fan-out exchange and re-run the tokenizer
+        # serially on the scan side (see substring_dup_coverage).
+        .select("doc_id", F.explode_outer(ngrams_from_tokens("_tk", n)).alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
         .distinct()
     )
 
@@ -130,7 +146,9 @@ def pruned_shingle_table(
         _with_canon_tokens(documents, *doc_cols)
         .select(
             *doc_cols,
-            F.explode(
+            # outer + the not-null filter below, so no implicit
+            # size()>0 pre-filter lands under the fan-out exchange
+            F.explode_outer(
                 F.transform(ngrams_from_tokens("_tk", n), md5_int60)
             ).alias("shingle"),
         )
@@ -594,8 +612,8 @@ def simhash(documents: DataFrame, bits: int = 60) -> DataFrame:
     conditional sum — two narrow shuffles, both keyed by doc_id.
     """
     tok = _with_canon_tokens(documents, "doc_id").select(
-        "doc_id", F.explode("_tk").alias("tok")
-    )
+        "doc_id", F.explode_outer("_tk").alias("tok")
+    ).filter(F.col("tok").isNotNull())
     tok = tok.withColumn("th", md5_int60(F.col("tok")))
     # One conditional-sum aggregate per bit instead of a bit-explode:
     # the explode version shuffles |tokens|·bits rows; this shuffles
@@ -660,9 +678,7 @@ def simhash_hamming_pairs(
                 for i in range(bands)
             ])
         ).alias("band"),
-    ).select(
-        "doc_id", "simhash", "band.band_idx", "band.band_val"
-    ).repartition("band_idx", "band_val")
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
     a = entries.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band_idx", "band_val"
     )
@@ -827,14 +843,6 @@ def substring_dup_coverage(
     """
     from pyspark.sql import Window
 
-    from cs744_big_data_system_spark.plans.tuning import fan_out_small_scan
-
-    # The tokenize→ngram→md5-per-position chain is the most expensive
-    # per-row expression block in the suite; on a split-starved scan it
-    # runs as ONE task (r11 profile: 5.2 s of the 6.2 s query in a
-    # single-task stage, 31 cores idle). Fan out before computing it —
-    # a no-op when the scan already fills the session's cores.
-    documents = fan_out_small_scan(documents, "doc_id")
     docs = _with_canon_tokens(documents, "doc_id").select(
         "doc_id",
         F.size("_tk").alias("n_tokens"),

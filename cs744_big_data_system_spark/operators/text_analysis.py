@@ -51,6 +51,23 @@ def lang_id(text_col) -> Column:
     return expr
 
 
+def _fanned(documents: DataFrame, key: str | None = "doc_id") -> DataFrame:
+    """Fan a split-starved documents scan out to session parallelism
+    before the tokenize-heavy projections below (see
+    plans/tuning.fan_out_small_scan — no-op when the scan already fills
+    the cores). Callers pair it with *_outer explodes + not-null
+    filters so no implicit size()>0 generate-filter is pushed below the
+    fan-out exchange (the dedup-family lesson from the r11 profile)."""
+    from cs744_big_data_system_spark.plans.tuning import fan_out_small_scan
+
+    try:
+        if key is not None and key not in documents.columns:
+            key = None
+    except Exception:
+        key = None
+    return fan_out_small_scan(documents, key)
+
+
 def quality_features(documents: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, n_chars_obs, mean_token_len, punct_ratio,
     stopword_ratio_en, quality_ok) — the standard cheap pre-filter
@@ -99,9 +116,12 @@ def boilerplate_phrases(documents: DataFrame, n: int = 6, min_docs: int = 3) -> 
     the per-doc dedup so both shuffles are keyed by 8 bytes.)"""
     from cs744_big_data_system_spark.functions.text import ngrams_from_tokens, tokens
 
-    grams = documents.select(
-        "doc_id", tokens(normalized_text("text")).alias("_tk")
-    ).select("doc_id", F.explode(ngrams_from_tokens("_tk", n)).alias("phrase"))
+    grams = (
+        _fanned(documents)
+        .select("doc_id", tokens(normalized_text("text")).alias("_tk"))
+        .select("doc_id", F.explode_outer(ngrams_from_tokens("_tk", n)).alias("phrase"))
+        .filter(F.col("phrase").isNotNull())
+    )
     # Fold the phrase to a 60-bit key before the shuffles (same move
     # as ngram_jaccard_pairs): distinct + count are keyed by 8 bytes,
     # not a 6-word string; min(phrase) keeps one representative.
@@ -135,13 +155,15 @@ def tfidf_bm25_topk(
     collected; top-k per doc is one row_number window. Doc length
     rides through the explode, so no per-doc join is needed.
     """
-    canon = documents.select("doc_id", tokens(normalized_text("text")).alias("_tk"))
+    canon = _fanned(documents).select(
+        "doc_id", tokens(normalized_text("text")).alias("_tk")
+    )
     stats = canon.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("_tk")).alias("avgdl")
     )
     terms = canon.select(
-        "doc_id", F.size("_tk").alias("dl"), F.explode("_tk").alias("term")
-    )
+        "doc_id", F.size("_tk").alias("dl"), F.explode_outer("_tk").alias("term")
+    ).filter(F.col("term").isNotNull())
     tfc = terms.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
     dft = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     joined = tfc.join(dft, "term").crossJoin(F.broadcast(stats))
@@ -179,9 +201,15 @@ def cooccurrence_pmi(
     regardless of corpus size. The corpus-size scalar is broadcast,
     never collected.
     """
-    canon = documents.select("doc_id", tokens(normalized_text("text")).alias("_tk"))
+    canon = _fanned(documents).select(
+        "doc_id", tokens(normalized_text("text")).alias("_tk")
+    )
     stats = canon.agg(F.count(F.lit(1)).alias("n_docs"))
-    dt = canon.select("doc_id", F.explode("_tk").alias("term")).distinct()
+    dt = (
+        canon.select("doc_id", F.explode_outer("_tk").alias("term"))
+        .filter(F.col("term").isNotNull())
+        .distinct()
+    )
     dft = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     vocab = dft.orderBy(F.col("df").desc(), F.col("term").asc()).limit(vocab_size)
     dv = dt.join(F.broadcast(vocab), "term")
@@ -227,7 +255,7 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     # Materialize canonical text + tokens first — an inlined tokenizer
     # would re-run the regex split per n-gram element (see
     # functions/text.ngrams_from_tokens).
-    canon = documents.select(
+    canon = _fanned(documents).select(
         "doc_id",
         normalized_text("text").alias("_ct"),
         tokens(normalized_text("text")).alias("_tk"),
@@ -470,8 +498,10 @@ def bigram_lm(documents: DataFrame, min_count: int = 5) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    canon = documents.select(tokens(normalized_text("text")).alias("_tk"))
-    grams = canon.select(F.explode(ngrams_from_tokens_2("_tk")).alias("gram"))
+    canon = _fanned(documents).select(tokens(normalized_text("text")).alias("_tk"))
+    grams = canon.select(
+        F.explode_outer(ngrams_from_tokens_2("_tk")).alias("gram")
+    ).filter(F.col("gram").isNotNull())
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_big"))
     w1 = F.substring_index("gram", " ", 1)
     with_w1 = counts.select(w1.alias("w1"), F.substring_index("gram", " ", -1).alias("w2"), "n_big")
@@ -520,10 +550,12 @@ def perplexity_score(
     aggregation. At 100 TB the scan + explode dominates; nothing else
     grows with corpus size.
     """
-    canon = documents.select(
+    canon = _fanned(documents).select(
         "doc_id", tokens(normalized_text("text")).alias("_tk")
     )
-    grams = canon.select("doc_id", F.explode(ngrams_from_tokens_2("_tk")).alias("gram"))
+    grams = canon.select(
+        "doc_id", F.explode_outer(ngrams_from_tokens_2("_tk")).alias("gram")
+    ).filter(F.col("gram").isNotNull())
     lm_k = lm.select(
         F.concat_ws(" ", "w1", "w2").alias("gram"), F.col("logp")
     )
@@ -595,7 +627,7 @@ def repetition_features(
     """
     from cs744_big_data_system_spark.functions.text import ngrams_from_tokens
 
-    with_grams = documents.select(
+    with_grams = _fanned(documents).select(
         "doc_id", tokens(normalized_text("text")).alias("_tk")
     ).select("doc_id", ngrams_from_tokens("_tk", n).alias("_g"))
     n_grams = F.size("_g")
@@ -715,8 +747,10 @@ def feature_hash_bow(
     from cs744_big_data_system_spark.functions.text import normalized_text, tokens
     from cs744_big_data_system_spark.operators.dedup import md5_int60
 
-    tok = documents.select(
-        "doc_id", F.explode(tokens(normalized_text(text_col))).alias("token")
+    tok = (
+        _fanned(documents)
+        .select("doc_id", F.explode_outer(tokens(normalized_text(text_col))).alias("token"))
+        .filter(F.col("token").isNotNull())
     )
     h = md5_int60(F.col("token"))
     # sign from the 16th md5 hex digit — INDEPENDENT of the 60-bit
@@ -900,17 +934,17 @@ def dsir_weights(
     noise (~1e-13) for the oracle hash check.
     """
     def doc_buckets(df: DataFrame) -> DataFrame:
-        tk = df.select(
+        tk = _fanned(df).select(
             "doc_id", tokens(normalized_text("text")).alias("_tk")
         )
         from cs744_big_data_system_spark.functions.text import ngrams_from_tokens
 
         grams = tk.select(
             "doc_id",
-            F.explode(
+            F.explode_outer(
                 F.concat(F.col("_tk"), ngrams_from_tokens("_tk", 2))
             ).alias("gram"),
-        )
+        ).filter(F.col("gram").isNotNull())
         return grams.select(
             "doc_id", F.pmod(md5_int60(F.col("gram")), F.lit(num_buckets)).alias("b")
         )
@@ -1022,9 +1056,12 @@ def corpus_drift_kl(
     single sum over them; nothing scales with the corpus except the
     one token-explode groupBy.
     """
-    tok = documents.select(
-        F.col(slice_col).alias("_s"), F.explode(tokens("text")).alias("tok")
-    ).select("_s", F.pmod(md5_int60(F.col("tok")), F.lit(num_buckets)).alias("b"))
+    tok = (
+        _fanned(documents, None)
+        .select(F.col(slice_col).alias("_s"), F.explode_outer(tokens("text")).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .select("_s", F.pmod(md5_int60(F.col("tok")), F.lit(num_buckets)).alias("b"))
+    )
     counts = tok.groupBy("b").agg(
         F.sum(F.when(F.col("_s") == slice_value, 1).otherwise(0)).alias("c_p"),
         F.sum(F.when(F.col("_s") != slice_value, 1).otherwise(0)).alias("c_q"),

@@ -772,6 +772,12 @@ def embedding_cosine_neardup_lsh(
     # ~100× slower at num_bands × planes_per_band dot products per row),
     # then posexplode to (band_idx, bucket) rows.
     buckets = lsh_band_buckets_udf(dim, num_bands, planes_per_band)
+    from cs744_big_data_system_spark.plans.tuning import fan_out_small_scan
+
+    # Fan a split-starved scan out BEFORE the Arrow UDF: the banded
+    # matmul otherwise runs in a single Python worker on the scan's one
+    # task (no-op at cluster scale).
+    embeddings = fan_out_small_scan(embeddings, id_col)
     entries = embeddings.select(
         F.col(id_col), F.posexplode(buckets(F.col(vec_col).cast("array<double>"))).alias(
             "band_idx", "bucket"

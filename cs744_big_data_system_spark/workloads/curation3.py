@@ -554,7 +554,12 @@ def _synthetic_video_assets(spark, sf_dir):
     stdlib path (operators/multimodal._decode_ppm)."""
     import struct
 
-    docs = load_table(spark, sf_dir, "documents")
+    from cs744_big_data_system_spark.plans.tuning import fan_out_small_scan
+
+    # ~6 frames x 9 md5s per doc of synthesis + a Python decode per
+    # row downstream: fan a split-starved scan out first (no-op at
+    # cluster scale).
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     n_frames = 3 + F.col("doc_id") % 4
 
     def frame_blob(f: int):

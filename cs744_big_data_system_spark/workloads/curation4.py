@@ -429,7 +429,13 @@ def q_ml_kfold_cv(spark, sf_dir):
     rows = li.select(
         F.col("l_quantity").cast("long").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
-        (
+        # coalesce-to-0 marks fold NON-NULLABLE (it never is null: md5
+        # of non-null keys), so the final join generates no inferred
+        # isnotnull(fold) that predicate pushdown would sink below the
+        # fan-out exchange and re-run the md5 serially on the scan side
+        # -- and with no filter anywhere, all three consumers of the
+        # fold exchange canonicalize identically for AQE reuse.
+        F.coalesce(
             F.conv(
                 F.substring(
                     F.md5(
@@ -445,7 +451,8 @@ def q_ml_kfold_cv(spark, sf_dir):
                 16,
                 10,
             ).cast("long")
-            % _CV_K
+            % _CV_K,
+            F.lit(0).cast("long"),
         ).alias("fold"),
     )
     # Explicit repartition on the fold key: the three consumers of
@@ -456,13 +463,13 @@ def q_ml_kfold_cv(spark, sf_dir):
     # every row (guide §2.4: two operations keyed the same way share
     # one exchange). The shuffle carries three longs per row and is
     # keyed exactly how both aggregations and the scoring join want it.
-    # The explicit isNotNull matters for the reuse: the final join
-    # infers isnotnull(fold) and pushes it below the exchange on the
-    # scoring and coef paths but NOT below tot's (an aggregate over all
-    # groups), which would leave tot on its own non-canonical-equal
-    # scan. fold = md5(non-null keys) % K is never null, so the filter
-    # drops nothing and all three subtrees canonicalize identically.
-    rows = rows.filter(F.col("fold").isNotNull()).repartition("fold")
+    # fan_out first: the md5 fold assignment is computed BELOW the
+    # fold exchange (it is its key), i.e. inside the split-starved
+    # scan's single task without it (no-op at cluster scale).
+    from cs744_big_data_system_spark.plans.tuning import fan_out_small_scan
+
+    rows = fan_out_small_scan(rows, "y")
+    rows = rows.repartition("fold")
     folds = rows.groupBy("fold").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),

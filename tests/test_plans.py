@@ -620,7 +620,11 @@ def test_curation3_plan_posture(spark):
       nested-loop/cartesian anywhere (that's the oracle's job);
     - bm25_search_topk broadcasts the query/df/stats side and gets the
       Spark 4 rank-limit pushdown (WindowGroupLimit) for its top-k;
-    - video_frame_sample is scan → mapInPandas only: zero exchanges."""
+    - video_frame_sample is scan → fan-out → mapInPandas: exactly ONE
+      exchange (the r11 fan_out_small_scan repartition that spreads the
+      md5 frame synthesis + Python decode across the session's cores on
+      a split-starved scan — a no-op at cluster scale), and no shuffle
+      after the Python stage."""
     import re
 
     from cs744_big_data_system_spark.plans.explain import formatted_plan
@@ -640,7 +644,8 @@ def test_curation3_plan_posture(spark):
     assert "WindowGroupLimit" in plan, plan
 
     plan = formatted_plan(reg["video_frame_sample"][0](spark, SF_SMALL))
-    assert "Exchange" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "REPARTITION_BY_NUM" in plan, plan  # the fan-out, not ENSURE_REQUIREMENTS
 
 
 def test_curation5_to_7_plan_posture(spark):

@@ -148,9 +148,25 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     results = {}
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # One driver-side GC every few queries: Spark's ContextCleaner
+        # only releases finished shuffles / broadcast blocks when the
+        # JVM garbage-collects, and a 316-query marathon in ONE session
+        # accumulates them faster than a mostly-idle 1 GiB vanilla heap
+        # GCs on its own — the r11 vanilla sweep OOMed at query ~245
+        # (java.lang.OutOfMemoryError in a task, then every later query
+        # failing in the poisoned session) after the fan-out exchanges
+        # raised the per-query shuffle count. Same fix bench.py has
+        # carried since r06 (one System.gc() per query, measured 2 s vs
+        # 14-20 s BFS spikes); here every 10 queries keeps the sweep
+        # overhead negligible. Results are unaffected — this only paces
+        # cleanup of already-finished state.
+        if n_run % 10 == 0:
+            spark.sparkContext._jvm.System.gc()
+        n_run += 1
         t0 = time.time()
         try:
             frame = fn(spark, sf_dir)

@@ -157,10 +157,18 @@ def q_bloom_decontaminate(spark, sf_dir):
     probe = corpus.select("doc_id", "shingle", ks).withColumn(
         "bitpos", _bloom_bitpos(F.col("j"), F.col("shingle"))
     )
+    # count(*), not countDistinct(j): probe rows are unique per
+    # (doc_id, shingle, j) by construction (distinct shingles × an
+    # exploded literal j range, joined against a DISTINCT bit table on
+    # an equi-key), so the two are equal — and countDistinct planned a
+    # second, wider hash-aggregate phase keyed (doc_id, shingle, j)
+    # whose 32-way concurrent string-keyed maps were the peak-heap
+    # driver of the r11 vanilla-sweep OOM (old code passed a 600 MB
+    # solo probe; fan-out code OOMed until this narrowing).
     members = (
         probe.join(F.broadcast(bits), "bitpos")
         .groupBy("doc_id", "shingle")
-        .agg(F.countDistinct("j").alias("nb"))
+        .agg(F.count(F.lit(1)).alias("nb"))
         .filter(F.col("nb") == BLOOM_K)
     )
     per_doc = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))

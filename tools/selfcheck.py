@@ -120,6 +120,18 @@ def _vanilla_spark():
         .appName("selfcheck-vanilla")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.showConsoleProgress", "false")
+        # UI status-store retention, third perf-only override: the
+        # defaults keep up to 100k task + 1000 execution entries LIVE
+        # in the app status store, and the r11 fan-out raised
+        # tasks-per-stage ~10x — a 316-query marathon in this session's
+        # default 1 GiB heap OOMed at query ~245 on retained UI state
+        # alone (solo re-run of the failing query on a fresh vanilla
+        # session passes; System.gc() pacing did not help because the
+        # references are live). Caps cannot change any query's values.
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "2000")
+        .config("spark.sql.ui.retainedExecutions", "20")
         .getOrCreate()
     )
 

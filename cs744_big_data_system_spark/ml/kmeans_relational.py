@@ -22,7 +22,7 @@ never self-joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -34,17 +34,35 @@ def kmeans_relational(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, cluster) after ``iterations`` Lloyd steps from the first-k
-    init — deterministic and oracle-reproducible by construction."""
+    init — deterministic and oracle-reproducible by construction.
+
+    Centroids live ON THE DRIVER between supersteps (k·dim doubles —
+    bounded and corpus-independent, the same legitimate driver-side
+    regime as PCA's dim² covariance collect and MLlib's own k-means).
+    Each iteration is one Spark job: assignment (broadcast of the
+    k-row literal centroid table) + the (code, dim) means groupBy,
+    collected as ≤ k·dim rows. This replaces the previous per-
+    iteration ``localCheckpoint(eager=True)`` lineage cut: values are
+    identical (collect/createDataFrame round-trips IEEE doubles
+    exactly), but no corpus-independent state ever touches the block
+    manager, so long bench sessions carry no checkpoint-block backlog
+    and the consumer's plan is flat (scan → broadcast join → agg)."""
+    spark = embeddings.sparkSession
     v = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    w0 = Window.orderBy(F.col(id_col).asc())
-    cent = (
-        v.orderBy(F.col(id_col).asc())
-        .limit(k)
-        .withColumn("code", F.row_number().over(w0) - 1)
-        .select("code", F.col("_v").alias("emb"))
-    )
+    # first-k init: a bounded k-row collect (ordered by id, like the
+    # IVF/PQ convention)
+    init = v.orderBy(F.col(id_col).asc()).limit(k).collect()
+    cent: dict[int, list[float]] = {
+        i: list(r["_v"]) for i, r in enumerate(init)
+    }
+
+    def cent_df() -> DataFrame:
+        return spark.createDataFrame(
+            [(code, emb) for code, emb in sorted(cent.items())],
+            "code int, emb array<double>",
+        )
 
     def assign(c: DataFrame) -> DataFrame:
         diffs = F.zip_with("_v", "emb", lambda x, y: (x - y) * (x - y))
@@ -62,24 +80,25 @@ def kmeans_relational(
         )
 
     for _ in range(iterations):
-        a = assign(cent)
+        a = assign(cent_df())
         pts = v.join(a, id_col).select("code", F.posexplode("_v").alias("d", "val"))
-        m = pts.groupBy("code", "d").agg(F.round(F.avg("val"), 9).alias("m"))
-        packed = m.groupBy("code").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
-            ).alias("emb")
+        m = (
+            pts.groupBy("code", "d")
+            .agg(F.round(F.avg("val"), 9).alias("m"))
+            .collect()  # ≤ k·dim rows — bounded, corpus-independent
         )
+        upd: dict[int, dict[int, float]] = {}
+        for r in m:
+            upd.setdefault(r["code"], {})[r["d"]] = r["m"]
         # empty clusters keep their previous centroid (mirrored in the
         # oracle as a NOT IN union)
-        cent = packed.unionByName(cent.join(packed, "code", "left_anti"))
-        # Materialize the k-row centroid table per iteration: without
-        # this every later assign() re-executes the whole centroid
-        # lineage (assignment windows included) once more per
-        # reference — the plan deepens superlinearly in iterations
-        # (measured 5.2 s → ~1 s at sf0.1 for the SemDeDup pipeline).
-        # k rows, so the checkpoint is a few KB; values are unchanged,
-        # keeping the oracle hash intact.
-        cent = cent.localCheckpoint(eager=True)
+        cent = {
+            code: (
+                [upd[code][d] for d in sorted(upd[code])]
+                if code in upd
+                else emb
+            )
+            for code, emb in cent.items()
+        }
 
-    return assign(cent).select(id_col, F.col("code").alias("cluster"))
+    return assign(cent_df()).select(id_col, F.col("code").alias("cluster"))

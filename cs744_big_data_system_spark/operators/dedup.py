@@ -951,12 +951,12 @@ def semantic_dedup(
     asg = kmeans_relational(
         embeddings, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
     )
-    # The assignment feeds BOTH sides of the prune self-join; without a
-    # materialization the final kmeans assign (crossJoin + per-id
-    # window) executes once per consumer. Same executor-side
-    # localCheckpoint pattern as the iterative graph kernels — (id,
-    # cluster) rows only, values unchanged.
-    asg = asg.localCheckpoint(eager=True)
+    # No materialization of the assignment: it once fed BOTH sides of a
+    # relational prune self-join (hence an eager localCheckpoint), but
+    # the matrix formulation below consumes it exactly ONCE, so the
+    # checkpoint only cost a corpus-sized block-manager write. The
+    # kmeans centroids are already driver-side literals, so the single
+    # consumer's lineage is flat.
     v = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )

@@ -507,7 +507,12 @@ def embedding_covariance(
     explode; the per-dimension means are a dim-row broadcast join. No
     driver collect, no window.
     """
-    x = _fanned(embeddings, id_col).select(
+    # Plain scan, no fan-out: this is the cheap-columnar-aggregate case
+    # fan_out_small_scan's own contract excludes — the explode feeds a
+    # map-side-combinable hash aggregate, and the r11 driver bench
+    # measured the repartition as a consistent ~2x REGRESSION
+    # (0.55 -> 1.12 s across four runs). Reverted in r12.
+    x = embeddings.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "xi"),
     )
@@ -672,7 +677,10 @@ def embedding_frechet_diag(
     explode — 2·dim aggregate cells regardless of corpus size — and a
     dim-row final reduce.
     """
-    x = _fanned(embeddings, id_col).select(
+    # Plain scan, no fan-out — same revert rationale as
+    # embedding_covariance above (consistent ~1.6x regression in r11:
+    # 0.39 -> 0.64 s; the explode feeds a 2*dim-cell hash aggregate).
+    x = embeddings.select(
         (F.col(slice_col) == slice_value).alias("_p"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "xi"),
     )

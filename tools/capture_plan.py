@@ -13,7 +13,12 @@ from __future__ import annotations
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# Import the engine from the CURRENT WORKING DIRECTORY's checkout, not
+# this script's: before/after plan pairs are captured by running this
+# one script from two different worktrees (`cd <worktree> && python
+# /path/to/capture_plan.py ...`), and inserting the script's own repo
+# root would silently capture the same side twice.
+sys.path.insert(0, os.getcwd())
 
 from cs744_big_data_system_spark.session import get_spark
 from cs744_big_data_system_spark.workloads import all_workloads

@@ -426,7 +426,21 @@ def q_ml_kfold_cv(spark, sf_dir):
     ratios of exact-integer-valued doubles, per-row errors are
     floored to integer cents before summing."""
     li = load_table(spark, sf_dir, "lineitem")
-    rows = li.select(
+    # Fan out the RAW scan projection BEFORE the fold assignment is
+    # computed: two adjacent repartitions collapse (Catalyst's
+    # CollapseRepartition removes the lower one — the r11 version
+    # called fan_out on the already-projected rows directly under
+    # .repartition("fold") and the fan-out never materialized), but a
+    # computing Project between the two exchanges blocks the collapse,
+    # so the md5 fold assignment genuinely runs at session parallelism
+    # between the fan-out exchange and the fold exchange.
+    from cs744_big_data_system_spark.plans.tuning import fan_out_small_scan
+
+    raw = fan_out_small_scan(
+        li.select("l_quantity", "l_extendedprice", "l_orderkey", "l_linenumber"),
+        "l_extendedprice",
+    )
+    rows = raw.select(
         F.col("l_quantity").cast("long").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
         # coalesce-to-0 marks fold NON-NULLABLE (it never is null: md5
@@ -463,12 +477,6 @@ def q_ml_kfold_cv(spark, sf_dir):
     # every row (guide §2.4: two operations keyed the same way share
     # one exchange). The shuffle carries three longs per row and is
     # keyed exactly how both aggregations and the scoring join want it.
-    # fan_out first: the md5 fold assignment is computed BELOW the
-    # fold exchange (it is its key), i.e. inside the split-starved
-    # scan's single task without it (no-op at cluster scale).
-    from cs744_big_data_system_spark.plans.tuning import fan_out_small_scan
-
-    rows = fan_out_small_scan(rows, "y")
     rows = rows.repartition("fold")
     folds = rows.groupBy("fold").agg(
         F.count(F.lit(1)).alias("n"),

@@ -390,33 +390,52 @@ def q_bitext_margin_mining(spark, sf_dir):
         .crossJoin(tgt)
         .select("src_id", "tgt_id", F.round(cos, 6).alias("cosine"))
     )
+    # Both k-NN neighborhood sums as CONDITIONAL WINDOW SUMS stacked on
+    # the rank windows, not groupBy+join consumers: the r11 executed
+    # plan evaluated the ranked-pairs subtree three times (s_sum, t_sum,
+    # top1 — 6 embeddings scans; consumer-specific column pruning broke
+    # AQE exchange reuse). One linear plan needs exactly TWO exchanges
+    # of the pairs table: Exchange(src_id) carries rf and s_sum (same
+    # partitioning, windows stack shuffle-free), Exchange(tgt_id)
+    # carries rr and t_sum. Values identical: each sum adds the same
+    # 6dp-rounded cosines as the old groupBy (per-partition top-K sets),
+    # rounded to 6 dp; every partition contributes at least its rank-1
+    # row, so the window sums are never NULL — matching the old inner
+    # joins, which never dropped a top1 row for the same reason.
     w_f = Window.partitionBy("src_id").orderBy(
         F.col("cosine").desc(), F.col("tgt_id").asc()
     )
     w_r = Window.partitionBy("tgt_id").orderBy(
         F.col("cosine").desc(), F.col("src_id").asc()
     )
-    ranked = pairs.withColumn("rf", F.row_number().over(w_f)).withColumn(
-        "rr", F.row_number().over(w_r)
+    ranked = (
+        pairs.withColumn("rf", F.row_number().over(w_f))
+        .withColumn(
+            "s_sum",
+            F.round(
+                F.sum(F.when(F.col("rf") <= BITEXT_K, F.col("cosine"))).over(
+                    Window.partitionBy("src_id")
+                ),
+                6,
+            ),
+        )
+        .withColumn("rr", F.row_number().over(w_r))
+        .withColumn(
+            "t_sum",
+            F.round(
+                F.sum(F.when(F.col("rr") <= BITEXT_K, F.col("cosine"))).over(
+                    Window.partitionBy("tgt_id")
+                ),
+                6,
+            ),
+        )
     )
-    s_sum = (
-        ranked.filter(F.col("rf") <= BITEXT_K)
-        .groupBy("src_id")
-        .agg(F.round(F.sum("cosine"), 6).alias("s_sum"))
-    )
-    t_sum = (
-        ranked.filter(F.col("rr") <= BITEXT_K)
-        .groupBy("tgt_id")
-        .agg(F.round(F.sum("cosine"), 6).alias("t_sum"))
-    )
-    top1 = ranked.filter(F.col("rf") == 1).select("src_id", "tgt_id", "cosine")
     margin = F.round(
         (F.lit(2 * BITEXT_K) * F.col("cosine")) / (F.col("s_sum") + F.col("t_sum")),
         6,
     )
     return (
-        top1.join(s_sum, "src_id")
-        .join(t_sum, "tgt_id")
+        ranked.filter(F.col("rf") == 1)
         .select("src_id", "tgt_id", "cosine", margin.alias("margin"))
         .filter(F.col("margin") >= BITEXT_MARGIN_MIN)
     )

@@ -1001,17 +1001,24 @@ def winnowing_fingerprints(
     The rightmost-tie argmin is min-of-struct((hash, −pos)) over the
     frame, the same map-friendly trick as the kmeans assignment.
     """
-    tk = documents.select(
+    # Fan the split-starved scan out (keyed on doc_id — exactly the
+    # distribution the window below requires, so no second exchange)
+    # and use posexplode_OUTER + an explicit pos not-null: a plain
+    # posexplode's implicit size()>0 pre-filter would be pushed below
+    # the fan-out exchange and re-run the tokenize→ngram→md5 chain
+    # serially on the scan side (the r11 dedup-family lesson; this
+    # operator was named in the r11 audit as never having received it).
+    tk = _fanned(documents).select(
         "doc_id", tokens(normalized_text("text")).alias("_tk")
     )
     from cs744_big_data_system_spark.functions.text import ngrams_from_tokens
 
     ph = tk.select(
         "doc_id",
-        F.posexplode(
+        F.posexplode_outer(
             F.transform(ngrams_from_tokens("_tk", k), md5_int60)
         ).alias("pos", "gh"),
-    )
+    ).filter(F.col("pos").isNotNull())
     from pyspark.sql import Window
 
     w1 = (

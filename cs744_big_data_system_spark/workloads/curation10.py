@@ -169,48 +169,62 @@ def q_merkle_row_repair(spark, sf_dir):
     The corruption is the same deterministic one merkle_bucket_diff
     plants (every orderkey divisible by 997 shifted one cent on
     replica B), so the repair set is exactly those orders."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
-    )
-    replica_b = orders.select(
-        "o_orderkey",
-        F.when(F.col("o_orderkey") % 997 == 0, F.col("cents") + 1)
-        .otherwise(F.col("cents"))
-        .alias("cents"),
-    )
-    bucket = F.pmod(
-        md5_int60(F.col("o_orderkey").cast("string")), F.lit(_MERKLE_BUCKETS)
-    ).alias("bucket")
+    from cs744_big_data_system_spark.plans.tuning import fan_out_small_scan
 
-    def digests(df, n_col, h_col):
+    # ONE orders pass shared by all four consumers (digests A, digests
+    # B, repair side A, repair side B): project both replicas' cents
+    # plus the bucket from a single scan, then repartition ONCE on the
+    # repair-join key so the two digest aggregates and the two repair
+    # sides all hang off the same exchange (AQE reuse — the r11/r12
+    # kfold pattern; the r11 plan audit showed six separate orders
+    # scans, each re-running the md5 bucket/row-hash chains).
+    # coalesce marks the keys NON-NULLABLE (they never are null:
+    # o_orderkey is the table key, bucket is md5 of a non-null string)
+    # so the semi-joins infer no isnotnull() below the shared exchange.
+    raw = fan_out_small_scan(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        "o_orderkey",
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    key = F.coalesce(F.col("o_orderkey"), F.lit(-1))
+    rows = raw.select(
+        key.alias("o_orderkey"),
+        cents.alias("cents"),
+        F.when(key % 997 == 0, cents + 1).otherwise(cents).alias("cents_b"),
+        F.coalesce(
+            F.pmod(md5_int60(key.cast("string")), F.lit(_MERKLE_BUCKETS)),
+            F.lit(0).cast("long"),
+        ).alias("bucket"),
+    ).repartition("o_orderkey")
+
+    def digests(cents_col, n_col, h_col):
         row_h = F.pmod(
             md5_int60(
                 F.concat(
                     F.col("o_orderkey").cast("string"),
                     F.lit("|"),
-                    F.col("cents").cast("string"),
+                    F.col(cents_col).cast("string"),
                 )
             ),
             F.lit(1000000000000),
         )
-        return df.groupBy(bucket).agg(
+        return rows.groupBy("bucket").agg(
             F.count(F.lit(1)).alias(n_col), F.sum(row_h).alias(h_col)
         )
 
     divergent = (
-        digests(orders, "n_a", "h_a")
-        .join(digests(replica_b, "n_b", "h_b"), "bucket", "full_outer")
+        digests("cents", "n_a", "h_a")
+        .join(digests("cents_b", "n_b", "h_b"), "bucket", "full_outer")
         .filter(
             (F.coalesce(F.col("n_a"), F.lit(0)) != F.coalesce(F.col("n_b"), F.lit(0)))
             | (F.coalesce(F.col("h_a"), F.lit(0)) != F.coalesce(F.col("h_b"), F.lit(0)))
         )
         .select("bucket")
     )
-    a = orders.withColumn("bucket", bucket).join(
+    a = rows.select("o_orderkey", "cents", "bucket").join(
         F.broadcast(divergent), "bucket", "left_semi"
     )
-    b = replica_b.withColumn("bucket", bucket).join(
+    b = rows.select("o_orderkey", F.col("cents_b").alias("cents"), "bucket").join(
         F.broadcast(divergent), "bucket", "left_semi"
     )
     return (

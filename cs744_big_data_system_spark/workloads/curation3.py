@@ -243,6 +243,11 @@ def q_bm25_search_topk(spark, sf_dir):
     from cs744_big_data_system_spark.functions.text import normalized_text, tokens
 
     k1, b = 1.2, 0.75
+    # NOTE (r12 negative result, A/B-killed at 32 cores): a scan
+    # fan-out + non-nullable keys (to AQE-share the (doc,term) counts
+    # exchange between its two consumers) measured 1.83 s -> 2.25 s —
+    # the bare tokenize chain here is cheaper than the exchange it
+    # rides, and the duplicated branches overlap on idle cores.
     canon = docs.select("doc_id", tokens(normalized_text("text")).alias("_tk"))
     stats = canon.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("_tk")).alias("avgdl")

@@ -452,9 +452,17 @@ def q_item_cf_topk(spark, sf_dir):
     the window so cross-engine float noise can't reorder ties, and the
     per-item top-5 is WindowGroupLimit-capped, never a global sort.
     """
+    # coalesce marks both keys NON-NULLABLE (never null in lineitem):
+    # no isnotnull() is inferred below the distinct's exchange by the
+    # self-join / count joins, so all three consumers of ``items``
+    # canonicalize identically and AQE reuses ONE scan + distinct
+    # exchange (r11 plan audit: 4 separate lineitem scans).
     items = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
+        .select(
+            F.coalesce("l_orderkey", F.lit(-1)).alias("l_orderkey"),
+            F.coalesce("l_partkey", F.lit(-1)).alias("l_partkey"),
+        )
         .distinct()
     )
     a, b = items.alias("a"), items.alias("b")

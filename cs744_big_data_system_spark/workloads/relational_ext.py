@@ -1678,9 +1678,18 @@ def q_basket_affinity(spark, sf_dir):
     Filtered to pairs seen ≥ 3 times to keep the result stable."""
     from cs744_big_data_system_spark.sources.readers import load_table
 
+    # coalesce marks both keys NON-NULLABLE (they never are null in
+    # lineitem), so the self-join and the broadcast count joins infer
+    # no isnotnull() filters below the distinct's exchange — all four
+    # consumers of ``items`` (a, b, part_cnt, total) then canonicalize
+    # identically and AQE reuses ONE scan + distinct exchange instead
+    # of re-scanning lineitem per consumer (r11 plan audit: 5 scans).
     items = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
+        .select(
+            F.coalesce("l_orderkey", F.lit(-1)).alias("l_orderkey"),
+            F.coalesce("l_partkey", F.lit(-1)).alias("l_partkey"),
+        )
         .distinct()
     )
     # order total as a broadcast 1-row aggregate, not a driver count —

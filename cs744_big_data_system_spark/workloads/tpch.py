@@ -797,6 +797,12 @@ def q_tpch_q21(spark, sf_dir):
     a supplier-inequality residual — semi/anti joins, so no row
     explosion however many sibling lines an order has."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    # NOTE (r12 negative result, A/B-killed): sharing ONE projected +
+    # orderkey-repartitioned lineitem across the three probes (the
+    # kfold exchange-sharing pattern) measured 1.42 s -> 1.99 s at 32
+    # cores — AQE broadcast-converts the o-join and the EXISTS probe at
+    # this SF, so the forced exchange sat on the critical path while
+    # the scans it deduplicated were already cheap columnar reads.
     li = _t(spark, sf_dir, "lineitem")
     late = (
         li.join(o, li.l_orderkey == o.o_orderkey)

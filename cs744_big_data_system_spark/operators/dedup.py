@@ -659,13 +659,12 @@ def simhash_hamming_pairs(
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     sig = simhash(documents, bits)
-    # Explicit repartition on the join key: both self-join sides then
-    # hang off ONE identical exchange, which AQE's stage cache reuses —
-    # without it the r11 executed-plan audit showed the whole
-    # tokenize→md5→60-sum simhash subtree evaluated TWICE (the planner
-    # broadcast one side, and a BroadcastExchange's child shares
-    # nothing). The shuffle it adds is the same (band_idx, band_val)
-    # partitioning the join needs anyway (guide §2.4).
+    # No explicit repartition on the (band_idx, band_val) join key: it
+    # was tried in r11 and dropped (commit bfef8dd) — with the scan
+    # fan-out inside simhash() the duplicated signature subtree above
+    # the reused scan exchange is cheap (the planner broadcasts one
+    # side), while forcing both sides through a band-key exchange put
+    # an extra shuffle on the critical path and cost ~1 s at sf0.1.
     entries = sig.select(
         "doc_id",
         "simhash",

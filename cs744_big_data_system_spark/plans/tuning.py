@@ -58,6 +58,35 @@ def _size_bytes(v: str) -> int:
     return int(float(v) * mult)
 
 
+def _mem_capped_width(
+    par: int,
+    heap_bytes: int,
+    mem_fraction: float,
+    min_task_bytes: int = 32 << 20,
+) -> int:
+    """Fan-out width capped by per-task execution memory (guide §5):
+    each concurrent fanned task should keep at least ``min_task_bytes``
+    of the session's execution memory (heap minus Spark's 300 MB
+    reserve, times spark.memory.fraction). At any realistic
+    heap-per-core this returns ``par`` unchanged; it bites only on
+    harsh geometries — the r11 vanilla-sweep marathon ran 32 executor
+    threads over a default 1 GiB heap and OOMed in 32-way
+    spill-thrashing aggregates at ~13 MB execution memory per task;
+    under this cap the same session fans out 13-wide instead. Floor 2
+    so the helper still parallelizes a little on tiny heaps (matching
+    loop_shuffle_partitions' floor)."""
+    exec_bytes = max(0.0, float(heap_bytes) - (300 << 20)) * mem_fraction
+    cap = int(exec_bytes // min_task_bytes)
+    return max(2, min(par, cap))
+
+
+#: Stop enumerating per-file sizes past this many files: a scan with
+#: this many splittable files is never split-starved for any sane core
+#: count, and a million-file table must not pay a full driver-side
+#: listing + per-file stat at query-build time (r11 verdict hardening).
+_MAX_FILES_TO_STAT = 256
+
+
 def fan_out_small_scan(df, key: str | None = None):
     """Hash-repartition a SMALL or split-starved scan to session
     parallelism before heavy per-row expression work (tokenize → n-gram
@@ -92,10 +121,21 @@ def fan_out_small_scan(df, key: str | None = None):
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     try:
+        # Memory-aware width (guide §5): never schedule more concurrent
+        # fanned tasks than the heap can back with a sane execution-
+        # memory share. A no-op at any realistic heap-per-core.
+        heap = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+        frac = float(spark.conf.get("spark.memory.fraction", "0.6"))
+        par = _mem_capped_width(par, heap, frac)
+    except Exception:
+        pass
+    try:
         from urllib.parse import unquote, urlparse
 
         total = 0
         files = df.inputFiles()
+        if len(files) > max(_MAX_FILES_TO_STAT, 4 * par):
+            return df  # many-file table: plenty of natural splits
         for uri in files:
             p = urlparse(uri)
             if p.scheme not in ("file", ""):

@@ -643,9 +643,23 @@ def test_curation3_plan_posture(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "WindowGroupLimit" in plan, plan
 
-    plan = formatted_plan(reg["video_frame_sample"][0](spark, SF_SMALL))
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
-    assert "REPARTITION_BY_NUM" in plan, plan  # the fan-out, not ENSURE_REQUIREMENTS
+    # Pin fan_out_small_scan's scale-adaptive gate for this assertion
+    # (r11 advice): the helper fires only when the fixture scan is
+    # split-starved for THIS host's core count, so raise
+    # maxPartitionBytes for the capture — est_splits is then 1 whatever
+    # the fixture's on-disk layout. On a single-core session the helper
+    # still (correctly) no-ops, so only assert the fan-out shape when
+    # there are cores to fan out to.
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 40))
+    try:
+        plan = formatted_plan(reg["video_frame_sample"][0](spark, SF_SMALL))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+    if spark.sparkContext.defaultParallelism > 1:
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+        assert "REPARTITION_BY_NUM" in plan, plan  # the fan-out, not ENSURE_REQUIREMENTS
 
 
 def test_curation5_to_7_plan_posture(spark):

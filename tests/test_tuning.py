@@ -124,3 +124,31 @@ def test_fan_out_small_scan_noop_on_derived_input(spark):
     # no input files (in-memory range) -> helper must leave it alone
     df = spark.range(10)
     assert fan_out_small_scan(df, "id") is df
+
+
+def test_mem_capped_width_geometries():
+    """r12 hardening (r11 verdict item 6): fan-out width is bounded by
+    the heap's execution memory so harsh thread-per-heap geometries
+    (the r11 vanilla-sweep marathon: local[32] over a default 1 GiB
+    heap) no longer schedule 32 concurrent spill-thrashing tasks."""
+    from cs744_big_data_system_spark.plans.tuning import _mem_capped_width
+
+    assert _mem_capped_width(32, 48 << 30, 0.6) == 32  # realistic heap: no-op
+    assert _mem_capped_width(32, 2 << 30, 0.6) == 32  # 2 GiB floor heap: no-op
+    assert _mem_capped_width(32, 1 << 30, 0.6) == 13  # r11 marathon geometry
+    assert _mem_capped_width(32, 600 << 20, 0.6) == 5  # r11 solo OOM probe
+    assert _mem_capped_width(32, 100 << 20, 0.6) == 2  # floor
+    assert _mem_capped_width(8, 1 << 30, 0.6) == 8  # cap above par: no-op
+
+
+def test_fan_out_small_scan_skips_many_file_tables(spark, tmp_path):
+    """r12 hardening (r11 verdict item 3): a table with many files has
+    plenty of natural splits — the helper must return early instead of
+    stat()ing every file on the driver at query-build time."""
+    from cs744_big_data_system_spark.plans import tuning
+
+    p = str(tmp_path / "many")
+    n_files = max(tuning._MAX_FILES_TO_STAT, 4 * spark.sparkContext.defaultParallelism) + 4
+    spark.range(0, n_files, 1, n_files).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    assert tuning.fan_out_small_scan(df, "id") is df

@@ -48,6 +48,17 @@ def naive_bayes_confusion(
     (actual_lang, pred_lang, n_docs)."""
     spark = documents.sparkSession
 
+    # NOTE (r12 negative results, both A/B-killed at 32 cores): a
+    # shared per-(doc,token)-counts aggregate (one tokenize pass for
+    # all three consumers — structurally clean, oracle-green, but the
+    # new high-cardinality exchange sits ON the dependency chain:
+    # 3.0 s -> 4.1 s, stages 40 -> 46) and a plain scan fan-out (wall
+    # 2.7 s -> 3.2 s: the bare tokenize chain is cheaper than the
+    # exchange it rides) were built, measured at both 8 and 32 cores,
+    # and reverted. The three independent single-task tokenize branches
+    # below overlap on idle cores — the cheapest schedule at this
+    # shape. (Both variants DID win at 8 cores; the headline geometry
+    # decides.)
     docs = documents.select(
         "doc_id", "lang", tokens(normalized_text("text")).alias("_tk")
     )

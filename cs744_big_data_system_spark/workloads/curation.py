@@ -154,6 +154,15 @@ def q_bloom_decontaminate(spark, sf_dir):
         .distinct()
     )
     corpus = sh.filter(~is_bench)
+    # NOTE (r12 negative result): folding the shingle string to its
+    # 60-bit md5 before the membership aggregate (narrower shuffle/agg
+    # state, guide §2.2) was built, oracle-verified output-identical,
+    # and A/B-measured 0.1-0.2 s SLOWER at 32 cores (the extra per-
+    # shingle md5 outweighs the byte saving at this SF) — reverted.
+    # The intermittent 10-35 s mode this query showed in r11/r12 full-
+    # suite runs was diagnosed instead as collectable cross-rep JVM
+    # garbage (see bench.py time_query) and fixed by per-rep GC pacing
+    # plus the memory-capped fan-out width (plans/tuning.py).
     probe = corpus.select("doc_id", "shingle", ks).withColumn(
         "bitpos", _bloom_bitpos(F.col("j"), F.col("shingle"))
     )
@@ -707,6 +716,14 @@ def q_quality_classifier_nb(spark, sf_dir):
     from cs744_big_data_system_spark.functions.text import normalized_text
     from cs744_big_data_system_spark.ml.naive_bayes import _q_ln
 
+    # NOTE (r12 negative results, both A/B-killed at 32 cores): a
+    # shared per-(doc,token)-counts aggregate (one tokenize pass for
+    # all three consumers; the new high-cardinality exchange sits on
+    # the dependency chain, 2.6 s -> 3.2 s) and a plain scan fan-out
+    # (the bare tokenize is cheaper than the exchange it rides) were
+    # built, measured, and reverted — the three independent single-task
+    # tokenize branches below overlap on idle cores, the cheapest
+    # schedule at this shape. Same experiment as ml/naive_bayes.py.
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokens(normalized_text("text")).alias("_tk")
     )

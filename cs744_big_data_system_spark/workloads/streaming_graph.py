@@ -608,7 +608,15 @@ def q_stream_stateful_counts(spark, sf_dir):
     updates = replay_to_batch(
         spark,
         f"{sf_dir}/events.parquet",
-        lambda s: running_counts(s.withWatermark("ts", "365 days"), key_col="user_id"),
+        # Pre-project to the two columns the stateful kernel touches
+        # (guide §4: applyInPandasWithState ships the ENTIRE child
+        # schema through Arrow to the Python worker — column pruning
+        # cannot see inside the pandas function, so without this the
+        # wide props JSON column crosses the boundary for every row).
+        lambda s: running_counts(
+            s.select("user_id", "ts").withWatermark("ts", "365 days"),
+            key_col="user_id",
+        ),
         output_mode="update",
     )
     return updates.groupBy("user_id").agg(F.max("n_events").alias("n_events"))

@@ -73,6 +73,7 @@ def main() -> None:
     df = fn(spark, args.sf)
     df.write.format("noop").mode("overwrite").save()
     warm = time.perf_counter() - t0
+    spark.sparkContext._jvm.System.gc()  # mirror bench.py's per-rep GC
 
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
@@ -93,6 +94,10 @@ def main() -> None:
         df = fn(spark, args.sf)
         df.write.format("noop").mode("overwrite").save()
         times.append(time.perf_counter() - t0)
+        # Full GC between reps OUTSIDE the timed window (bench.py r12):
+        # each rep times the query, not the previous rep's collectable
+        # codegen/class garbage.
+        spark.sparkContext._jvm.System.gc()
     spark.sparkContext.setJobDescription(None)
 
     stages = _ui_json(spark, "stages") or []

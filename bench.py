@@ -281,18 +281,23 @@ def time_query(fn, spark, sf_dir, reps: int = 2, fresh_memo: bool = False) -> fl
         # orderBys, timing less work than the query declares.
         df.write.format("noop").mode("overwrite").save()
         times.append(time.perf_counter() - t0)
-        # Full driver-side GC BETWEEN reps, outside the timed window —
-        # the r07 per-query GC (below) extended to rep granularity.
-        # r12 evidence: bloom_decontaminate's intermittent 10-35 s mode
-        # (and dedup_semantic's r11 35 s row) reproduced SOLO as
-        # monotonic rep-over-rep degradation on identical stages (rep0
-        # 9 s total task CPU -> rep5 211 s on the same 1.6 MB shuffle),
-        # cleared completely by a full GC between reps (6 solo probes:
-        # un-paced runs hit 12-52 s reps, GC-paced runs hold 3.0-3.3 s
-        # flat). The GC runs after the clock stops, so each rep times
-        # the query, not the previous rep's collectable codegen/class
-        # garbage.
-        spark.sparkContext._jvm.System.gc()
+        # Full driver-side GC BETWEEN reps of HEAVY queries, outside
+        # the timed window — the r07 per-query GC (below) extended to
+        # rep granularity where it matters. r12 evidence:
+        # bloom_decontaminate's intermittent 10-35 s mode (and
+        # dedup_semantic's r11 35 s row) reproduced SOLO as monotonic
+        # rep-over-rep degradation on identical stages (rep0 9 s total
+        # task CPU -> rep5 305 s runtime / 211 s CPU on the same
+        # 1.6 MB shuffle), cleared completely by a full GC between reps
+        # (un-paced solo probes hit 12-52 s reps; GC-paced hold
+        # 3.0-3.3 s flat). Gated on the warm-up time because the first
+        # unconditional version measurably inflated ~30 SUB-second
+        # rows by a consistent +0.1-0.2 s each (two full-suite runs) —
+        # small reps don't accumulate enough garbage to degrade, so
+        # they keep the r07 per-query-only pacing. The GC runs after
+        # the clock stops either way.
+        if times[0] > 2.0:
+            spark.sparkContext._jvm.System.gc()
         if i == 1 and times[1] < 3.0:
             reps += 1
         i += 1
@@ -307,8 +312,9 @@ def time_query(fn, spark, sf_dir, reps: int = 2, fresh_memo: bool = False) -> fl
     # Iterative queries leave localCheckpoint blocks behind until the
     # driver GC lets the ContextCleaner reap them; across a 60+-query
     # session the backlog grows until the block manager churns (BFS
-    # benched 2s vs 14-20s spikes without this). The per-rep GC above
-    # already ran after the final rep, which keeps this guarantee.
+    # benched 2s vs 14-20s spikes without this). One driver-side GC per
+    # query keeps the harness measuring the query, not the backlog.
+    spark.sparkContext._jvm.System.gc()
     return sum(times[1:]) / len(times[1:])
 
 

@@ -94,10 +94,12 @@ def main() -> None:
         df = fn(spark, args.sf)
         df.write.format("noop").mode("overwrite").save()
         times.append(time.perf_counter() - t0)
-        # Full GC between reps OUTSIDE the timed window (bench.py r12):
-        # each rep times the query, not the previous rep's collectable
-        # codegen/class garbage.
-        spark.sparkContext._jvm.System.gc()
+        # Full GC between reps OUTSIDE the timed window, gated on the
+        # warm-up time exactly like bench.py time_query (r12): heavy
+        # reps otherwise degrade monotonically on collectable
+        # codegen/class garbage; sub-second reps don't and skip it.
+        if warm > 2.0:
+            spark.sparkContext._jvm.System.gc()
     spark.sparkContext.setJobDescription(None)
 
     stages = _ui_json(spark, "stages") or []
